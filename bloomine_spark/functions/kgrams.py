@@ -1,0 +1,152 @@
+"""Batch-level k-gram window machinery.
+
+Converts a pandas Series of token arrays (one Arrow record batch worth of
+rows) into flat numpy buffers plus per-window row ids and hashes — the
+vectorized analog of the reference's per-read ``genKmerSet`` /
+``genKmerPosMap`` loops (/root/reference/src/FQread.hpp:105-115,502-512),
+with zero per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from bloomine_spark.functions.hashing import rolling_kgram_hash
+
+
+@dataclass
+class TokenBatch:
+    """A flattened batch of token rows.
+
+    flat:      concatenated tokens of all rows (uint64 view of the ints)
+    lens:      per-row token counts
+    offsets:   exclusive prefix sum of lens (row i spans flat[offsets[i]:offsets[i]+lens[i]])
+    """
+
+    flat: np.ndarray
+    lens: np.ndarray
+    offsets: np.ndarray
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.lens)
+
+
+def flatten_token_series(tokens: pd.Series) -> TokenBatch:
+    """Flatten a Series of int arrays into one buffer + offsets (vectorized)."""
+    n = len(tokens)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return TokenBatch(z.astype(np.uint64), z, z)
+    arrays = tokens.to_numpy()
+    lens = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        flat = np.zeros(0, dtype=np.uint64)
+    else:
+        flat = np.concatenate([np.asarray(a) for a in arrays]).astype(
+            np.uint64, copy=False
+        )
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    return TokenBatch(flat, lens, offsets)
+
+
+@dataclass
+class WindowSet:
+    """All valid length-k windows of a TokenBatch.
+
+    row_ids:  per-window owning row index (non-decreasing)
+    starts:   per-window start position *within its row*
+    gstarts:  per-window start position in the flat buffer
+    hashes:   uint64 polynomial hash of each window
+    """
+
+    row_ids: np.ndarray
+    starts: np.ndarray
+    gstarts: np.ndarray
+    hashes: np.ndarray
+
+    @property
+    def n_windows(self) -> int:
+        return len(self.hashes)
+
+
+def kgram_windows(batch: TokenBatch, k: int, reverse: bool = False) -> WindowSet:
+    """Enumerate every length-k window of every row, with hashes.
+
+    Rows shorter than k contribute no windows — the reference's
+    ``limit <= 0 → false`` branch (/root/reference/src/FQread.hpp:72-73).
+
+    With ``reverse=True``, hashes are those of the windows of each *reversed*
+    row; ``starts`` are remapped so they index into the reversed row
+    (start_rev = len - k - start), keeping (row_ids, starts, hashes)
+    consistent for downstream coverage painting.
+    """
+    n_win_per_row = np.maximum(batch.lens - k + 1, 0)
+    total = int(n_win_per_row.sum())
+    row_ids = np.repeat(np.arange(batch.n_rows, dtype=np.int64), n_win_per_row)
+    if total == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return WindowSet(row_ids, e, e, np.zeros(0, dtype=np.uint64))
+
+    win_off = np.zeros(batch.n_rows, dtype=np.int64)
+    np.cumsum(n_win_per_row[:-1], out=win_off[1:])
+    # start of each window within its row: global window index minus the
+    # row's first window index
+    starts = np.arange(total, dtype=np.int64) - np.repeat(win_off, n_win_per_row)
+    gstarts = starts + np.repeat(batch.offsets, n_win_per_row)
+
+    # hash every window position of the flat buffer once, then select the
+    # valid (non-row-crossing) ones
+    n_flat_windows = max(len(batch.flat) - k + 1, 0)
+    all_hashes = rolling_kgram_hash(batch.flat, n_flat_windows, k, reverse=reverse)
+    hashes = all_hashes[gstarts]
+
+    if reverse:
+        starts = np.repeat(batch.lens, n_win_per_row) - k - starts
+    return WindowSet(row_ids, starts, gstarts, hashes)
+
+
+def distinct_per_row(row_ids: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Boolean mask of the first occurrence of each (row, hash) pair.
+
+    row_ids must be non-decreasing (as produced by kgram_windows).
+    Vectorized analog of the reference's dedup-before-count
+    (/root/reference/src/FQread.hpp:75-82).
+    """
+    n = len(hashes)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((hashes, row_ids))
+    sr = row_ids[order]
+    sh = hashes[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = first
+    return mask
+
+
+def unique_kgram_hashes(tokens: np.ndarray, k: int) -> np.ndarray:
+    """Sorted unique k-gram hashes of ONE token array (target/pattern side)."""
+    t = np.asarray(tokens, dtype=np.uint64)
+    n_win = max(len(t) - k + 1, 0)
+    return np.unique(rolling_kgram_hash(t, n_win, k))
+
+
+def paint_coverage(
+    starts: np.ndarray, k: int, row_len: int
+) -> np.ndarray:
+    """Boolean coverage mask: position covered iff inside any [s, s+k) window.
+
+    Vectorized interval painting via a difference array — the analog of the
+    reference's zero-array stamping (/root/reference/src/FQread.hpp:229-241).
+    """
+    delta = np.zeros(row_len + 1, dtype=np.int64)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, starts + k, -1)
+    return np.cumsum(delta[:row_len]) > 0

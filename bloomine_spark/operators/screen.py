@@ -1,0 +1,448 @@
+"""Two-phase Bloom-prescreen + verify filter over token sequences.
+
+The flagship operator (SURVEY.md §2.2 F1/F3/F4): given a target token
+pattern, find rows whose token array contains it (exactly, or within a
+scored error tolerance). Phase 1 is a Bloom membership prescreen over
+distinct k-gram windows with a reversed-array retry on failure; phase 2
+verifies survivors (exact subarray containment, or the reference's
+max-subalignment score vs MST).
+
+Spark-first design: the whole per-row pipeline (FP → RC retry → SP) runs
+fused inside ONE ``mapInPandas`` pass — shuffle-free, embarrassingly
+parallel, the cluster-scale analog of the reference's per-thread loop
+(/root/reference/src/BlooMineUtils.cpp:306-373). The Bloom filter, target
+k-gram set, and thresholds are built once on the driver (they are tiny) and
+shipped via a Spark broadcast, exactly as the reference shares its filter by
+const-ref across threads (/root/reference/src/BlooMineUtils.cpp:262-264).
+Everything inside the kernel is vectorized numpy over Arrow batches — no
+per-row Python in the FP hot path; only post-prescreen survivors (a tiny
+fraction) see per-row scoring.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bloomine_spark.functions.kgrams import (
+    TokenBatch,
+    WindowSet,
+    distinct_per_row,
+    flatten_token_series,
+    kgram_windows,
+    unique_kgram_hashes,
+)
+from bloomine_spark.params import ScreenParams
+from bloomine_spark.sketch.bloom import BloomFilter
+
+
+@dataclass
+class TargetContext:
+    """Driver-built, broadcast-shipped screening context for one target.
+
+    The build is the reference's generateBloomFilter + MST computation
+    (/root/reference/src/BlooMineUtils.cpp:76-120) re-expressed over token
+    k-grams.
+    """
+
+    target_tokens: np.ndarray        # int64
+    k: int
+    params: ScreenParams
+    kset_hashes: np.ndarray          # sorted unique uint64 k-gram hashes
+    kgram_matrix: np.ndarray         # (n_kset, k) int64, rows sorted by hash
+    fp_threshold: int
+    mst: float
+    bloom_bytes: bytes
+    complement_map: np.ndarray | None = None  # optional vocab permutation
+
+    _bloom: BloomFilter | None = field(default=None, repr=False, compare=False)
+
+    @property
+    def bloom(self) -> BloomFilter:
+        if self._bloom is None:
+            object.__setattr__(self, "_bloom", BloomFilter.from_bytes(self.bloom_bytes))
+        return self._bloom
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_bloom"] = None
+        return d
+
+    def low_complexity(self) -> bool:
+        """True when <50% of the target's k-grams are unique — the
+        reference's Bloom-FP blowup warning (/root/reference/src/utilities.hpp:89-99)."""
+        n_windows = max(len(self.target_tokens) - self.k + 1, 0)
+        return len(self.kset_hashes) < 0.5 * n_windows
+
+
+def prepare_target(
+    target_tokens: Sequence[int],
+    params: ScreenParams = ScreenParams(),
+    complement_map: np.ndarray | None = None,
+) -> TargetContext:
+    tokens = np.asarray(list(target_tokens), dtype=np.int64)
+    k = params.k
+    if len(tokens) < k:
+        raise ValueError(f"target shorter than k={k}")
+    hashes = unique_kgram_hashes(tokens, k)
+    # k-gram token matrix aligned with the sorted hash array (for exact
+    # candidate verification — hash collisions must not fabricate coverage)
+    from bloomine_spark.functions.hashing import rolling_kgram_hash
+
+    win = np.lib.stride_tricks.sliding_window_view(tokens, k)
+    wh = rolling_kgram_hash(tokens.astype(np.uint64), len(tokens) - k + 1, k)
+    order = np.argsort(wh, kind="stable")
+    wh_sorted = wh[order]
+    first = np.ones(len(wh_sorted), dtype=bool)
+    first[1:] = wh_sorted[1:] != wh_sorted[:-1]
+    kgram_matrix = win[order][first]
+    kset_hashes = wh_sorted[first]
+    if len(kset_hashes) != len(hashes):  # pragma: no cover - sanity
+        raise AssertionError("hash dedup mismatch")
+
+    bf = BloomFilter.build(kset_hashes, params.false_positive)
+    return TargetContext(
+        target_tokens=tokens,
+        k=k,
+        params=params,
+        kset_hashes=kset_hashes,
+        kgram_matrix=np.ascontiguousarray(kgram_matrix, dtype=np.int64),
+        fp_threshold=params.fp_threshold(len(kset_hashes)),
+        mst=params.mst(len(kset_hashes)),
+        bloom_bytes=bf.to_bytes(),
+        complement_map=complement_map,
+    )
+
+
+# ---------------------------------------------------------------------------
+# scoring kernel (runs only on prescreen survivors)
+# ---------------------------------------------------------------------------
+
+def score_coverage_mask(mask: np.ndarray, p: ScreenParams) -> int:
+    """Max-subalignment score of one boolean coverage mask.
+
+    numpy run-length implementation of the reference's
+    removeTrailing → splitSubalignments → findMaxSubalignment chain
+    (/root/reference/src/FQread.hpp:320-489), preserving the X9 bridge-cost
+    quirk ``go + (ge*g - 1)``. Only survivors reach this, so a per-row call
+    is acceptable (SURVEY.md §7 risk note).
+    """
+    if not mask.any():
+        return 0
+    idx = np.flatnonzero(mask)
+    first, last = int(idx[0]), int(idx[-1])
+    m = mask[first : last + 1]
+
+    # run-length encode: edges of covered/uncovered runs
+    edges = np.flatnonzero(np.diff(m.astype(np.int8)))
+    starts = np.concatenate(([0], edges + 1))
+    ends = np.concatenate((edges + 1, [len(m)]))
+    run_cov = m[starts]
+    run_len = ends - starts
+
+    gap_threshold = p.gap_threshold()
+
+    # fragments: maximal chunks split at gap runs >= gap_threshold; within a
+    # fragment, covered runs score +hit*len, internal gaps -go-(g-1)*ge
+    frag_scores: list[float] = []
+    frag_gaps: list[int] = []
+    cur = 0.0
+    for cov, ln in zip(run_cov, run_len):
+        if cov:
+            cur += p.hit * int(ln)
+        elif ln >= gap_threshold:
+            frag_scores.append(int(cur))
+            frag_gaps.append(int(ln))
+            cur = 0.0
+        else:
+            cur -= p.gap_open + p.gap_extend * (int(ln) - 1)
+    frag_scores.append(int(cur))
+    frag_gaps.append(0)
+
+    s = len(frag_scores)
+    best = frag_scores[0]
+    if s > 1:
+        for i in range(s):
+            acc = 0.0
+            for j in range(i, s):
+                acc += frag_scores[j]
+                cand = int(acc) if j > i else frag_scores[i]
+                if cand > best:
+                    best = cand
+                if j < s - 1:
+                    acc -= p.gap_open
+                    acc -= p.gap_extend * frag_gaps[j] - 1  # X9 quirk
+    return int(best)
+
+
+# ---------------------------------------------------------------------------
+# the mapInPandas kernel
+# ---------------------------------------------------------------------------
+
+def _fp_pass_counts(
+    win: WindowSet, bloom: BloomFilter, n_rows: int, row_mask: np.ndarray | None
+) -> np.ndarray:
+    """Distinct-kgram Bloom hit count per row (vectorized F1/A3)."""
+    if win.n_windows == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    sel = slice(None) if row_mask is None else row_mask[win.row_ids]
+    row_ids = win.row_ids[sel]
+    hashes = win.hashes[sel]
+    if len(hashes) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    uniq = distinct_per_row(row_ids, hashes)
+    hit = bloom.contains_hashes(hashes[uniq])
+    return np.bincount(row_ids[uniq][hit], minlength=n_rows)
+
+
+def _exact_candidates(
+    win: WindowSet,
+    batch: TokenBatch,
+    ctx: TargetContext,
+    sel: np.ndarray,
+    reverse: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row_ids, starts) of windows whose TOKENS exactly match a target k-gram.
+
+    Candidates come from hash membership (searchsorted into the sorted target
+    hash set) and are then confirmed token-by-token against the aligned
+    k-gram matrix, so Bloom/hash collisions cannot fabricate coverage —
+    mirroring the reference's exact map lookup
+    (/root/reference/src/FQread.hpp:233-241).
+    """
+    if not sel.any():
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    hashes = win.hashes[sel]
+    pos = np.searchsorted(ctx.kset_hashes, hashes)
+    pos = np.minimum(pos, len(ctx.kset_hashes) - 1)
+    cand = ctx.kset_hashes[pos] == hashes
+    if not cand.any():
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    gstarts = win.gstarts[sel][cand]
+    # gather window tokens: (n_cand, k)
+    gather = gstarts[:, None] + np.arange(ctx.k, dtype=np.int64)[None, :]
+    toks = batch.flat[gather].astype(np.int64)
+    if reverse:
+        # RC orientation: the canonical transform is reverse (optionally
+        # composed with the vocabulary complement map)
+        if ctx.complement_map is not None:
+            toks = ctx.complement_map[toks]
+        toks = toks[:, ::-1]
+    ok = (toks == ctx.kgram_matrix[pos[cand]]).all(axis=1)
+    return win.row_ids[sel][cand][ok], win.starts[sel][cand][ok]
+
+
+def _contains_subarray(
+    batch: TokenBatch, pattern: np.ndarray, row_ids_out: int,
+    row_sel: np.ndarray, reverse: bool, complement_map: np.ndarray | None,
+) -> np.ndarray:
+    """Exact contiguous-subarray containment per row (vectorized).
+
+    Hash every len(pattern)-window, compare to the pattern hash, then confirm
+    token equality (collision-proof). Used by verify mode "exact".
+    """
+    from bloomine_spark.functions.hashing import rolling_kgram_hash
+
+    n_rows = len(row_sel)
+    out = np.zeros(n_rows, dtype=bool)
+    kp = len(pattern)
+    win = kgram_windows(batch, kp, reverse=reverse)
+    if win.n_windows == 0:
+        return out
+    sel = row_sel[win.row_ids]
+    if not sel.any():
+        return out
+    pat = pattern.astype(np.uint64)
+    pat_h = rolling_kgram_hash(pat, 1, kp)[0]
+    hashes = win.hashes[sel]
+    cand = hashes == pat_h
+    if not cand.any():
+        return out
+    gstarts = win.gstarts[sel][cand]
+    gather = gstarts[:, None] + np.arange(kp, dtype=np.int64)[None, :]
+    toks = batch.flat[gather].astype(np.int64)
+    if complement_map is not None:
+        toks = complement_map[toks]
+    if reverse:
+        toks = toks[:, ::-1]
+    ok = (toks == pattern[None, :].astype(np.int64)).all(axis=1)
+    out[np.unique(win.row_ids[sel][cand][ok])] = True
+    return out
+
+
+def make_screen_kernel(
+    ctx_bc,  # Broadcast[TargetContext]
+    tokens_col: str,
+    passthrough: list[str],
+    mode: str,
+    rc_retry: bool,
+    keep_tokens: bool,
+):
+    """Build the mapInPandas function. ``ctx_bc`` is a Spark broadcast."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx: TargetContext = ctx_bc.value
+        p = ctx.params
+        bloom = ctx.bloom
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            batch = flatten_token_series(pdf[tokens_col])
+            if ctx.complement_map is None:
+                fwd_batch = batch
+            else:
+                fwd_batch = batch  # complement applies only to the RC pass
+
+            # ---- phase 1 forward: distinct Bloom-hit counts (F1)
+            win_f = kgram_windows(batch, ctx.k)
+            counts_f = _fp_pass_counts(win_f, bloom, n, None)
+            if ctx.fp_threshold <= 0:
+                fp_f = np.ones(n, dtype=bool)  # FQread.hpp:69 quirk
+            else:
+                fp_f = counts_f >= ctx.fp_threshold
+
+            # ---- phase 1 RC retry, only for forward failures (F4)
+            rc_rows = ~fp_f
+            fp_r = np.zeros(n, dtype=bool)
+            counts_r = np.zeros(n, dtype=np.int64)
+            win_r = None
+            if rc_retry and rc_rows.any() and ctx.fp_threshold > 0:
+                win_r = kgram_windows(batch, ctx.k, reverse=True)
+                if ctx.complement_map is not None:
+                    comp = TokenBatch(
+                        ctx.complement_map[batch.flat.astype(np.int64)].astype(
+                            np.uint64
+                        ),
+                        batch.lens,
+                        batch.offsets,
+                    )
+                    win_r = kgram_windows(comp, ctx.k, reverse=True)
+                counts_r = _fp_pass_counts(win_r, bloom, n, rc_rows)
+                fp_r = rc_rows & (counts_r >= ctx.fp_threshold)
+            elif rc_retry and ctx.fp_threshold <= 0:
+                fp_r = np.zeros(n, dtype=bool)  # fwd already passed all
+
+            fp_any = fp_f | fp_r
+            if not fp_any.any():
+                continue
+
+            # ---- phase 2: verify survivors
+            scores = np.zeros(n, dtype=np.int64)
+            if mode == "scored":
+                # coverage from exact-verified k-gram candidates, per orientation
+                for reverse, row_sel, win in (
+                    (False, fp_f, win_f),
+                    (True, fp_r, win_r),
+                ):
+                    if win is None or not row_sel.any():
+                        continue
+                    sel = row_sel[win.row_ids]
+                    rids, starts = _exact_candidates(win, batch, ctx, sel, reverse)
+                    # paint + score per surviving row (few rows here)
+                    order = np.argsort(rids, kind="stable")
+                    rids, starts = rids[order], starts[order]
+                    bounds = np.searchsorted(
+                        rids, np.arange(n + 1, dtype=np.int64)
+                    )
+                    for r in np.flatnonzero(row_sel):
+                        lo, hi = bounds[r], bounds[r + 1]
+                        row_len = int(batch.lens[r])
+                        if hi == lo:
+                            scores[r] = 0
+                            continue
+                        delta = np.zeros(row_len + 1, dtype=np.int64)
+                        np.add.at(delta, starts[lo:hi], 1)
+                        np.add.at(delta, starts[lo:hi] + ctx.k, -1)
+                        mask = np.cumsum(delta[:row_len]) > 0
+                        scores[r] = score_coverage_mask(mask, p)
+                sp_pass = fp_any & (scores >= ctx.mst)
+            elif mode == "exact":
+                contains = _contains_subarray(
+                    batch, ctx.target_tokens, n, fp_f, False, None
+                )
+                if fp_r.any():
+                    contains |= _contains_subarray(
+                        batch, ctx.target_tokens, n, fp_r, True, ctx.complement_map
+                    )
+                sp_pass = fp_any & contains
+                scores = np.where(contains, len(ctx.target_tokens) * int(p.hit), 0)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown mode {mode!r}")
+
+            out_idx = np.flatnonzero(fp_any)
+            out = pdf.iloc[out_idx][passthrough].reset_index(drop=True)
+            out["rc"] = fp_r[out_idx]
+            out["fp_hits"] = np.where(fp_r, counts_r, counts_f)[out_idx].astype(
+                "int32"
+            )
+            out["score"] = scores[out_idx].astype("int64")
+            out["threshold"] = float(ctx.mst)
+            out["sp_pass"] = sp_pass[out_idx]
+            if keep_tokens:
+                out[tokens_col] = pdf.iloc[out_idx][tokens_col].reset_index(
+                    drop=True
+                )
+            yield out
+
+    return kernel
+
+
+def screen_scores(
+    df: DataFrame,
+    target_tokens: Sequence[int],
+    params: ScreenParams = ScreenParams(),
+    tokens_col: str = "tokens",
+    mode: str = "scored",
+    rc_retry: bool = True,
+    keep_tokens: bool = False,
+    complement_map: np.ndarray | None = None,
+) -> DataFrame:
+    """Score-log DataFrame: one row per FP-surviving input row.
+
+    Columns: passthrough cols + (rc, fp_hits, score, threshold, sp_pass)
+    — the Spark analog of ``<prefix>_flank_scores.tsv``
+    (/root/reference/src/BlooMineUtils.cpp:43-60).
+    """
+    spark = df.sparkSession
+    ctx = prepare_target(target_tokens, params, complement_map)
+    ctx_bc = spark.sparkContext.broadcast(ctx)
+
+    passthrough = [f.name for f in df.schema.fields if f.name != tokens_col]
+    fields = [f for f in df.schema.fields if f.name != tokens_col]
+    fields += [
+        T.StructField("rc", T.BooleanType()),
+        T.StructField("fp_hits", T.IntegerType()),
+        T.StructField("score", T.LongType()),
+        T.StructField("threshold", T.DoubleType()),
+        T.StructField("sp_pass", T.BooleanType()),
+    ]
+    if keep_tokens:
+        fields.append(df.schema[tokens_col])
+    schema = T.StructType(fields)
+
+    kernel = make_screen_kernel(
+        ctx_bc, tokens_col, passthrough, mode, rc_retry, keep_tokens
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def screen_hits(
+    df: DataFrame,
+    target_tokens: Sequence[int],
+    params: ScreenParams = ScreenParams(),
+    **kwargs,
+) -> DataFrame:
+    """Rows passing BOTH phases — the ``_BMfiltered`` output analog
+    (/root/reference/src/BlooMineUtils.cpp:270-282)."""
+    return screen_scores(df, target_tokens, params, **kwargs).filter(
+        F.col("sp_pass")
+    )
