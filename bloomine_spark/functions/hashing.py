@@ -39,7 +39,8 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 def hash_u64(values: np.ndarray, seed: int = 0) -> np.ndarray:
     """Hash an integer array elementwise to uint64."""
     v = values.astype(np.uint64, copy=False)
-    return splitmix64(v + np.uint64(seed) * _SM_GAMMA)
+    mix = (seed * int(_SM_GAMMA)) % (1 << 64)
+    return splitmix64(v + np.uint64(mix))
 
 
 def rolling_kgram_hash(

@@ -8,3 +8,7 @@ states through Spark as binary columns. Distributed aggregation lives in
 """
 
 from bloomine_spark.sketch.bloom import BloomFilter  # noqa: F401
+from bloomine_spark.sketch.cms import CountMinSketch  # noqa: F401
+from bloomine_spark.sketch.hll import HyperLogLog  # noqa: F401
+from bloomine_spark.sketch.kll import KLL  # noqa: F401
+from bloomine_spark.sketch.tdigest import TDigest  # noqa: F401

@@ -1,0 +1,89 @@
+"""Count–min sketch for token frequency estimation.
+
+Cormode–Muthukrishnan 2005: d×w counter matrix, element routed through d
+seeded hash rows, point estimate = min over rows. Never underestimates;
+overestimate ≤ εN with probability ≥ 1−δ for w=⌈e/ε⌉, d=⌈ln(1/δ)⌉.
+Merge = elementwise add → counter-exact associativity under any partition
+grouping.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from bloomine_spark.functions.hashing import hash_u64
+
+_MAGIC = b"CMS1"
+
+
+@dataclass
+class CountMinSketch:
+    d: int
+    w: int
+    counts: np.ndarray  # int64[d, w]
+    n: int = 0          # total updates (for the εN bound)
+
+    @classmethod
+    def empty(cls, epsilon: float = 1e-3, delta: float = 1e-3) -> "CountMinSketch":
+        w = math.ceil(math.e / epsilon)
+        d = math.ceil(math.log(1.0 / delta))
+        return cls(d, w, np.zeros((d, w), dtype=np.int64), 0)
+
+    @classmethod
+    def with_shape(cls, d: int, w: int) -> "CountMinSketch":
+        return cls(d, w, np.zeros((d, w), dtype=np.int64), 0)
+
+    def _rows(self, values: np.ndarray) -> np.ndarray:
+        """(d, n) column indices for each value, one seeded hash per row."""
+        v = np.asarray(values)
+        out = np.empty((self.d, len(v)), dtype=np.int64)
+        for r in range(self.d):
+            out[r] = (hash_u64(v, seed=r + 1) % np.uint64(self.w)).astype(np.int64)
+        return out
+
+    def update_values(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        idx = self._rows(values)
+        for r in range(self.d):
+            np.add.at(self.counts[r], idx[r], 1)
+        self.n += len(values)
+
+    def estimate_values(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized point queries → int64 estimates (min over rows)."""
+        if len(values) == 0:
+            return np.empty(0, dtype=np.int64)
+        idx = self._rows(values)
+        est = self.counts[0][idx[0]]
+        for r in range(1, self.d):
+            est = np.minimum(est, self.counts[r][idx[r]])
+        return est
+
+    def estimate(self, value) -> int:
+        return int(self.estimate_values(np.array([value]))[0])
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("shape mismatch")
+        self.counts += other.counts
+        self.n += other.n
+        return self
+
+    def to_bytes(self) -> bytes:
+        return (
+            _MAGIC
+            + struct.pack("<qqq", self.d, self.w, self.n)
+            + self.counts.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        if data[:4] != _MAGIC:
+            raise ValueError("not a CMS blob")
+        d, w, n = struct.unpack("<qqq", data[4:28])
+        counts = np.frombuffer(data[28:], dtype=np.int64).reshape(d, w).copy()
+        return cls(d, w, counts, n)

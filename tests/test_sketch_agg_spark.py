@@ -1,0 +1,103 @@
+"""Distributed sketch aggregation: partials → merge must equal a
+single-machine sketch over the same data (grouping invariance through the
+real Spark shuffle), and estimates must track exact answers."""
+
+import numpy as np
+import pytest
+
+from bloomine_spark.datagen import generate_rows
+from bloomine_spark.sketch.cms import CountMinSketch
+from bloomine_spark.sketch.core import (
+    STATE_COL,
+    estimates_df,
+    sketch_agg,
+    sketch_agg_global,
+)
+from bloomine_spark.sketch.hll import HyperLogLog
+from bloomine_spark.sketch.kll import KLL
+from bloomine_spark.sketch.tdigest import TDigest
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    pdf = generate_rows(np.arange(2000), seed=42)
+    return spark.createDataFrame(pdf).repartition(16).cache()
+
+
+@pytest.fixture(scope="module")
+def seq_pdf():
+    return generate_rows(np.arange(2000), seed=42)
+
+
+def test_hll_distinct_tokens_per_source(spark, seq_df, seq_pdf):
+    factory = lambda: HyperLogLog.empty(12)  # noqa: E731
+    got = sketch_agg(seq_df, ["source"], "tokens", factory)
+    got = estimates_df(got, factory, lambda h: h.estimate(), "est").toPandas()
+
+    for _, row in got.iterrows():
+        sub = seq_pdf[seq_pdf["source"] == row["source"]]
+        exact = len(np.unique(np.concatenate(sub["tokens"].to_list())))
+        rel = abs(row["est"] - exact) / exact
+        assert rel < 3 * 1.04 / 64, (row["source"], exact, row["est"])
+
+
+def test_hll_spark_state_equals_local_state(spark, seq_df, seq_pdf):
+    """The distributed merge must produce the EXACT register state of a
+    local single-pass sketch — state-level grouping invariance through a
+    real shuffle."""
+    factory = lambda: HyperLogLog.empty(12)  # noqa: E731
+    merged = sketch_agg_global(seq_df, "tokens", factory, fanin=4)
+    local = factory()
+    local.update_values(np.concatenate(seq_pdf["tokens"].to_list()))
+    assert (merged.registers == local.registers).all()
+
+
+def test_cms_spark_counts_equal_local(spark, seq_df, seq_pdf):
+    factory = lambda: CountMinSketch.empty(1e-3, 1e-2)  # noqa: E731
+    merged = sketch_agg_global(seq_df, "tokens", factory)
+    local = factory()
+    all_tokens = np.concatenate(seq_pdf["tokens"].to_list())
+    local.update_values(all_tokens)
+    assert (merged.counts == local.counts).all()
+    assert merged.n == len(all_tokens)
+    # estimates ≥ exact for a few tokens
+    uniq, true_counts = np.unique(all_tokens[:10_000], return_counts=True)
+    est = merged.estimate_values(uniq)
+    full_counts = np.array(
+        [(all_tokens == u).sum() for u in uniq[:20]]
+    )
+    assert (est[:20] >= full_counts).all()
+
+
+def test_kll_ntok_quantiles(spark, seq_df, seq_pdf):
+    factory = lambda: KLL(k=200)  # noqa: E731
+    merged = sketch_agg_global(seq_df, "n_tok", factory)
+    exact = np.sort(seq_pdf["n_tok"].to_numpy())
+    n = len(exact)
+    assert merged.n == n
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(exact, est) / n
+        assert abs(true_rank - q) < 0.05
+
+
+def test_tdigest_grouped_quantiles(spark, seq_df, seq_pdf):
+    factory = lambda: TDigest(100.0)  # noqa: E731
+    got = sketch_agg(seq_df, ["source"], "n_tok", factory)
+    got = estimates_df(got, factory, lambda t: t.quantile(0.5), "p50").toPandas()
+    for _, row in got.iterrows():
+        sub = seq_pdf[seq_pdf["source"] == row["source"]]["n_tok"].to_numpy()
+        exact_rank = np.searchsorted(np.sort(sub), row["p50"]) / len(sub)
+        assert abs(exact_rank - 0.5) < 0.08, (row["source"], exact_rank)
+
+
+def test_partials_row_count_bounded(spark, seq_df):
+    """The shuffle payload is one state per (partition × group), not per row."""
+    from bloomine_spark.sketch.core import sketch_partials
+
+    factory = lambda: HyperLogLog.empty(8)  # noqa: E731
+    partials = sketch_partials(seq_df, ["source"], "tokens", factory)
+    n = partials.count()
+    n_parts = seq_df.rdd.getNumPartitions()
+    n_groups = seq_df.select("source").distinct().count()
+    assert n <= n_parts * n_groups
