@@ -1,38 +1,584 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship two-phase screen on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (screen F1/F3/F4, cascade J1/J3, MOI A6/W3/W4, polyfamily
+W1/W2/A8, aggregations A2/A4-A7, sketches from the north rule, skew
+handling); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
+exactly-SQL-expressible query. Sketch-estimate queries (HLL/CMS/KLL/
+t-digest) intentionally have NO oracle entry — approximate answers cannot
+hash-match exact SQL; their error bounds are gated in tests/ instead, and
+each has an exact companion query here that IS oracle-checked.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bloomine_spark.params import ScreenParams  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared constants (patterns chosen to occur at every scale factor)
+# ---------------------------------------------------------------------------
+PATTERN = "stream table hash"          # flagship screen target phrase
+MOI_HEAD = "sort slow value"           # MOI head flank phrase
+MOI_TAIL = "big part merge"            # MOI tail flank phrase
+BANNED_WORDS = ["slow", "error"]       # bloom membership filter fixture
+DOC_PARAMS = ScreenParams(k=2)         # word-domain screening: bigram windows
+
+_STOPWORDS = ["the", "a"]
+
+
+def _ensure_path():
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomine_spark.sources.tables import load_table, tokenize_documents
+
+    return tokenize_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _pattern_tokens(spark: SparkSession, phrase: str) -> list[int]:
+    from bloomine_spark.sources.tables import tokenize_phrase
+
+    return tokenize_phrase(spark, phrase)
+
+
+def _ship_pkg(spark: SparkSession) -> None:
+    from bloomine_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: two-phase Bloom-prescreen + exact-verify screen of the
+    target phrase over tokenized documents at sf0.001."""
+    _ensure_path()
+    _ship_pkg(spark)
+    return _q_two_phase_screen(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------------
+
+def _q_two_phase_screen(spark, sf_dir):
+    """F1+F3: Bloom k-gram prescreen → exact token-subarray verify."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.screen import screen_hits
+
+    seqs = _docs_tokens(spark, sf_dir)
+    pat = _pattern_tokens(spark, PATTERN)
+    return (
+        screen_hits(seqs, pat, DOC_PARAMS, mode="exact", rc_retry=False)
+        .select("doc_id", "source")
+    )
+
+
+def _q_screen_hits_per_source(spark, sf_dir):
+    """A3/U1: hit counts per source partition."""
+    return (
+        _q_two_phase_screen(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def _q_bloom_token_filter(spark, sf_dir):
+    """F1 at k=1: Bloom membership prescreen of banned tokens + exact verify."""
+    _ship_pkg(spark)
+    import numpy as np
+
+    from bloomine_spark.functions.hashing import hash_u64
+    from bloomine_spark.sketch.bloom import BloomFilter
+
+    seqs = _docs_tokens(spark, sf_dir)
+    banned = [_pattern_tokens(spark, w)[0] for w in BANNED_WORDS]
+    bf = BloomFilter.build(hash_u64(np.array(banned, dtype=np.int64)), 1e-4)
+    bf_bytes = bf.to_bytes()
+    banned_arr = np.array(banned, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((bf_bytes, banned_arr))
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        from bloomine_spark.functions.kgrams import flatten_token_series
+
+        blob, banned_local = bc.value
+        filt = BloomFilter.from_bytes(blob)
+        banned_sorted = np.sort(banned_local)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            batch = flatten_token_series(pdf["tokens"])
+            h = hash_u64(batch.flat.astype(np.int64))
+            maybe = filt.contains_hashes(h)  # phase 1: bloom prescreen
+            exact = np.zeros(len(batch.flat), dtype=bool)
+            if maybe.any():  # phase 2: exact verify of prescreen survivors
+                idx = np.searchsorted(banned_sorted, batch.flat[maybe].astype(np.int64))
+                idx = np.minimum(idx, len(banned_sorted) - 1)
+                exact[np.flatnonzero(maybe)] = (
+                    banned_sorted[idx] == batch.flat[maybe].astype(np.int64)
+                )
+            row_hit = np.zeros(batch.n_rows, dtype=bool)
+            pos_rows = np.repeat(np.arange(batch.n_rows), batch.lens)
+            np.logical_or.at(row_hit, pos_rows, exact)
+            out = pdf.loc[row_hit, ["doc_id", "source"]]
+            if len(out):
+                yield out
+
+    return seqs.mapInPandas(kernel, schema=schema)
+
+
+def _q_moi_variant_lengths(spark, sf_dir):
+    """Cascade (J3) + MOI extraction (W3/W4) + length-variant counts (A6):
+    docs containing head then tail flank; count inter-flank token lengths.
+    Restricted to forward-ordered anchors so the SQL oracle is expressible;
+    full RC/flip semantics are pytest-gated (tests/test_cascade_moi.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.cascade import cascade, extract_targets
+
+    seqs = _docs_tokens(spark, sf_dir)
+    head = _pattern_tokens(spark, MOI_HEAD)
+    tail = _pattern_tokens(spark, MOI_TAIL)
+    p = ScreenParams(k=2)
+    hits, _s1, _s2 = cascade(seqs, head, tail, p)
+    ex = extract_targets(hits, head, tail, min_kmer=len(head))
+    return (
+        ex.filter((F.col("orientation") == "+") & (F.col("head_pos") <= F.col("tail_pos")))
+        .select(F.size("extracted").alias("variant_len"))
+        .groupBy("variant_len")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_flank_log_merge_events(spark, sf_dir):
+    """J1/A4/A5 relational shape on driver data: per-user best scores from
+    two 'flank' event families, full-outer merged with a null-safe pass flag
+    (semantics of /root/reference/bloomine/BloomineRunner.py:236-274)."""
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    thr1, thr2 = 50.0, 50.0
+    f1 = ev.filter(F.col("event_type").isin("click", "view")).groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("value"))).alias("f1_score"),
+        F.max(F.when(F.col("event_type") == "view", F.col("value"))).alias("f1_rc_score"),
+    )
+    f2 = ev.filter(F.col("event_type").isin("purchase", "error")).groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("f2_score"),
+        F.max(F.when(F.col("event_type") == "error", F.col("value"))).alias("f2_rc_score"),
+    )
+    j = f1.join(f2, "user_id", "full_outer")
+    f1b = F.greatest("f1_score", "f1_rc_score")
+    f2b = F.greatest("f2_score", "f2_rc_score")
+    return j.select(
+        "user_id", "f1_score", "f1_rc_score", "f2_score", "f2_rc_score",
+        F.when(
+            f1b.isNotNull() & f2b.isNotNull() & (f1b >= thr1) & (f2b >= thr2), 1
+        ).otherwise(0).alias("pass_flag"),
+    )
+
+
+def _q_argmax_probe_lineitem(spark, sf_dir):
+    """W1 argmax: per order, the supplier with max total quantity, ties →
+    smaller suppkey (choose_best_probes semantics on relational data)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.cascade import choose_best_probes
+    from bloomine_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.col("l_orderkey").cast("string").alias("doc_id"),
+        F.col("l_suppkey").cast("string").alias("target_id"),
+    ).agg(F.sum("l_quantity").cast("long").alias("total_score"))
+    return choose_best_probes(per)
+
+
+def _q_top_order_per_customer(spark, sf_dir):
+    """W1 relational twin on orders: per customer the max-price order,
+    ties → smaller orderkey."""
+    from pyspark.sql import Window
+
+    from bloomine_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def _kgram_str_expr(n: int):
+    """Word n-gram strings via pure built-ins (W3 relational analog)."""
+    words = F.split(F.col("text"), " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def _q_distinct_kgrams_per_source_exact(spark, sf_dir):
+    """A2: exact distinct word-3-gram count per source."""
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    return (
+        docs.select("source", F.explode(_kgram_str_expr(3)).alias("g"))
+        .groupBy("source")
+        .agg(F.countDistinct("g").alias("n_distinct"))
+    )
+
+
+def _q_hll_distinct_kgrams_per_source(spark, sf_dir):
+    """A2 + north rule: HLL estimate of distinct 3-gram count per source
+    (no oracle — approximate; bound-gated in tests/test_sketches.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.core import estimates_df, sketch_agg
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("source", F.explode(_kgram_str_expr(3)).alias("g")).select(
+        "source", F.xxhash64("g").alias("gh")
+    )
+    factory = lambda: __import__(  # noqa: E731
+        "bloomine_spark.sketch.hll", fromlist=["HyperLogLog"]
+    ).HyperLogLog.empty(12)
+    agg = sketch_agg(grams, ["source"], "gh", factory)
+    return estimates_df(agg, factory, lambda h: h.estimate(), "est_distinct").select(
+        "source", "est_distinct"
+    )
+
+
+def _q_token_freq_topk_exact(spark, sf_dir):
+    """A7/O2 shape: exact top-20 word frequencies, deterministic tiebreak."""
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def _q_cms_token_freq_topk(spark, sf_dir):
+    """North rule CMS: estimated frequencies for the exact top-20 words
+    (no oracle — approximate; ε–δ bound gated in tests)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.cms import CountMinSketch
+    from bloomine_spark.sketch.core import sketch_agg_global
+
+    seqs = _docs_tokens(spark, sf_dir)
+    factory = lambda: CountMinSketch.empty(1e-3, 1e-2)  # noqa: E731
+    cms = sketch_agg_global(seqs, "tokens", factory)
+    top = _q_token_freq_topk_exact(spark, sf_dir).collect()
+    words = [r["word"] for r in top]
+    import numpy as np
+
+    toks = np.array([_pattern_tokens(spark, w)[0] for w in words], dtype=np.int64)
+    est = cms.estimate_values(toks)
+    return spark.createDataFrame(
+        [(w, int(e)) for w, e in zip(words, est)], ["word", "est_freq"]
+    )
+
+
+def _q_ntok_quantiles_per_source_exact(spark, sf_dir):
+    """Exact interpolated n_tok quantiles per source."""
+    seqs = _docs_tokens(spark, sf_dir)
+    return seqs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tok, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_tok, 0.75)"), 4).alias("p75"),
+    )
+
+
+def _q_kll_ntok_quantiles(spark, sf_dir):
+    """North rule KLL: global n_tok quantile estimates (no oracle)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.core import sketch_agg_global
+    from bloomine_spark.sketch.kll import KLL
+
+    seqs = _docs_tokens(spark, sf_dir)
+    sk = sketch_agg_global(seqs, "n_tok", lambda: KLL(k=200))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    vals = sk.quantiles(qs)
+    return spark.createDataFrame(
+        [(q, float(v)) for q, v in zip(qs, vals)], ["q", "est_value"]
+    )
+
+
+def _q_tdigest_ntok_quantiles(spark, sf_dir):
+    """North rule t-digest: per-source p50/p90 estimates (no oracle)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.core import STATE_COL, sketch_agg
+    from bloomine_spark.sketch.tdigest import TDigest
+
+    from bloomine_spark.sketch.core import estimates_df
+
+    seqs = _docs_tokens(spark, sf_dir)
+    factory = lambda: TDigest(100.0)  # noqa: E731
+    agg = sketch_agg(seqs, ["source"], "n_tok", factory)
+    agg = estimates_df(agg, factory, lambda t: t.quantile(0.5), "p50")
+    agg = estimates_df(agg, factory, lambda t: t.quantile(0.9), "p90")
+    return agg.select("source", "p50", "p90")
+
+
+def _q_events_hourly_agg(spark, sf_dir):
+    """Streaming-analog tumbling window aggregation (batch form)."""
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def _q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation (partial-agg/codegen showcase)."""
+    from bloomine_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_salted_source_counts(spark, sf_dir):
+    """Skew-safe two-stage aggregation: salted partial counts then final
+    roll-up — result must equal a plain GROUP BY (the oracle)."""
+    seqs = _docs_tokens(spark, sf_dir)
+    salted = seqs.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = salted.groupBy("source", "salt").agg(
+        F.count("*").alias("c"), F.sum("n_tok").alias("t")
+    )
+    return partial.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.sum("t").alias("total_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _ensure_path()
+    return {
+        "two_phase_screen": _q_two_phase_screen,
+        "screen_hits_per_source": _q_screen_hits_per_source,
+        "bloom_token_filter": _q_bloom_token_filter,
+        "moi_variant_lengths": _q_moi_variant_lengths,
+        "flank_log_merge_events": _q_flank_log_merge_events,
+        "argmax_probe_lineitem": _q_argmax_probe_lineitem,
+        "top_order_per_customer": _q_top_order_per_customer,
+        "distinct_kgrams_per_source_exact": _q_distinct_kgrams_per_source_exact,
+        "hll_distinct_kgrams_per_source": _q_hll_distinct_kgrams_per_source,
+        "token_freq_topk_exact": _q_token_freq_topk_exact,
+        "cms_token_freq_topk": _q_cms_token_freq_topk,
+        "ntok_quantiles_per_source_exact": _q_ntok_quantiles_per_source_exact,
+        "kll_ntok_quantiles": _q_kll_ntok_quantiles,
+        "tdigest_ntok_quantiles": _q_tdigest_ntok_quantiles,
+        "events_hourly_agg": _q_events_hourly_agg,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "salted_source_counts": _q_salted_source_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pat = PATTERN
+    sql = {}
+
+    sql["two_phase_screen"] = f"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+        FROM documents
+        WHERE ' ' || text || ' ' LIKE '% {pat} %'
     """
-    return {}
+
+    sql["screen_hits_per_source"] = f"""
+        SELECT source, COUNT(*) AS n_hits
+        FROM documents
+        WHERE ' ' || text || ' ' LIKE '% {pat} %'
+        GROUP BY source
+    """
+
+    like_any = " OR ".join(
+        f"' ' || text || ' ' LIKE '% {w} %'" for w in BANNED_WORDS
+    )
+    sql["bloom_token_filter"] = f"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+        FROM documents WHERE {like_any}
+    """
+
+    # MOI length variants: first occurrence of each flank; token index of a
+    # char position p = number of spaces in text[1:p-1]; head anchor = last
+    # head-flank token index, tail anchor = first tail-flank token index.
+    f1, f2 = MOI_HEAD, MOI_TAIL
+    n1 = len(f1.split(" "))
+    sql["moi_variant_lengths"] = f"""
+        WITH hit AS (
+          SELECT text,
+                 position('{f1}' IN text) AS p1,
+                 position('{f2}' IN text) AS p2
+          FROM documents
+          WHERE ' ' || text || ' ' LIKE '% {f1} %'
+            AND ' ' || text || ' ' LIKE '% {f2} %'
+        ), anchored AS (
+          SELECT
+            CASE WHEN p1 = 1 THEN 0
+                 ELSE length(substr(text, 1, p1 - 1))
+                      - length(replace(substr(text, 1, p1 - 1), ' ', '')) END
+              + {n1} - 1 AS head_tok,
+            CASE WHEN p2 = 1 THEN 0
+                 ELSE length(substr(text, 1, p2 - 1))
+                      - length(replace(substr(text, 1, p2 - 1), ' ', '')) END
+              AS tail_tok
+          FROM hit
+        )
+        SELECT CAST(tail_tok - head_tok - 1 AS INT) AS variant_len,
+               COUNT(*) AS n
+        FROM anchored
+        WHERE head_tok <= tail_tok
+        GROUP BY 1
+    """
+
+    sql["flank_log_merge_events"] = """
+        WITH f1 AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'click' THEN value END) AS f1_score,
+                 MAX(CASE WHEN event_type = 'view' THEN value END) AS f1_rc_score
+          FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id
+        ), f2 AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' THEN value END) AS f2_score,
+                 MAX(CASE WHEN event_type = 'error' THEN value END) AS f2_rc_score
+          FROM events WHERE event_type IN ('purchase', 'error') GROUP BY user_id
+        )
+        SELECT COALESCE(f1.user_id, f2.user_id) AS user_id,
+               f1_score, f1_rc_score, f2_score, f2_rc_score,
+               CASE WHEN GREATEST(f1_score, f1_rc_score) >= 50.0
+                     AND GREATEST(f2_score, f2_rc_score) >= 50.0
+                    THEN 1 ELSE 0 END AS pass_flag
+        FROM f1 FULL OUTER JOIN f2 ON f1.user_id = f2.user_id
+    """
+
+    sql["argmax_probe_lineitem"] = """
+        WITH per AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                 CAST(l_suppkey AS VARCHAR) AS target_id,
+                 CAST(SUM(l_quantity) AS BIGINT) AS total_score
+          FROM lineitem GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY total_score DESC, target_id ASC
+          ) AS rn FROM per
+        )
+        SELECT doc_id, target_id, total_score FROM ranked WHERE rn = 1
+    """
+
+    sql["top_order_per_customer"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+          ) AS rn FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rn = 1
+    """
+
+    sql["distinct_kgrams_per_source_exact"] = """
+        WITH d AS (
+          SELECT source, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), g AS (
+          SELECT source, array_to_string(toks[i + 1 : i + 3], ' ') AS g
+          FROM d, unnest(range(0, len(toks) - 2)) AS u(i)
+        )
+        SELECT source, COUNT(DISTINCT g) AS n_distinct FROM g GROUP BY source
+    """
+
+    sql["token_freq_topk_exact"] = """
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20
+    """
+
+    sql["ntok_quantiles_per_source_exact"] = """
+        SELECT source,
+               ROUND(quantile_cont(n_tok, 0.25), 4) AS p25,
+               ROUND(quantile_cont(n_tok, 0.5), 4) AS p50,
+               ROUND(quantile_cont(n_tok, 0.75), 4) AS p75
+        FROM (
+          SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+        ) GROUP BY source
+    """
+
+    sql["events_hourly_agg"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["lineitem_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["salted_source_counts"] = """
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tokens
+        FROM documents GROUP BY source
+    """
+
+    return sql
