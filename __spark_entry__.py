@@ -404,6 +404,143 @@ def _q_salted_source_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def _q_exact_dup_docs(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy; narrow shuffle)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import exact_duplicates
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, F.col("text"))
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs via shared-shingle equi-join."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import ngram_jaccard_pairs
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+
+
+def _q_minhash_lsh_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (hash-dependent → no SQL oracle;
+    planted-duplicate recall is gated in tests/test_dedup_similarity.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import minhash_lsh_duplicates
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_duplicates(docs, num_perm=64, bands=16, threshold=0.5)
+
+
+def _q_simhash_dups(spark, sf_dir):
+    """SimHash hamming≤3 near-dup pairs via chunk banding (pytest-gated)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import simhash_duplicates
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_duplicates(docs, max_hamming=3)
+
+
+def _q_embedding_near_dup_exact(spark, sf_dir):
+    """Exact cosine≥0.35 pairs (blockwise matmul vs broadcast matrix)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import embedding_near_dup_exact
+    from bloomine_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_exact(emb, threshold=0.35).select("id_a", "id_b")
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup path (scale variant; pytest-gated recall —
+    the natural fixture has no ≥0.9 pairs, planted ones in tests do)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import embedding_near_dup_lsh
+    from bloomine_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.9, n_planes=12, n_tables=8)
+
+
+def _ann_queries(spark, sf_dir, n=5):
+    from bloomine_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < n).collect()
+    return emb, [(int(r["vec_id"]), list(map(float, r["embedding"]))) for r in rows]
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.similarity import brute_force_topk
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    return brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10 (scale path; recall gated in pytest)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.similarity import ivf_topk
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    return ivf_topk(emb, queries, k=10, nlist=8, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import token_counts
+    from bloomine_spark.sources.tables import load_table
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_scores(spark, sf_dir):
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import quality_scores
+    from bloomine_spark.sources.tables import load_table
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import lang_id
+    from bloomine_spark.sources.tables import load_table
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint_md5(spark, sf_dir):
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import fingerprint_md5
+    from bloomine_spark.sources.tables import load_table
+
+    return fingerprint_md5(load_table(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint_winnow(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (hash-based → rows-only)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import fingerprint_winnow
+    from bloomine_spark.sources.tables import load_table
+
+    return fingerprint_winnow(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints"), "min_fp"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -427,6 +564,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_agg": _q_events_hourly_agg,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "salted_source_counts": _q_salted_source_counts,
+        "exact_dup_docs": _q_exact_dup_docs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_lsh_dups": _q_minhash_lsh_dups,
+        "simhash_dups": _q_simhash_dups,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint_md5": _q_doc_fingerprint_md5,
+        "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
     }
 
 
@@ -579,6 +729,97 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, COUNT(*) AS n_docs,
                SUM(len(string_split(text, ' '))) AS total_tokens
         FROM documents GROUP BY source
+    """
+
+    sql["exact_dup_docs"] = """
+        SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
+               CAST(MIN(doc_id) AS VARCHAR) AS canonical_id
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """
+
+    sql["ngram_jaccard_pairs"] = """
+        WITH d AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), s AS (
+          SELECT DISTINCT id, array_to_string(toks[i + 1 : i + 3], ' ') AS g
+          FROM d, unnest(range(0, len(toks) - 2)) AS u(i)
+        ), sz AS (
+          SELECT id, COUNT(*) AS sz FROM s GROUP BY id
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+          FROM s a JOIN s b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (x.sz + y.sz - inter), 6) AS jaccard
+        FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+        WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    """
+
+    sql["embedding_near_dup_exact"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """
+
+    sql["ann_cosine_topk"] = """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        sims AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(
+                   q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+          FROM q JOIN embeddings e ON q.vec_id <> e.vec_id
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+          ) AS rn FROM sims
+        )
+        SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10
+    """
+
+    sql["token_counts"] = r"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 AS n_re_tokens
+        FROM documents
+    """
+
+    stop_in = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and"])
+    sql["quality_scores"] = f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 length(text) AS n_chars,
+                 len(list_filter(string_split(text, ' '),
+                                 w -> w IN ({stop_in}))) AS stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+          FROM documents
+        )
+        SELECT doc_id, n_words,
+               ROUND((n_chars - (n_words - 1)) * 1.0 / n_words, 4) AS mean_word_len,
+               ROUND(stop * 1.0 / n_words, 4) AS stopword_ratio,
+               ROUND(punct * 1.0 / GREATEST(n_chars, 1), 4) AS punct_ratio,
+               ROUND(LEAST(n_words / 100.0, 1.0) * 0.5
+                     + (stop * 1.0 / n_words) * 0.3
+                     + (1 - punct * 1.0 / GREATEST(n_chars, 1)) * 0.2, 4)
+                 AS quality
+        FROM base
+    """
+
+    sql["lang_id"] = f"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS labeled_lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                          w -> w IN ({stop_in}))) > 0
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM documents
+    """
+
+    sql["doc_fingerprint_md5"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               md5(lower(trim(text))) AS fingerprint
+        FROM documents
     """
 
     return sql

@@ -1,0 +1,461 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → signature → band →
+bucket-join), SimHash (bit-vote + hamming banding), and exact n-gram
+Jaccard (explode + equi-join, fully relational). All candidate generation
+is join-based — no cross joins — so the shuffle volume is bounded by
+shared-bucket/shared-shingle pair counts, not n², which is what survives a
+100 TB corpus. Signature computation is vectorized numpy over Arrow
+batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bloomine_spark.functions.hashing import hash_u64, splitmix64
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, key_expr, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by a content fingerprint expression.
+
+    Groups on md5 of the content (128-bit → collision-free in practice);
+    returns (fingerprint, n_dups, canonical_id) for groups of size > 1.
+    Narrow shuffle: only (fingerprint, id) leaves the scan.
+    """
+    return (
+        df.select(F.md5(key_expr).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+def _word_shingles_expr(text_col: str, n: int):
+    words = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs via shared-shingle equi-join.
+
+    Fully relational (SQL-oracle-checkable): distinct shingles per doc →
+    self-equi-join on shingle → pair intersection counts → |A|+|B|−∩ union.
+    Only docs sharing ≥1 shingle ever pair up.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(
+            _word_shingles_expr(text_col, n)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_signatures_kernel(
+    tokens_or_text: str, n: int, num_perm: int, is_text: bool
+):
+    seeds = np.arange(1, num_perm + 1, dtype=np.uint64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # shingle hash sets per row
+            rows_h: list[np.ndarray] = []
+            for v in pdf["_shingle_hashes"]:
+                rows_h.append(np.asarray(v, dtype=np.uint64))
+            lens = np.array([len(r) for r in rows_h], dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            flat = np.concatenate([r for r, k in zip(rows_h, keep) if k])
+            off = np.concatenate(([0], np.cumsum(lens[keep])))[:-1]
+            sig = np.empty((int(keep.sum()), len(seeds)), dtype=np.uint64)
+            for j, s in enumerate(seeds):
+                mixed = splitmix64(flat ^ splitmix64(np.full(1, s))[0])
+                sig[:, j] = np.minimum.reduceat(mixed, off)
+            out = pdf.loc[keep, ["doc_id"]].reset_index(drop=True)
+            out["signature"] = [row.astype(np.int64) for row in sig]
+            yield out
+
+    return kernel
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(doc_id, signature array<long>[num_perm]) via vectorized minhash."""
+    pre = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            _word_shingles_expr(text_col, n), lambda g: F.xxhash64(g)
+        ).alias("_shingle_hashes"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", pre.schema["doc_id"].dataType),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+    return pre.mapInPandas(
+        _minhash_signatures_kernel(text_col, n, num_perm, True), schema=schema
+    )
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    signature → b bands of r=num_perm/b values → band-hash bucket equi-join
+    → candidate pairs → estimated Jaccard = matching-signature fraction ≥
+    threshold. Collision probability of a (1-t)-similar pair in ≥1 band is
+    1-(1-t^r)^b (the standard S-curve).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm).cache()
+    banded = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: majority bit-vote over word hashes."""
+    pre = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)
+        ).alias("_wh"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", pre.schema["doc_id"].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for v in pdf["_wh"]:
+                h = np.asarray(v, dtype=np.uint64)
+                if len(h) == 0:
+                    out.append(0)
+                    continue
+                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = bits.sum(axis=0) * 2 >= len(h)
+                sh = np.uint64(0)
+                sh = np.bitwise_or.reduce(
+                    np.where(votes, np.uint64(1) << bit_idx, np.uint64(0))
+                )
+                out.append(int(sh.astype(np.int64)))
+            res = pdf[["doc_id"]].copy()
+            res["simhash"] = np.array(out, dtype=np.int64)
+            yield res
+
+    return pre.mapInPandas(kernel, schema=schema)
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ d via chunk banding.
+
+    Pigeonhole: split 64 bits into d+1 chunks; any pair within hamming d
+    shares ≥1 exact chunk → equi-join on (chunk_idx, chunk_value), then
+    verify the true hamming distance. No n² scan.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = simhash_signatures(df, text_col, id_col)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_exact(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine≥t pairs via blockwise matmul against a broadcast matrix.
+
+    Correct brute-force baseline: O(n²) similarity work but distributed as
+    (n/P)·n per task with no shuffle; use the LSH variant for corpora where
+    the broadcast side no longer fits (see embedding_near_dup_lsh).
+    """
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_l = pdf[id_col].to_numpy()
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ all_mat.T
+            li, gj = np.nonzero(sims >= threshold)
+            keep = ids_l[li] < all_ids[gj]
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_l[li][keep],
+                    "id_b": all_ids[gj][keep],
+                    "cosine": np.round(sims[li, gj][keep], 6),
+                }
+            )
+
+    return emb.mapInPandas(kernel, schema=schema)
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH → bucket equi-join → exact verify.
+
+    cosine-similar vectors agree on sign bits w.p. 1−θ/π per plane; n_tables
+    independent tables bound the miss rate. Only bucket-colliding pairs are
+    verified, so no n² stage exists anywhere.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            frames = []
+            for t in range(n_tables):
+                bits = (norm @ pl[t].T) > 0
+                buckets = (bits * pow2[None, :]).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf[id_col].to_numpy(),
+                            "table": t,
+                            "bucket": buckets,
+                            "vec": list(norm),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sig = emb.mapInPandas(sig_kernel, schema=sig_schema)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cosine = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline (per-partition partial
+top-k, then a global window — the total shuffle is q·k·P rows, never n),
+and an IVF (inverted-file) variant as the scale path: coarse-quantize
+vectors to nlist centroids, probe only the nprobe nearest lists per query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector (self excluded).
+
+    Broadcast Q (q×d) → one matmul per Arrow batch → per-partition partial
+    top-k → global top-k window. Shuffle volume: partitions × q × k rows.
+    """
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = qm @ m.T  # (q, batch)
+            # mask self-matches
+            self_mask = qi[:, None] == ids[None, :]
+            sims[self_mask] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(qi, kk)
+            cols = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": rows,
+                    "neighbor_id": ids[cols],
+                    "cosine": np.round(sims[np.repeat(np.arange(len(qi)), kk), cols], 6),
+                }
+            )
+
+    partial = emb.mapInPandas(kernel, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side k-means on a bounded sample (spherical, normalized)."""
+    pdf = emb.select(vec_col).limit(sample).toPandas()
+    x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: scan only vectors whose coarse cell is among
+    the query's nprobe nearest centroids. At cluster scale the table is
+    written partitioned by cell so probing prunes file reads (partition
+    pruning), not just compute."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, nlist=nlist, vec_col=vec_col)
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_cells, centroids)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm, qc, cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            cells = np.argmax(m @ cent.T, axis=1)
+            sims = qm @ m.T
+            sims[qi[:, None] == ids[None, :]] = -np.inf
+            # zero out vectors outside each query's probed cells
+            probe_mask = (cells[None, :, None] == qc[:, None, :]).any(axis=2)
+            sims = np.where(probe_mask, sims, -np.inf)
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(qi, kk)
+            cols = part.ravel()
+            vals = sims[np.repeat(np.arange(len(qi)), kk), cols]
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "query_id": rows[keep],
+                    "neighbor_id": ids[cols][keep],
+                    "cosine": np.round(vals[keep], 6),
+                }
+            )
+
+    partial = emb.mapInPandas(kernel, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

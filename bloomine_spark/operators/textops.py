@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is pure built-in Spark expressions (JVM-side, whole-stage
+codegen) — language-ID heuristic, quality scoring, token counting, document
+fingerprinting. The rolling-hash/winnowing fingerprint is the one numpy
+kernel (hash-based, pytest-gated rather than SQL-oracled).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bloomine_spark.functions.hashing import rolling_kgram_hash
+
+# marker stopwords per language for the heuristic language-ID
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count per doc."""
+    words = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(words).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .alias("n_re_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + composite score.
+
+    length, mean word length, stopword ratio, punctuation ratio — the
+    standard cheap quality signals, all codegen expressions.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    stop = F.size(
+        F.filter(words, lambda w: w.isin(*_LANG_MARKERS["en"]))
+    )
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    mean_wlen = (n_chars - (n_words - 1)) / n_words
+    stop_ratio = stop / n_words
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+            + stop_ratio * 0.3
+            + (1 - punct_ratio) * 0.2,
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language heuristic: docs carrying English marker
+    words → 'en', else 'other'; emitted next to the labeled lang column so
+    accuracy is queryable."""
+    words = F.split(F.col(text_col), " ")
+    n_markers = F.size(F.filter(words, lambda w: w.isin(*_LANG_MARKERS["en"])))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang").alias("labeled_lang"),
+        F.when(n_markers > 0, F.lit("en")).otherwise(F.lit("other")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+def fingerprint_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact content fingerprint (md5 of normalized text)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+    )
+
+
+def fingerprint_winnow(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al. 2003): rolling k-gram hashes
+    over word-token ids, min-sampled per window → per-doc distinct
+    fingerprint set, plus a single min-hash summary. Content-defined, so
+    shared passages between docs produce shared fingerprints."""
+    pre = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)).alias(
+            "_wh"
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("fingerprints", T.ArrayType(T.LongType())),
+            T.StructField("min_fp", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, mins = [], [], []
+            for doc_id, wh in zip(pdf["doc_id"], pdf["_wh"]):
+                h = np.asarray(wh, dtype=np.uint64)
+                nw = len(h) - k + 1
+                if nw <= 0:
+                    continue
+                kh = rolling_kgram_hash(h, nw, k)
+                if len(kh) >= window:
+                    win = np.lib.stride_tricks.sliding_window_view(kh, window)
+                    sel = np.unique(win.min(axis=1))
+                else:
+                    sel = np.array([kh.min()], dtype=np.uint64)
+                ids.append(doc_id)
+                fps.append(sel.astype(np.int64))
+                mins.append(int(sel.min().astype(np.int64)))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "fingerprints": fps, "min_fp": mins}
+                )
+
+    return pre.mapInPandas(kernel, schema=schema)

@@ -1,0 +1,219 @@
+"""Dedup family + similarity search: planted-duplicate recall, exact
+baselines, and stub-gated multimodal plumbing."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomine_spark.operators.dedup import (
+    embedding_near_dup_exact,
+    embedding_near_dup_lsh,
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from bloomine_spark.operators.similarity import brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata absent")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents + planted exact copies and near-copies."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    exact_copies = docs.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    # near copies: one word appended
+    near_copies = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.union(exact_copies).union(near_copies).cache()
+
+
+@needs_data
+def test_exact_duplicates(spark, docs_with_dups):
+    got = exact_duplicates(docs_with_dups, F.col("text")).toPandas()
+    assert len(got) == 10
+    assert (got["n_dups"] == 2).all()
+    assert (got["canonical_id"] < 10).all()
+
+
+@needs_data
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = minhash_lsh_duplicates(
+        docs_with_dups, num_perm=64, bands=16, threshold=0.6
+    ).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # exact copies (jaccard 1.0) must all be found
+    for i in range(10):
+        assert (i, i + 100000) in found, (i, sorted(found)[:5])
+    # near copies (one appended word → very high shingle jaccard)
+    near_found = sum((i, i + 200000) in found for i in range(10, 20))
+    assert near_found >= 8
+    # estimates are calibrated: exact copies estimate 1.0
+    exact_rows = pairs[(pairs["id_b"] - pairs["id_a"]) == 100000]
+    assert (exact_rows["est_jaccard"] == 1.0).all()
+
+
+@needs_data
+def test_simhash_finds_exact_copies(spark, docs_with_dups):
+    pairs = simhash_duplicates(docs_with_dups, max_hamming=3).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(10):
+        assert (i, i + 100000) in found
+    h0 = pairs[(pairs["id_b"] - pairs["id_a"]) == 100000]
+    assert (h0["hamming"] == 0).all()
+
+
+@needs_data
+def test_ngram_jaccard_matches_pandas_exact(spark, docs_with_dups):
+    got = ngram_jaccard_pairs(docs_with_dups, n=3, min_jaccard=0.5).toPandas()
+    pdf = docs_with_dups.select("doc_id", "text").toPandas()
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+    want = []
+    ids = sorted(sets)
+    import itertools
+
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if round(j, 6) >= 0.5:
+            want.append((a, b, round(j, 6)))
+    got_set = set(zip(got["id_a"], got["id_b"], got["jaccard"]))
+    assert got_set == set(want)
+    assert len(want) >= 20  # planted dups guarantee signal
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark):
+    """embeddings (near-orthogonal random vectors — max natural cosine
+    ≈0.48 in the fixture) + 20 planted near-copies at cosine ≈0.99."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    rng = np.random.default_rng(0)
+    planted = pdf.head(20).copy()
+    planted["vec_id"] = planted["vec_id"] + 100000
+    planted["embedding"] = [
+        (np.asarray(v, dtype=np.float32)
+         + rng.normal(0, 0.01, len(v)).astype(np.float32)).tolist()
+        for v in planted["embedding"]
+    ]
+    out = pd.concat([pdf, planted], ignore_index=True)
+    return spark.createDataFrame(out), out
+
+
+@needs_data
+def test_embedding_near_dup_exact_vs_numpy(spark, emb_with_dups):
+    emb, pdf = emb_with_dups
+    got = embedding_near_dup_exact(emb, threshold=0.9).toPandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids = pdf["vec_id"].to_numpy()
+    ii, jj = np.nonzero(np.triu(sims >= 0.9, k=1))
+    want = {tuple(sorted((ids[i], ids[j]))) for i, j in zip(ii, jj)}
+    assert {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])} == want
+    assert len(want) == 20  # exactly the planted pairs
+
+
+@needs_data
+def test_embedding_lsh_recall(spark, emb_with_dups):
+    emb, _ = emb_with_dups
+    exact = embedding_near_dup_exact(emb, threshold=0.9).toPandas()
+    lsh = embedding_near_dup_lsh(
+        emb, threshold=0.9, n_planes=12, n_tables=8
+    ).toPandas()
+    exact_pairs = {tuple(sorted(p)) for p in zip(exact["id_a"], exact["id_b"])}
+    lsh_pairs = {tuple(sorted(p)) for p in zip(lsh["id_a"], lsh["id_b"])}
+    # no false positives (exact verify step) and high recall on ~0.99 pairs
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) / len(exact_pairs) >= 0.9
+
+
+@needs_data
+def test_brute_force_topk_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    queries = [(int(ids[i]), list(map(float, pdf["embedding"][i]))) for i in range(3)]
+    got = brute_force_topk(emb, queries, k=5).toPandas()
+    for qid, qvec in queries:
+        qn = np.array(qvec) / np.linalg.norm(qvec)
+        sims = mat @ qn
+        sims[ids == qid] = -np.inf
+        want = set(ids[np.argsort(-sims)[:5]])
+        gq = set(got[got["query_id"] == qid]["neighbor_id"])
+        assert gq == want, qid
+
+
+@needs_data
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    queries = [(int(ids[i]), list(map(float, pdf["embedding"][i]))) for i in range(5)]
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    approx = ivf_topk(emb, queries, k=10, nlist=8, nprobe=3).toPandas()
+    recalls = []
+    for qid, _ in queries:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_fake_decode_pipeline(spark):
+    from bloomine_spark.operators.multimodal import (
+        decode_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 50)
+    feats = decode_image_features(media, decoder="fake", grid=4).toPandas()
+    assert len(feats) == 50
+    assert all(len(f) == 16 for f in feats["features"])
+    assert (feats["width"] >= 16).all() and (feats["width"] < 64).all()
+    # deterministic: re-run gives identical features
+    feats2 = decode_image_features(media, decoder="fake", grid=4).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert all(
+        np.allclose(x, y) for x, y in zip(a["features"], b["features"])
+    )
+
+
+def test_multimodal_stub_raises(spark):
+    from bloomine_spark.operators.multimodal import (
+        decode_image_features,
+        synthetic_media,
+    )
+    import py4j
+
+    media = synthetic_media(spark, 5)
+    with pytest.raises(Exception) as ei:
+        decode_image_features(media, decoder="stub").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
