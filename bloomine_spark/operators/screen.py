@@ -125,26 +125,29 @@ def prepare_target(
 # ---------------------------------------------------------------------------
 
 def score_coverage_mask(mask: np.ndarray, p: ScreenParams) -> int:
-    """Max-subalignment score of one boolean coverage mask.
-
-    numpy run-length implementation of the reference's
-    removeTrailing → splitSubalignments → findMaxSubalignment chain
-    (/root/reference/src/FQread.hpp:320-489), preserving the X9 bridge-cost
-    quirk ``go + (ge*g - 1)``. Only survivors reach this, so a per-row call
-    is acceptable (SURVEY.md §7 risk note).
-    """
-    if not mask.any():
-        return 0
-    idx = np.flatnonzero(mask)
-    first, last = int(idx[0]), int(idx[-1])
-    m = mask[first : last + 1]
-
-    # run-length encode: edges of covered/uncovered runs
-    edges = np.flatnonzero(np.diff(m.astype(np.int8)))
+    """Max-subalignment score of one boolean coverage mask (thin wrapper
+    over score_runs; kept as the conformance-test surface)."""
+    edges = np.flatnonzero(np.diff(mask.astype(np.int8)))
     starts = np.concatenate(([0], edges + 1))
-    ends = np.concatenate((edges + 1, [len(m)]))
-    run_cov = m[starts]
-    run_len = ends - starts
+    ends = np.concatenate((edges + 1, [len(mask)]))
+    return score_runs(mask[starts], ends - starts, p)
+
+
+def score_runs(run_cov: np.ndarray, run_len: np.ndarray, p: ScreenParams) -> int:
+    """Max-subalignment score from a run-length-encoded coverage mask.
+
+    Implements the reference's removeTrailing → splitSubalignments →
+    findMaxSubalignment chain (/root/reference/src/FQread.hpp:320-489),
+    preserving the X9 bridge-cost quirk ``go + (ge*g - 1)``. Only prescreen
+    survivors reach this (SURVEY.md §7 risk note).
+    """
+    cov_idx = np.flatnonzero(run_cov)
+    if len(cov_idx) == 0:
+        return 0
+    # strip leading/trailing uncovered runs (removeTrailing)
+    lo, hi = cov_idx[0], cov_idx[-1]
+    run_cov = run_cov[lo : hi + 1]
+    run_len = run_len[lo : hi + 1]
 
     gap_threshold = p.gap_threshold()
 
@@ -196,9 +199,14 @@ def _fp_pass_counts(
     hashes = win.hashes[sel]
     if len(hashes) == 0:
         return np.zeros(n_rows, dtype=np.int64)
-    uniq = distinct_per_row(row_ids, hashes)
-    hit = bloom.contains_hashes(hashes[uniq])
-    return np.bincount(row_ids[uniq][hit], minlength=n_rows)
+    # probe first, dedup only the hits: the sort-based distinct then runs on
+    # the (few) Bloom survivors instead of every window — same counts, since
+    # distinct-hits-per-row == distinct (row, hash) among hits
+    hit = bloom.contains_hashes(hashes)
+    rh = row_ids[hit]
+    hh = hashes[hit]
+    uniq = distinct_per_row(rh, hh)
+    return np.bincount(rh[uniq], minlength=n_rows)
 
 
 def _exact_candidates(
@@ -338,7 +346,11 @@ def make_screen_kernel(
             # ---- phase 2: verify survivors
             scores = np.zeros(n, dtype=np.int64)
             if mode == "scored":
-                # coverage from exact-verified k-gram candidates, per orientation
+                # coverage from exact-verified k-gram candidates, per
+                # orientation, painted onto ONE global canvas (every window
+                # interval stays inside its row, so a single cumsum gives
+                # every row's mask at once — no per-row allocations)
+                total_len = len(batch.flat)
                 for reverse, row_sel, win in (
                     (False, fp_f, win_f),
                     (True, fp_r, win_r),
@@ -347,23 +359,27 @@ def make_screen_kernel(
                         continue
                     sel = row_sel[win.row_ids]
                     rids, starts = _exact_candidates(win, batch, ctx, sel, reverse)
-                    # paint + score per surviving row (few rows here)
-                    order = np.argsort(rids, kind="stable")
-                    rids, starts = rids[order], starts[order]
-                    bounds = np.searchsorted(
-                        rids, np.arange(n + 1, dtype=np.int64)
-                    )
-                    for r in np.flatnonzero(row_sel):
-                        lo, hi = bounds[r], bounds[r + 1]
-                        row_len = int(batch.lens[r])
-                        if hi == lo:
-                            scores[r] = 0
-                            continue
-                        delta = np.zeros(row_len + 1, dtype=np.int64)
-                        np.add.at(delta, starts[lo:hi], 1)
-                        np.add.at(delta, starts[lo:hi] + ctx.k, -1)
-                        mask = np.cumsum(delta[:row_len]) > 0
-                        scores[r] = score_coverage_mask(mask, p)
+                    if len(rids) == 0:
+                        continue
+                    gpos = batch.offsets[rids] + starts
+                    delta = np.zeros(total_len + 1, dtype=np.int32)
+                    np.add.at(delta, gpos, 1)
+                    np.add.at(delta, gpos + ctx.k, -1)
+                    gmask = np.cumsum(delta[:total_len]) > 0
+                    # global run-length encoding; per row: slice + clip runs
+                    edges = np.flatnonzero(np.diff(gmask.view(np.int8)))
+                    run_starts = np.concatenate(([0], edges + 1))
+                    run_ends = np.concatenate((edges + 1, [total_len]))
+                    run_vals = gmask[run_starts]
+                    for r in np.unique(rids):
+                        o = int(batch.offsets[r])
+                        e = o + int(batch.lens[r])
+                        i0 = int(np.searchsorted(run_ends, o, side="right"))
+                        i1 = int(np.searchsorted(run_starts, e, side="left"))
+                        rl = np.minimum(run_ends[i0:i1], e) - np.maximum(
+                            run_starts[i0:i1], o
+                        )
+                        scores[r] = score_runs(run_vals[i0:i1], rl, p)
                 sp_pass = fp_any & (scores >= ctx.mst)
             elif mode == "exact":
                 contains = _contains_subarray(

@@ -50,7 +50,8 @@ class CountMinSketch:
             return
         idx = self._rows(values)
         for r in range(self.d):
-            np.add.at(self.counts[r], idx[r], 1)
+            # bincount beats unbuffered np.add.at by ~10x on large batches
+            self.counts[r] += np.bincount(idx[r], minlength=self.w)
         self.n += len(values)
 
     def estimate_values(self, values: np.ndarray) -> np.ndarray:

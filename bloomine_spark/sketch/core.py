@@ -136,16 +136,27 @@ def tree_merge_global(
             }
         )
 
+    # materialize the (tiny) partials once — every downstream action below
+    # must NOT recompute the full input scan
+    partials = partials.persist()
+    n = partials.count()
+    if n <= fanin:
+        # common case (P ≤ fanin): one driver-side fold, no extra stages
+        states = [bytes(r[STATE_COL]) for r in partials.select(STATE_COL).collect()]
+        partials.unpersist()
+        if not states:
+            return factory().to_bytes()
+        return _merge_states(states, factory)
     # contiguous bucket ids → balanced fan-in tree
     indexed = partials.select(STATE_COL).rdd.zipWithIndex()
     cur = spark.createDataFrame(
         indexed.map(lambda t: (t[1] // fanin, bytes(t[0][STATE_COL]))), schema
     )
-    n = indexed.count()
     while n > fanin:
         cur = cur.groupBy("bucket").applyInPandas(merge_bucket, schema=schema)
         n = (n + fanin - 1) // fanin
     states = [r[STATE_COL] for r in cur.collect()]
+    partials.unpersist()
     if not states:
         return factory().to_bytes()
     return _merge_states(states, factory)

@@ -1,0 +1,125 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY.md §2.9); these are the streaming
+extensions a training-data ingest pipeline needs:
+
+ * ``screen_stream`` — the SAME fused mapInPandas screen kernel applied to a
+   streaming DataFrame (mapInPandas is stateless, so it composes with
+   readStream unchanged — one code path for batch and streaming).
+ * ``hits_per_window_stream`` — watermarked tumbling-window hit counts with
+   late-data handling.
+ * ``hll_distinct_by_key_stream`` — a CUSTOM STATEFUL operator via
+   ``applyInPandasWithState``: per-key HyperLogLog state merged across
+   triggers, emitting the running distinct estimate (the streaming form of
+   the mergeable-sketch UDAF).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bloomine_spark.params import ScreenParams
+
+
+def screen_stream(
+    stream_df: DataFrame,
+    target_tokens: Sequence[int],
+    params: ScreenParams = ScreenParams(),
+    **kwargs,
+) -> DataFrame:
+    """Two-phase screen on a streaming sequences DataFrame (scores stream)."""
+    from bloomine_spark.operators.screen import screen_scores
+
+    return screen_scores(stream_df, target_tokens, params, **kwargs)
+
+
+def hits_per_window_stream(
+    stream_df: DataFrame,
+    target_tokens: Sequence[int],
+    params: ScreenParams = ScreenParams(),
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window hit counts per source."""
+    scores = screen_stream(stream_df, target_tokens, params)
+    return (
+        scores.filter(F.col("sp_pass"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "source")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("w.start").alias("window_start"), "source", "n_hits")
+    )
+
+
+_HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("est_distinct", T.DoubleType()),
+        T.StructField("n_rows_seen", T.LongType()),
+    ]
+)
+
+_HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("state", T.BinaryType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+
+def hll_distinct_by_key_stream(
+    stream_df: DataFrame,
+    key_col: str = "source",
+    value_col: str = "tokens",
+    b: int = 12,
+) -> DataFrame:
+    """Running distinct-token estimate per key via applyInPandasWithState.
+
+    State = serialized HyperLogLog per key; each trigger folds the new
+    Arrow batches into the state (update) and re-emits the estimate —
+    update+merge exactly as the batch UDAF, lifted to streaming state.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from bloomine_spark.sketch.core import _values_of
+        from bloomine_spark.sketch.hll import HyperLogLog
+
+        if state.exists:
+            blob, n_rows = state.get
+            hll = HyperLogLog.from_bytes(bytes(blob))
+        else:
+            hll = HyperLogLog.empty(b)
+            n_rows = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            hll.update_values(_values_of(pdf[value_col]))
+            n_rows += len(pdf)
+        state.update((hll.to_bytes(), n_rows))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "est_distinct": [hll.estimate()],
+                "n_rows_seen": [n_rows],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,69 @@
+"""spark-submit entry point for the two-phase screen pipeline.
+
+    spark-submit --py-files bloomine_spark.zip jobs/run_screen.py \
+        --input /path/to/sequences_parquet_or_iceberg \
+        --target 17,91,4,203,... --k 7 --fp 1e-4 --fp-sim 50 --sp-error 4 \
+        --output /path/to/out --run-id myrun --checkpoint-dir /path/ckpt
+
+Writes two outputs, the analogs of the reference's ``_BMfiltered.fq`` and
+``_flank_scores.tsv`` (/root/reference/src/BlooMineUtils.cpp:270-284):
+  <output>/hits/    — rows passing both phases
+  <output>/scores/  — the per-read score log
+Build the zip with: python -c "from bloomine_spark.session import package_zip; print(package_zip())"
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--target", required=True, help="comma-joined token ids")
+    ap.add_argument("--k", type=int, default=7)
+    ap.add_argument("--fp", type=float, default=1e-4)
+    ap.add_argument("--fp-sim", type=float, default=50.0)
+    ap.add_argument("--sp-error", type=float, default=4.0)
+    ap.add_argument("--mode", choices=["scored", "exact"], default="scored")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.operators.screen import screen_scores
+    from bloomine_spark.params import ScreenParams
+
+    spark = SparkSession.builder.appName("bloomine-screen").getOrCreate()
+    target = [int(t) for t in args.target.split(",")]
+    params = ScreenParams(
+        k=args.k, false_positive=args.fp, fp_sim=args.fp_sim,
+        sp_error=args.sp_error,
+    )
+
+    df = spark.read.parquet(args.input)
+    scores = screen_scores(df, target, params, mode=args.mode).cache()
+    scores.write.mode("overwrite").parquet(f"{args.output}/scores")
+    scores.filter(F.col("sp_pass")).write.mode("overwrite").parquet(
+        f"{args.output}/hits"
+    )
+
+    if args.checkpoint_dir:
+        from bloomine_spark.sketch.hll import HyperLogLog
+        from bloomine_spark.sources.checkpoint import checkpointed_sketch_agg
+
+        sk, lineage = checkpointed_sketch_agg(
+            df, "tokens", lambda: HyperLogLog.empty(12),
+            args.checkpoint_dir, args.run_id, "hll_tokens",
+        )
+        print(f"distinct-token estimate: {sk.estimate():.1f}")
+        lineage.select("partition_id", "rows", "n_values", "secs").show(200)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

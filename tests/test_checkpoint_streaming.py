@@ -1,0 +1,133 @@
+"""Checkpoint/resume and Structured Streaming operator tests."""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomine_spark.datagen import DEFAULT_TARGET, generate_rows
+from bloomine_spark.sketch.hll import HyperLogLog
+from bloomine_spark.sources.checkpoint import checkpointed_sketch_agg
+
+
+@pytest.fixture(scope="module")
+def seq_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("seqs"))
+    pdf = generate_rows(np.arange(3000), seed=42)
+    spark.createDataFrame(pdf).repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_checkpoint_resume_skips_done_partitions(spark, seq_parquet, tmp_path):
+    base = str(tmp_path / "ckpt")
+    df = spark.read.parquet(seq_parquet)
+    factory = lambda: HyperLogLog.empty(12)  # noqa: E731
+
+    # run 1: inject a failure in one partition → job dies AFTER nothing or
+    # some partitions persisted (task retries make persistence racy, so we
+    # only require: run 2 completes and matches the non-checkpointed result)
+    with pytest.raises(Exception):
+        checkpointed_sketch_agg(
+            df, "tokens", factory, base, "run1", "hll",
+            fail_partitions={df.rdd.getNumPartitions() - 1},
+        )
+
+    # run 2 (resume): completes; estimate equals a fresh full aggregation
+    sk, lineage = checkpointed_sketch_agg(
+        df, "tokens", factory, base, "run1", "hll"
+    )
+    from bloomine_spark.sketch.core import sketch_agg_global
+
+    whole = sketch_agg_global(df, "tokens", factory)
+    assert sk.estimate() == whole.estimate()
+    assert (sk.registers == whole.registers).all()
+
+    # lineage carries per-partition metrics
+    lin = lineage.toPandas()
+    assert lin["partition_id"].nunique() == df.rdd.getNumPartitions()
+    assert (lin["rows"] >= 0).all() and lin["rows"].sum() == df.count()
+    assert (lin["secs"] >= 0).all()
+
+    # run 3 (fully resumed): no partition recomputation — lineage unchanged
+    sk3, lineage3 = checkpointed_sketch_agg(
+        df, "tokens", factory, base, "run1", "hll"
+    )
+    assert sk3.estimate() == whole.estimate()
+    assert lineage3.count() == df.rdd.getNumPartitions()
+
+
+def test_streaming_screen_matches_batch(spark, seq_parquet, tmp_path):
+    from bloomine_spark.operators.screen import screen_hits
+    from bloomine_spark.streaming.stream_ops import screen_stream
+
+    batch_df = spark.read.parquet(seq_parquet)
+    want = sorted(
+        r["doc_id"] for r in screen_hits(batch_df, DEFAULT_TARGET).collect()
+    )
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(seq_parquet)
+    )
+    scores = screen_stream(stream, DEFAULT_TARGET)
+    q = (
+        scores.filter(F.col("sp_pass"))
+        .writeStream.format("memory")
+        .queryName("stream_hits")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM stream_hits").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_hll_stateful(spark, seq_parquet, tmp_path):
+    from bloomine_spark.streaming.stream_ops import hll_distinct_by_key_stream
+
+    batch_df = spark.read.parquet(seq_parquet)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(seq_parquet)
+    )
+    est = hll_distinct_by_key_stream(stream, "source", "tokens")
+    q = (
+        est.writeStream.format("memory")
+        .queryName("stream_hll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT source, max_by(est_distinct, n_rows_seen) AS est,"
+        " max(n_rows_seen) AS nr FROM stream_hll GROUP BY source"
+    ).toPandas()
+    assert len(out) == 10
+    # final streaming state must equal the batch HLL per source
+    from bloomine_spark.sketch.core import estimates_df, sketch_agg
+
+    factory = lambda: HyperLogLog.empty(12)  # noqa: E731
+    batch = estimates_df(
+        sketch_agg(batch_df, ["source"], "tokens", factory),
+        factory, lambda h: h.estimate(), "est",
+    ).toPandas().set_index("source")["est"]
+    for _, row in out.iterrows():
+        assert row["est"] == pytest.approx(batch[row["source"]])
+    # all rows were seen
+    assert out["nr"].sum() == batch_df.count()
