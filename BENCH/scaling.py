@@ -1,12 +1,20 @@
 """Scaling-efficiency evidence: the SAME job on the SAME input at two
-parallelism levels (local[8] vs local[32] — the sandbox stand-in for N vs
-4N executors, per the driver note), fixed partition count (64) so
-parallelism is the only variable.
+parallelism levels (N vs 4N cores — the sandbox stand-in for N vs 4N
+executors, per the driver note), fixed partition count (64) so parallelism
+is the only variable.
 
-Each configuration runs in a fresh subprocess (fresh JVM). Jobs timed after
-a warmup pass. Writes BENCH/BASELINE.md and prints one JSON line.
+Cores default to local[4] vs local[16], NOT local[8] vs local[32]: each
+Spark task slot pairs with a Python worker process for the pandas-UDF
+kernels, so local[32] on this 32-vCPU box runs ~64 runnable threads — 2x
+oversubscribed, which measures scheduler thrash, not engine scaling
+(measured: HLL was *slower* at local[32] than local[8]). local[16] tops out
+at exactly 32 threads: the largest clean 4x pair the box supports.
 
-Usage: python BENCH/scaling.py [n_rows]
+Each configuration runs in a fresh subprocess (fresh JVM). Jobs timed
+best-of-reps after a full-partition warmup (spins up every Python worker).
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python BENCH/scaling.py [n_rows] [base_cores]
 """
 
 from __future__ import annotations
@@ -27,8 +35,25 @@ from bloomine_spark.datagen import DEFAULT_TARGET
 
 cores = int(sys.argv[1])
 n_rows = int(sys.argv[2])
+# pin leaf split sizing: FilePartition.maxSplitBytes depends on
+# defaultParallelism (= cores), which would give the two runs DIFFERENT
+# partition counts; forcing small splits + a minimum makes partitioning
+# identical so parallelism is the only variable
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=64,
-                  app_name=f"scaling-{{cores}}")
+                  app_name=f"scaling-{{cores}}",
+                  extra_conf={{
+                      # exactly 64 FAT partitions at BOTH parallelism levels:
+                      # per-task work of seconds amortizes task-launch and
+                      # arrow-stream fixed costs, and 64 divides both core
+                      # counts (integral waves)
+                      "spark.sql.files.maxPartitionBytes": "512m",
+                      "spark.sql.files.minPartitionNum": "64",
+                      # pin GC parallelism to the nominal core count —
+                      # otherwise GC bursts grab all 32 machine cores and
+                      # flatter the small configuration
+                      "spark.driver.extraJavaOptions":
+                          f"-XX:ParallelGCThreads={{cores}} -XX:ConcGCThreads={{max(1, cores // 4)}}",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 path = {repo!r} + f"/.data/seq_{{n_rows}}.parquet"
 import os
@@ -43,19 +68,25 @@ from bloomine_spark.sketch.hll import HyperLogLog
 from bloomine_spark.sketch.cms import CountMinSketch
 from bloomine_spark.operators.screen import screen_hits
 
-# warmup (spins up python workers, JIT, arrow path)
-sketch_agg_global(seqs.limit(4000), "tokens", lambda: HyperLogLog.empty(8))
+# warmup over ALL partitions (limit() would collapse to one partition and
+# leave most python workers cold)
+sketch_agg_global(seqs.select(F.col("n_tok").alias("tokens")), "tokens",
+                  lambda: HyperLogLog.empty(8))
 
 res = {{}}
-def bench(name, fn, reps=2):
+def bench(name, fn, reps):
     best = float("inf")
     for _ in range(reps):
         t0 = time.time(); fn(); best = min(best, time.time() - t0)
     res[name] = round(best, 3)
 
-bench("hll_update_merge", lambda: sketch_agg_global(seqs, "tokens", lambda: HyperLogLog.empty(12)))
-bench("cms_update_merge", lambda: sketch_agg_global(seqs, "tokens", lambda: CountMinSketch.empty(1e-3, 1e-2)))
-bench("screen_scored", lambda: screen_hits(seqs, DEFAULT_TARGET).count())
+# control: pure-JVM parquet scan + scalar aggregate (no python workers, no
+# per-element array garbage — an F.aggregate-over-arrays control turned out
+# GC-bound and scaled at ~0.4, worse than the engine itself)
+bench("jvm_control_scan", lambda: seqs.agg(F.sum("n_tok"), F.avg("n_tok")).head(), 3)
+bench("hll_update_merge", lambda: sketch_agg_global(seqs, "tokens", lambda: HyperLogLog.empty(12)), 5)
+bench("cms_update_merge", lambda: sketch_agg_global(seqs, "tokens", lambda: CountMinSketch.empty(1e-3, 1e-2)), 5)
+bench("screen_scored", lambda: screen_hits(seqs, DEFAULT_TARGET).count(), 2)
 print("RESULT " + json.dumps({{"cores": cores, "tokens": int(total_tokens), "times": res}}))
 spark.stop()
 """
@@ -74,20 +105,30 @@ def run(cores: int, n_rows: int) -> dict:
 
 
 def main():
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
-    r8 = run(8, n_rows)
-    r32 = run(32, n_rows)
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_920_000
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # run the larger configuration first so page-cache warmth, if anything,
+    # favors the smaller one (conservative for the efficiency gate)
+    r32 = run(base * 4, n_rows)
+    r8 = run(base, n_rows)
     tokens = r32["tokens"]
 
+    hi = base * 4
     lines = [
         "# BENCH/BASELINE — measured numbers (this repo)",
         "",
         "Scaling evidence per BASELINE.json north_rule: same job, same input",
         f"(synthetic sequences table, {n_rows:,} rows, {tokens:,} tokens,",
-        "64 partitions fixed), local[8] vs local[32] (N vs 4N cores in this",
-        "sandbox, per the driver note). Efficiency = T8/(4·T32).",
+        f"64 partitions fixed), local[{base}] vs local[{hi}] (N vs 4N cores in",
+        "this sandbox, per the driver note). Efficiency = T_N/(4·T_4N).",
         "",
-        "| job | local[8] sec | local[32] sec | tokens/sec @8 | tokens/sec @32 | speedup | efficiency |",
+        "Why not local[8]/local[32]: every task slot pairs with a Python",
+        "worker process for the Arrow kernels, so local[32] on this 32-vCPU",
+        "box runs ~64 runnable threads — 2x oversubscription that measures",
+        "scheduler thrash, not engine scaling (measured: HLL slower at",
+        f"local[32] than local[8]). local[{hi}] is the largest clean 4x pair.",
+        "",
+        f"| job | local[{base}] sec | local[{hi}] sec | tokens/sec @{base} | tokens/sec @{hi} | speedup | efficiency |",
         "|---|---|---|---|---|---|---|",
     ]
     effs = {}
@@ -112,9 +153,14 @@ def main():
     md = "\n".join(lines) + "\n"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"n_rows": n_rows, "tokens": tokens,
-                      "t8": r8["times"], "t32": r32["times"],
-                      "efficiency": effs, "min_efficiency": gate}))
+    result = {
+        "n_rows": n_rows, "tokens": tokens, "base_cores": base,
+        "times_base": r8["times"], "times_4x": r32["times"],
+        "efficiency": effs, "min_efficiency": gate,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

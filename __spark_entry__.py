@@ -403,6 +403,53 @@ def _q_salted_source_counts(spark, sf_dir):
     )
 
 
+def _q_polyfamily_assign_docs(spark, sf_dir):
+    """Multi-probe polyfamily pipeline (J2 + W1) over tokenized documents:
+    two flank-pair probes screened, per-probe totals, argmax binning.
+    Scored totals are not SQL-expressible → rows-only (pytest-gated in
+    tests/test_targets_polyfamily.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.cascade import polyfamily_run
+
+    seqs = _docs_tokens(spark, sf_dir)
+    probes = {
+        "probeA": (
+            _pattern_tokens(spark, MOI_HEAD), _pattern_tokens(spark, MOI_TAIL)
+        ),
+        "probeB": (
+            _pattern_tokens(spark, "scan key row"),
+            _pattern_tokens(spark, MOI_TAIL),
+        ),
+    }
+    return polyfamily_run(seqs, probes, ScreenParams(k=2))
+
+
+def _q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-style multi-join: revenue per nation, small dims broadcast,
+    Catalyst free to reorder."""
+    from bloomine_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -577,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint_md5": _q_doc_fingerprint_md5,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
+        "polyfamily_assign_docs": _q_polyfamily_assign_docs,
+        "regional_revenue": _q_regional_revenue,
     }
 
 
@@ -820,6 +869,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                md5(lower(trim(text))) AS fingerprint
         FROM documents
+    """
+
+    sql["regional_revenue"] = """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
     """
 
     return sql

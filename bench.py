@@ -164,6 +164,13 @@ def main():
         "sequences_tokens": int(total_tokens),
         "tokens_per_sec": int(total_tokens / t_hll),
     }
+    # attach the latest N-vs-4N scaling evidence (BENCH/scaling.py)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.isfile(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
     print(json.dumps(out))
     spark.stop()
 

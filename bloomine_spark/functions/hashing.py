@@ -25,9 +25,18 @@ _SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
 _SM_M2 = np.uint64(0x94D049BB133111EB)
 
 
-def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (Steele et al., public domain)."""
-    x = (x + _SM_GAMMA).astype(np.uint64, copy=False)
+def splitmix64(x: np.ndarray, inplace: bool = False) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al., public domain).
+
+    With ``inplace=True`` the input buffer is consumed — callers in the hot
+    path pass throwaway buffers to cut transient-allocation churn (large
+    temporaries serialize multi-worker executors on kernel page zeroing).
+    """
+    x = np.asarray(x, dtype=np.uint64)
+    if not inplace:
+        x = x + _SM_GAMMA
+    else:
+        x += _SM_GAMMA
     x ^= x >> np.uint64(30)
     x *= _SM_M1
     x ^= x >> np.uint64(27)
@@ -61,8 +70,11 @@ def rolling_kgram_hash(
     h = np.zeros(n_windows, dtype=np.uint64)
     js = range(k - 1, -1, -1) if reverse else range(k)
     for j in js:
-        h = h * _POLY_P + flat[j : j + n_windows]
-    return splitmix64(h)
+        # in-place: slices of flat are views, so the whole recurrence
+        # allocates nothing beyond h itself
+        h *= _POLY_P
+        h += flat[j : j + n_windows]
+    return splitmix64(h, inplace=True)
 
 
 def hash_tokens_1d(tokens: np.ndarray) -> np.uint64:

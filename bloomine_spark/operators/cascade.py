@@ -225,6 +225,62 @@ def length_variant_counts(extracted: DataFrame) -> DataFrame:
 # polyfamily: argmax probe per read (W1) + per-probe binning (W2)
 # ---------------------------------------------------------------------------
 
+def flank_intersection(scores1: DataFrame, scores2: DataFrame,
+                       thr1: float, thr2: float) -> DataFrame:
+    """Legacy inner-join flavor (J2): docs present in BOTH flank score sets
+    with each best score above its threshold
+    (/root/reference/bloomine/polyfamily.py:84-101, intersection at :91).
+    Returns (doc_id, f1_best, f2_best, total)."""
+    f1 = scores1.groupBy("doc_id").agg(F.max("score").alias("f1_best"))
+    f2 = scores2.groupBy("doc_id").agg(F.max("score").alias("f2_best"))
+    return (
+        f1.join(f2, "doc_id")  # inner join == keyset intersection (U3)
+        .filter(
+            (F.col("f1_best") >= F.lit(float(thr1)))
+            & (F.col("f2_best") >= F.lit(float(thr2)))
+        )
+        .select(
+            "doc_id", "f1_best", "f2_best",
+            (F.col("f1_best") + F.col("f2_best")).alias("total"),
+        )
+    )
+
+
+def polyfamily_run(
+    df: DataFrame,
+    targets: dict[str, tuple],
+    params: ScreenParams = ScreenParams(),
+) -> DataFrame:
+    """Multi-probe polyfamily pipeline (/root/reference/bloomine/run.py:64-130):
+    cascade each probe's flank pair over the corpus, combine per-probe flank
+    bests (J2 semantics), then argmax-bin docs to probes (W1).
+
+    Returns (doc_id, target_id, total_score) of the winning probe per doc.
+    """
+    per_probe = None
+    for tid, (f1, f2) in sorted(targets.items()):
+        hits, s1, s2 = cascade(df, f1, f2, params, keep_tokens=False)
+        n1 = len(set(map(tuple, _kgram_tuples(f1, params.k))))
+        n2 = len(set(map(tuple, _kgram_tuples(f2, params.k))))
+        combined = flank_intersection(
+            s1.filter(F.col("sp_pass")), s2.filter(F.col("sp_pass")),
+            params.mst(n1), params.mst(n2),
+        ).select(
+            "doc_id",
+            F.lit(tid).alias("target_id"),
+            F.col("total").cast("long").alias("total_score"),
+        )
+        per_probe = combined if per_probe is None else per_probe.unionByName(combined)
+        s1.unpersist()
+        s2.unpersist()
+    return choose_best_probes(per_probe)
+
+
+def _kgram_tuples(tokens, k):
+    arr = list(tokens)
+    return [tuple(arr[i : i + k]) for i in range(len(arr) - k + 1)]
+
+
 def choose_best_probes(per_probe_scores: DataFrame) -> DataFrame:
     """Input: (doc_id, target_id, total_score). Keep the max-total probe per
     doc, ties → lexicographically smaller target_id

@@ -32,10 +32,10 @@ from pyspark.sql import types as T
 
 from bloomine_spark.functions.kgrams import (
     TokenBatch,
-    WindowSet,
+
     distinct_per_row,
     flatten_token_series,
-    kgram_windows,
+
     unique_kgram_hashes,
 )
 from bloomine_spark.params import ScreenParams
@@ -188,32 +188,69 @@ def score_runs(run_cov: np.ndarray, run_len: np.ndarray, p: ScreenParams) -> int
 # the mapInPandas kernel
 # ---------------------------------------------------------------------------
 
+class FlatWindows:
+    """All length-k windows of the FLAT buffer, row structure derived
+    lazily: hashes are computed for every flat position once; row ids /
+    in-row starts / validity are materialized only for the (few) positions
+    that survive a probe. This keeps per-batch transient allocations to the
+    hash array itself — large temporaries serialize multi-worker executors
+    on kernel page zeroing."""
+
+    def __init__(self, batch: TokenBatch, k: int, reverse: bool = False,
+                 complement_map: np.ndarray | None = None):
+        from bloomine_spark.functions.hashing import rolling_kgram_hash
+
+        self.batch = batch
+        self.k = k
+        self.reverse = reverse
+        flat = batch.flat
+        if complement_map is not None:
+            flat = complement_map[flat.astype(np.int64)].astype(np.uint64)
+        n_flat = max(len(flat) - k + 1, 0)
+        self.hashes = rolling_kgram_hash(flat, n_flat, k, reverse=reverse)
+        self._row_ends = batch.offsets + batch.lens
+
+    def rows_of(self, pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(row_ids, valid_mask) for flat window positions."""
+        rows = np.searchsorted(self.batch.offsets, pos, side="right") - 1
+        valid = pos + self.k <= self._row_ends[rows]
+        return rows, valid
+
+    def starts_of(self, pos: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """In-row window starts (reversed-row coordinates when reverse)."""
+        starts = pos - self.batch.offsets[rows]
+        if self.reverse:
+            starts = self.batch.lens[rows] - self.k - starts
+        return starts
+
+
 def _fp_pass_counts(
-    win: WindowSet, bloom: BloomFilter, n_rows: int, row_mask: np.ndarray | None
+    win: FlatWindows, bloom: BloomFilter, n_rows: int, row_mask: np.ndarray | None
 ) -> np.ndarray:
-    """Distinct-kgram Bloom hit count per row (vectorized F1/A3)."""
-    if win.n_windows == 0:
+    """Distinct-kgram Bloom hit count per row (vectorized F1/A3).
+
+    Probes every flat window, then derives row structure for hits only:
+    distinct-hits-per-row == distinct (row, hash) among valid hits.
+    """
+    if len(win.hashes) == 0:
         return np.zeros(n_rows, dtype=np.int64)
-    sel = slice(None) if row_mask is None else row_mask[win.row_ids]
-    row_ids = win.row_ids[sel]
-    hashes = win.hashes[sel]
-    if len(hashes) == 0:
+    hit_pos = np.flatnonzero(bloom.contains_hashes(win.hashes))
+    if len(hit_pos) == 0:
         return np.zeros(n_rows, dtype=np.int64)
-    # probe first, dedup only the hits: the sort-based distinct then runs on
-    # the (few) Bloom survivors instead of every window — same counts, since
-    # distinct-hits-per-row == distinct (row, hash) among hits
-    hit = bloom.contains_hashes(hashes)
-    rh = row_ids[hit]
-    hh = hashes[hit]
-    uniq = distinct_per_row(rh, hh)
-    return np.bincount(rh[uniq], minlength=n_rows)
+    rows, valid = win.rows_of(hit_pos)
+    if row_mask is not None:
+        valid &= row_mask[rows]
+    rows = rows[valid]
+    hh = win.hashes[hit_pos[valid]]
+    uniq = distinct_per_row(rows, hh)
+    return np.bincount(rows[uniq], minlength=n_rows)
 
 
 def _exact_candidates(
-    win: WindowSet,
+    win: FlatWindows,
     batch: TokenBatch,
     ctx: TargetContext,
-    sel: np.ndarray,
+    row_sel: np.ndarray,
     reverse: bool,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(row_ids, starts) of windows whose TOKENS exactly match a target k-gram.
@@ -224,19 +261,22 @@ def _exact_candidates(
     mirroring the reference's exact map lookup
     (/root/reference/src/FQread.hpp:233-241).
     """
-    if not sel.any():
-        e = np.zeros(0, dtype=np.int64)
+    e = np.zeros(0, dtype=np.int64)
+    if len(win.hashes) == 0:
         return e, e
-    hashes = win.hashes[sel]
-    pos = np.searchsorted(ctx.kset_hashes, hashes)
-    pos = np.minimum(pos, len(ctx.kset_hashes) - 1)
-    cand = ctx.kset_hashes[pos] == hashes
-    if not cand.any():
-        e = np.zeros(0, dtype=np.int64)
+    idx = np.searchsorted(ctx.kset_hashes, win.hashes)
+    idx = np.minimum(idx, len(ctx.kset_hashes) - 1)
+    cand_pos = np.flatnonzero(ctx.kset_hashes[idx] == win.hashes)
+    if len(cand_pos) == 0:
         return e, e
-    gstarts = win.gstarts[sel][cand]
-    # gather window tokens: (n_cand, k)
-    gather = gstarts[:, None] + np.arange(ctx.k, dtype=np.int64)[None, :]
+    rows, valid = win.rows_of(cand_pos)
+    valid &= row_sel[rows]
+    cand_pos = cand_pos[valid]
+    rows = rows[valid]
+    if len(cand_pos) == 0:
+        return e, e
+    # gather window tokens from the ORIGINAL buffer: (n_cand, k)
+    gather = cand_pos[:, None] + np.arange(ctx.k, dtype=np.int64)[None, :]
     toks = batch.flat[gather].astype(np.int64)
     if reverse:
         # RC orientation: the canonical transform is reverse (optionally
@@ -244,45 +284,47 @@ def _exact_candidates(
         if ctx.complement_map is not None:
             toks = ctx.complement_map[toks]
         toks = toks[:, ::-1]
-    ok = (toks == ctx.kgram_matrix[pos[cand]]).all(axis=1)
-    return win.row_ids[sel][cand][ok], win.starts[sel][cand][ok]
+    ok = (toks == ctx.kgram_matrix[idx[cand_pos]]).all(axis=1)
+    return rows[ok], win.starts_of(cand_pos[ok], rows[ok])
 
 
 def _contains_subarray(
-    batch: TokenBatch, pattern: np.ndarray, row_ids_out: int,
+    batch: TokenBatch, pattern: np.ndarray,
     row_sel: np.ndarray, reverse: bool, complement_map: np.ndarray | None,
 ) -> np.ndarray:
     """Exact contiguous-subarray containment per row (vectorized).
 
-    Hash every len(pattern)-window, compare to the pattern hash, then confirm
-    token equality (collision-proof). Used by verify mode "exact".
+    Hash every len(pattern)-window of the flat buffer, compare to the
+    pattern hash, confirm token equality, then validate row boundaries —
+    collision-proof. Used by verify mode "exact".
     """
     from bloomine_spark.functions.hashing import rolling_kgram_hash
 
     n_rows = len(row_sel)
     out = np.zeros(n_rows, dtype=bool)
     kp = len(pattern)
-    win = kgram_windows(batch, kp, reverse=reverse)
-    if win.n_windows == 0:
+    win = FlatWindows(batch, kp, reverse=reverse, complement_map=complement_map)
+    if len(win.hashes) == 0:
         return out
-    sel = row_sel[win.row_ids]
-    if not sel.any():
+    # the transformed read contains raw-P iff some window w satisfies
+    # reverse(π(w)) == P, and win.hashes are exactly hash(reverse(π(w)))
+    pat_h = rolling_kgram_hash(pattern.astype(np.uint64), 1, kp)[0]
+    cand_pos = np.flatnonzero(win.hashes == pat_h)
+    if len(cand_pos) == 0:
         return out
-    pat = pattern.astype(np.uint64)
-    pat_h = rolling_kgram_hash(pat, 1, kp)[0]
-    hashes = win.hashes[sel]
-    cand = hashes == pat_h
-    if not cand.any():
+    rows, valid = win.rows_of(cand_pos)
+    valid &= row_sel[rows]
+    cand_pos, rows = cand_pos[valid], rows[valid]
+    if len(cand_pos) == 0:
         return out
-    gstarts = win.gstarts[sel][cand]
-    gather = gstarts[:, None] + np.arange(kp, dtype=np.int64)[None, :]
+    gather = cand_pos[:, None] + np.arange(kp, dtype=np.int64)[None, :]
     toks = batch.flat[gather].astype(np.int64)
     if complement_map is not None:
         toks = complement_map[toks]
     if reverse:
         toks = toks[:, ::-1]
     ok = (toks == pattern[None, :].astype(np.int64)).all(axis=1)
-    out[np.unique(win.row_ids[sel][cand][ok])] = True
+    out[np.unique(rows[ok])] = True
     return out
 
 
@@ -305,13 +347,9 @@ def make_screen_kernel(
             if n == 0:
                 continue
             batch = flatten_token_series(pdf[tokens_col])
-            if ctx.complement_map is None:
-                fwd_batch = batch
-            else:
-                fwd_batch = batch  # complement applies only to the RC pass
 
             # ---- phase 1 forward: distinct Bloom-hit counts (F1)
-            win_f = kgram_windows(batch, ctx.k)
+            win_f = FlatWindows(batch, ctx.k)
             counts_f = _fp_pass_counts(win_f, bloom, n, None)
             if ctx.fp_threshold <= 0:
                 fp_f = np.ones(n, dtype=bool)  # FQread.hpp:69 quirk
@@ -324,16 +362,10 @@ def make_screen_kernel(
             counts_r = np.zeros(n, dtype=np.int64)
             win_r = None
             if rc_retry and rc_rows.any() and ctx.fp_threshold > 0:
-                win_r = kgram_windows(batch, ctx.k, reverse=True)
-                if ctx.complement_map is not None:
-                    comp = TokenBatch(
-                        ctx.complement_map[batch.flat.astype(np.int64)].astype(
-                            np.uint64
-                        ),
-                        batch.lens,
-                        batch.offsets,
-                    )
-                    win_r = kgram_windows(comp, ctx.k, reverse=True)
+                win_r = FlatWindows(
+                    batch, ctx.k, reverse=True,
+                    complement_map=ctx.complement_map,
+                )
                 counts_r = _fp_pass_counts(win_r, bloom, n, rc_rows)
                 fp_r = rc_rows & (counts_r >= ctx.fp_threshold)
             elif rc_retry and ctx.fp_threshold <= 0:
@@ -357,8 +389,9 @@ def make_screen_kernel(
                 ):
                     if win is None or not row_sel.any():
                         continue
-                    sel = row_sel[win.row_ids]
-                    rids, starts = _exact_candidates(win, batch, ctx, sel, reverse)
+                    rids, starts = _exact_candidates(
+                        win, batch, ctx, row_sel, reverse
+                    )
                     if len(rids) == 0:
                         continue
                     gpos = batch.offsets[rids] + starts
@@ -383,11 +416,11 @@ def make_screen_kernel(
                 sp_pass = fp_any & (scores >= ctx.mst)
             elif mode == "exact":
                 contains = _contains_subarray(
-                    batch, ctx.target_tokens, n, fp_f, False, None
+                    batch, ctx.target_tokens, fp_f, False, None
                 )
                 if fp_r.any():
                     contains |= _contains_subarray(
-                        batch, ctx.target_tokens, n, fp_r, True, ctx.complement_map
+                        batch, ctx.target_tokens, fp_r, True, ctx.complement_map
                     )
                 sp_pass = fp_any & contains
                 scores = np.where(contains, len(ctx.target_tokens) * int(p.hit), 0)

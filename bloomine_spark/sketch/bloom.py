@@ -78,19 +78,38 @@ class BloomFilter:
         )
 
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
-        """Vectorized membership test → bool array."""
+        """Vectorized membership test → bool array.
+
+        Probes with CANDIDATE COMPRESSION: after each probe only surviving
+        elements are carried forward, so (a) probe work decays geometrically
+        with the filter's fill ratio instead of costing n_hashes·n, and
+        (b) no (n_hashes × n) index matrix is ever materialized — large
+        transient allocations serialize multi-worker executors on kernel
+        page zeroing (measured: 16 workers collapsed 4x on fat tasks).
+        """
+        from bloomine_spark.functions.hashing import _SM_M1, splitmix64
+
         h = np.asarray(hashes, dtype=np.uint64)
-        if len(h) == 0:
+        n = len(h)
+        if n == 0:
             return np.zeros(0, dtype=bool)
-        hit = np.ones(len(h), dtype=bool)
-        idx = double_hash_indices(h, self.n_hashes, self.m)
+        h2 = splitmix64(h ^ _SM_M1) | np.uint64(1)
+        cand = np.arange(n, dtype=np.int64)
+        h1c, h2c = h, h2
+        mm = np.uint64(self.m)
         for i in range(self.n_hashes):
-            byte = self.bits[(idx[i] >> np.uint64(3)).astype(np.int64)]
-            bit = (byte >> (idx[i] & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
-            hit &= bit.astype(bool)
-            if not hit.any():
+            idx = (h1c + np.uint64(i) * h2c) % mm
+            byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+            keep = ((byte >> (idx & np.uint64(7)).astype(np.uint8))
+                    & np.uint8(1)).astype(bool)
+            cand = cand[keep]
+            if len(cand) == 0:
                 break
-        return hit
+            h1c = h1c[keep]
+            h2c = h2c[keep]
+        out = np.zeros(n, dtype=bool)
+        out[cand] = True
+        return out
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         if (self.m, self.n_hashes) != (other.m, other.n_hashes):

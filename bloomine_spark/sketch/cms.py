@@ -45,23 +45,28 @@ class CountMinSketch:
             out[r] = (hash_u64(v, seed=r + 1) % np.uint64(self.w)).astype(np.int64)
         return out
 
+    def _row_idx(self, values: np.ndarray, r: int) -> np.ndarray:
+        return (hash_u64(values, seed=r + 1) % np.uint64(self.w)).astype(np.int64)
+
     def update_values(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
-        idx = self._rows(values)
+        v = np.asarray(values)
         for r in range(self.d):
-            # bincount beats unbuffered np.add.at by ~10x on large batches
-            self.counts[r] += np.bincount(idx[r], minlength=self.w)
-        self.n += len(values)
+            # one row at a time: bincount beats unbuffered np.add.at ~10x,
+            # and never materializing the (d × n) index matrix keeps
+            # transient allocations small (multi-worker page-zero contention)
+            self.counts[r] += np.bincount(self._row_idx(v, r), minlength=self.w)
+        self.n += len(v)
 
     def estimate_values(self, values: np.ndarray) -> np.ndarray:
         """Vectorized point queries → int64 estimates (min over rows)."""
         if len(values) == 0:
             return np.empty(0, dtype=np.int64)
-        idx = self._rows(values)
-        est = self.counts[0][idx[0]]
+        v = np.asarray(values)
+        est = self.counts[0][self._row_idx(v, 0)]
         for r in range(1, self.d):
-            est = np.minimum(est, self.counts[r][idx[r]])
+            est = np.minimum(est, self.counts[r][self._row_idx(v, r)])
         return est
 
     def estimate(self, value) -> int:

@@ -1,0 +1,73 @@
+"""Plan regressions: pruning, pushdown, shuffle counts, join strategies.
+These guard the properties that make the engine viable at 100 TB —
+a silently-unpruned column or an accidental cartesian fails here."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomine_spark.plans.audit import (
+    assert_columns_pruned,
+    assert_filter_pushed,
+    assert_max_exchanges,
+    assert_no_cartesian,
+    plan_facts,
+)
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata absent")
+
+
+@needs_data
+def test_screen_prunes_unused_document_columns(spark):
+    import __spark_entry__ as em
+
+    q = em.queries()["two_phase_screen"](spark, SF)
+    # lang and n_chars are never used → must not reach the parquet scan
+    assert_columns_pruned(q, {"lang", "n_chars"})
+    facts = plan_facts(q)
+    assert facts.has_python_eval  # the kernel really is an Arrow-python node
+    # screening is shuffle-free: no Exchange anywhere in the plan
+    assert_max_exchanges(q, 0)
+
+
+@needs_data
+def test_pricing_summary_pushdown(spark):
+    import __spark_entry__ as em
+
+    q = em.queries()["lineitem_pricing_summary"](spark, SF)
+    assert_filter_pushed(q, "l_shipdate")
+    assert_columns_pruned(q, {"l_orderkey", "l_partkey", "l_comment"})
+    # scan → partial agg → single shuffle → final agg
+    assert_max_exchanges(q, 1)
+
+
+@needs_data
+def test_joins_are_not_cartesian(spark):
+    import __spark_entry__ as em
+
+    for name in ("regional_revenue", "ngram_jaccard_pairs",
+                 "flank_log_merge_events", "argmax_probe_lineitem"):
+        q = em.queries()[name](spark, SF)
+        assert_no_cartesian(q)
+
+
+@needs_data
+def test_sketch_partials_shuffle_is_narrow(spark):
+    """The sketch shuffle carries states, not rows: the exchange sits above
+    the python partial node, so what crosses it is one row per
+    partition×group."""
+    from bloomine_spark.sketch.core import merge_grouped, sketch_partials
+    from bloomine_spark.sketch.hll import HyperLogLog
+    from bloomine_spark.sources.tables import load_table, tokenize_documents
+
+    seqs = tokenize_documents(load_table(spark, SF, "documents"))
+    factory = lambda: HyperLogLog.empty(8)  # noqa: E731
+    partials = sketch_partials(seqs, ["source"], "tokens", factory)
+    merged = merge_grouped(partials, ["source"], factory)
+    facts = plan_facts(merged)
+    text = facts.text
+    # exactly one exchange, and it is ABOVE the MapInPandas partial fold
+    assert facts.n_exchanges == 1
+    assert text.index("Exchange") < text.index("MapInPandas")
