@@ -55,6 +55,27 @@ def flatten_token_series(tokens: pd.Series) -> TokenBatch:
     return TokenBatch(flat, lens, offsets)
 
 
+def token_batch_from_arrow(rb, col: str) -> TokenBatch:
+    """Zero-copy TokenBatch from a pyarrow RecordBatch list column.
+
+    Arrow already stores a list column as ONE contiguous child buffer plus
+    offsets — exactly the TokenBatch layout — so unlike the pandas path
+    there is no per-row ndarray materialization and no concatenate: the only
+    copy is the int32→uint64 widening the hash kernels need anyway.
+    """
+    import pyarrow as pa
+
+    arr = rb.column(rb.schema.get_field_index(col)) if isinstance(col, str) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy().astype(np.int64, copy=False)
+    values = arr.values.to_numpy(zero_copy_only=False)
+    flat = values[offsets[0] : offsets[-1]].astype(np.uint64)
+    lens = np.diff(offsets)
+    off = offsets[:-1] - offsets[0]
+    return TokenBatch(flat, lens, off)
+
+
 @dataclass
 class WindowSet:
     """All valid length-k windows of a TokenBatch.

@@ -336,17 +336,25 @@ def make_screen_kernel(
     rc_retry: bool,
     keep_tokens: bool,
 ):
-    """Build the mapInPandas function. ``ctx_bc`` is a Spark broadcast."""
+    """Build the mapInArrow function. ``ctx_bc`` is a Spark broadcast.
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Arrow-native: the tokens list column is consumed through its contiguous
+    values+offsets buffers (zero copy, no per-row ndarrays), and survivor
+    rows are emitted with ``take`` on the original Arrow columns.
+    """
+    import pyarrow as pa
+
+    from bloomine_spark.functions.kgrams import token_batch_from_arrow
+
+    def kernel(batches) -> Iterator["pa.RecordBatch"]:
         ctx: TargetContext = ctx_bc.value
         p = ctx.params
         bloom = ctx.bloom
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            batch = flatten_token_series(pdf[tokens_col])
+            batch = token_batch_from_arrow(rb, tokens_col)
 
             # ---- phase 1 forward: distinct Bloom-hit counts (F1)
             win_f = FlatWindows(batch, ctx.k)
@@ -427,20 +435,24 @@ def make_screen_kernel(
             else:  # pragma: no cover
                 raise ValueError(f"unknown mode {mode!r}")
 
-            out_idx = np.flatnonzero(fp_any)
-            out = pdf.iloc[out_idx][passthrough].reset_index(drop=True)
-            out["rc"] = fp_r[out_idx]
-            out["fp_hits"] = np.where(fp_r, counts_r, counts_f)[out_idx].astype(
-                "int32"
+            out_idx = pa.array(np.flatnonzero(fp_any))
+            idx_np = np.flatnonzero(fp_any)
+            cols = {c: rb.column(rb.schema.get_field_index(c)).take(out_idx)
+                    for c in passthrough}
+            cols["rc"] = pa.array(fp_r[idx_np])
+            cols["fp_hits"] = pa.array(
+                np.where(fp_r, counts_r, counts_f)[idx_np].astype(np.int32)
             )
-            out["score"] = scores[out_idx].astype("int64")
-            out["threshold"] = float(ctx.mst)
-            out["sp_pass"] = sp_pass[out_idx]
+            cols["score"] = pa.array(scores[idx_np].astype(np.int64))
+            cols["threshold"] = pa.array(
+                np.full(len(idx_np), float(ctx.mst), dtype=np.float64)
+            )
+            cols["sp_pass"] = pa.array(sp_pass[idx_np])
             if keep_tokens:
-                out[tokens_col] = pdf.iloc[out_idx][tokens_col].reset_index(
-                    drop=True
-                )
-            yield out
+                cols[tokens_col] = rb.column(
+                    rb.schema.get_field_index(tokens_col)
+                ).take(out_idx)
+            yield pa.RecordBatch.from_pydict(cols)
 
     return kernel
 
@@ -481,7 +493,7 @@ def screen_scores(
     kernel = make_screen_kernel(
         ctx_bc, tokens_col, passthrough, mode, rc_retry, keep_tokens
     )
-    return df.mapInPandas(kernel, schema=schema)
+    return df.mapInArrow(kernel, schema=schema)
 
 
 def screen_hits(

@@ -55,11 +55,43 @@ def sketch_partials(
     value_col: str,
     factory: Callable[[], "object"],
 ) -> DataFrame:
-    """Stage 1: one sketch state per (partition, group). Shuffle-free."""
+    """Stage 1: one sketch state per (partition, group). Shuffle-free.
+
+    The global (ungrouped) path runs as ``mapInArrow``: a list column's
+    Arrow layout IS the flat-values+offsets form the kernels want, so the
+    fold touches the token buffer zero-copy — no per-row ndarray
+    materialization at all.
+    """
     out_fields = [df.schema[c] for c in group_cols] + [
         T.StructField(STATE_COL, T.BinaryType())
     ]
     schema = T.StructType(out_fields)
+
+    if not group_cols:
+        import pyarrow as pa
+
+        from bloomine_spark.functions.kgrams import token_batch_from_arrow
+
+        is_array = isinstance(df.schema[value_col].dataType, T.ArrayType)
+
+        def fold_arrow(batches):
+            sk = factory()
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                if is_array:
+                    sk.update_values(token_batch_from_arrow(rb, value_col).flat)
+                else:
+                    sk.update_values(
+                        rb.column(rb.schema.get_field_index(value_col))
+                        .to_numpy(zero_copy_only=False)
+                    )
+            # empty partitions yield an empty sketch — harmless to merge
+            yield pa.RecordBatch.from_pydict(
+                {STATE_COL: pa.array([sk.to_bytes()], type=pa.binary())}
+            )
+
+        return df.mapInArrow(fold_arrow, schema=schema)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
