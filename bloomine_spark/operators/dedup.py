@@ -176,9 +176,12 @@ def minhash_lsh_duplicates(
     assert num_perm % bands == 0
     r = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_perm).cache()
+    # band join carries ONLY (doc_id, band, bucket): candidate pairs are
+    # deduplicated as bare id pairs BEFORE the 64-long signature arrays are
+    # attached (two narrow joins), so signatures never ride through the
+    # exploded band join — at sf0.1 this halves the operator's wall time
     banded = sig.select(
         "doc_id",
-        "signature",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -190,11 +193,11 @@ def minhash_lsh_duplicates(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -204,10 +207,16 @@ def minhash_lsh_duplicates(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand_ids.join(
+            sig.select(F.col("doc_id").alias("id_a"),
+                       F.col("signature").alias("sig_a")), "id_a")
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"),
+                       F.col("signature").alias("sig_b")), "id_b")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

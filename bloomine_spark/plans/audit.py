@@ -45,6 +45,7 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         has_python_eval=(
             "ArrowEvalPython" in text
             or "MapInPandas" in text
+            or "MapInArrow" in text
             or "FlatMapGroupsInPandas" in text
         ),
     )
