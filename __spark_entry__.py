@@ -407,9 +407,10 @@ def _q_polyfamily_assign_docs(spark, sf_dir):
     """Multi-probe polyfamily pipeline (J2 + W1) over tokenized documents:
     two flank-pair probes screened, per-probe totals, argmax binning.
     Scored totals are not SQL-expressible → rows-only (pytest-gated in
-    tests/test_targets_polyfamily.py)."""
+    tests/test_targets_polyfamily.py + one-pass equivalence in
+    tests/test_multiscreen_mg.py)."""
     _ship_pkg(spark)
-    from bloomine_spark.operators.cascade import polyfamily_run
+    from bloomine_spark.operators.multiscreen import polyfamily_onepass
 
     seqs = _docs_tokens(spark, sf_dir)
     probes = {
@@ -421,7 +422,24 @@ def _q_polyfamily_assign_docs(spark, sf_dir):
             _pattern_tokens(spark, MOI_TAIL),
         ),
     }
-    return polyfamily_run(seqs, probes, ScreenParams(k=2))
+    # one corpus scan for all probes x flanks (vs the reference's
+    # scan-per-probe loop, /root/reference/bloomine/run.py:26-61)
+    return polyfamily_onepass(seqs, probes, ScreenParams(k=2))
+
+
+def _q_mg_token_topk(spark, sf_dir):
+    """Misra–Gries heavy hitters over all tokens (mergeable frequent-items
+    UDAF; never overestimates, error ≤ n/m — pytest-gated; exact companion:
+    token_freq_topk_exact)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.core import sketch_agg_global
+    from bloomine_spark.sketch.mg import MisraGries
+
+    seqs = _docs_tokens(spark, sf_dir)
+    sk = sketch_agg_global(seqs, "tokens", lambda: MisraGries(256))
+    return spark.createDataFrame(
+        [(int(t), int(c)) for t, c in sk.top_k(20)], ["token", "est_freq"]
+    )
 
 
 def _q_regional_revenue(spark, sf_dir):
@@ -626,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "polyfamily_assign_docs": _q_polyfamily_assign_docs,
         "regional_revenue": _q_regional_revenue,
+        "mg_token_topk": _q_mg_token_topk,
     }
 
 
