@@ -370,6 +370,38 @@ def _q_events_hourly_agg(spark, sf_dir):
     )
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Sessionization (gaps-and-islands): per user, a new session starts
+    after a >30-minute gap; emit per-session event counts and value sums.
+    Window lag + conditional cumsum — the batch form of stateful
+    session-window streaming."""
+    from pyspark.sql import Window
+
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; epoch seconds via an explicit ltz hop (session
+    # timezone is pinned to UTC so the hop is value-preserving)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("ts").alias("session_start"),
+    )
+
+
 def _q_lineitem_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style aggregation (partial-agg/codegen showcase)."""
     from bloomine_spark.sources.tables import load_table
@@ -627,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_ntok_quantiles": _q_kll_ntok_quantiles,
         "tdigest_ntok_quantiles": _q_tdigest_ntok_quantiles,
         "events_hourly_agg": _q_events_hourly_agg,
+        "events_sessionize": _q_events_sessionize,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "salted_source_counts": _q_salted_source_counts,
         "exact_dup_docs": _q_exact_dup_docs,
@@ -779,6 +812,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    sql["events_sessionize"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts)) > 1800
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), sid AS (
+          SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               MIN(ts) AS session_start
+        FROM sid GROUP BY user_id, session_id
     """
 
     sql["lineitem_pricing_summary"] = """
