@@ -66,23 +66,54 @@ def read_and_target(draw):
     return reads, target, params
 
 
+def _bloom_member(ctx):
+    """Membership callable backed by the ENGINE's Bloom filter, so the
+    oracle sees the same false positives (the reference's own decisions
+    likewise depend on ITS bloom's FPs; what must always agree is the
+    final verified hit — asserted separately)."""
+    from bloomine_spark.functions.hashing import rolling_kgram_hash
+
+    def member(kg):
+        h = rolling_kgram_hash(np.asarray(kg, dtype=np.uint64), 1, len(kg))
+        return bool(ctx.bloom.contains_hashes(h)[0])
+
+    return member
+
+
 @settings(max_examples=150, deadline=None)
 @given(read_and_target())
 def test_kernel_matches_oracle(case):
     reads, target, params = case
     got = run_kernel_local(reads, target, params).set_index("doc_id")
+    ctx = prepare_target(target, params)
+    member = _bloom_member(ctx)
 
     for i, read in enumerate(reads):
-        res = oracle.screen_read(read, target, params)
+        # same-bloom oracle: rows must match EXACTLY, FPs included
+        res = oracle.screen_read(read, target, params, member=member)
         rid = f"r{i}"
         if res.score is None:
             assert rid not in got.index, (read, target)
+            engine_hit = False
         else:
             assert rid in got.index, (read, target, params)
             row = got.loc[rid]
             assert bool(row["rc"]) == res.rc, (read, target, params)
             assert int(row["score"]) == res.score, (read, target, params)
             assert bool(row["sp_pass"]) == res.sp_pass, (read, target, params)
+            engine_hit = bool(row["sp_pass"])
+        # no FORWARD false negatives (structural Bloom property): if the
+        # exact-membership forward path hits, the engine must hit — bloom ⊇
+        # exact so forward FP passes too, and SP scores are bloom-independent.
+        # (An RC-path hit CAN be lost when a bloom FP makes the forward pass
+        # succeed and suppresses the retry — the reference behaves the same
+        # with its own bloom's FPs: /root/reference/src/BlooMineUtils.cpp:348.)
+        kset = oracle.kgram_set(target, params.k)
+        thr = params.fp_threshold(len(kset))
+        if oracle.fp_screen(read, params.k, thr, kset.__contains__):
+            fwd_score = oracle.kmer_align_score(read, kset, params.k, params)
+            if fwd_score >= params.mst(len(kset)):
+                assert engine_hit, (read, target, params)
 
 
 @settings(max_examples=80, deadline=None)
@@ -100,16 +131,18 @@ def test_exact_mode_matches_containment(case):
         w = np.lib.stride_tricks.sliding_window_view(a, len(tgt))
         return bool((w == tgt).all(axis=1).any())
 
+    ctx = prepare_target(target, params)
+    member = _bloom_member(ctx)  # same bloom as the engine (FPs included)
     kset = oracle.kgram_set(target, params.k)
     thr = params.fp_threshold(len(kset))
     for i, read in enumerate(reads):
         rid = f"r{i}"
-        fwd_fp = oracle.fp_screen(read, params.k, thr, kset.__contains__)
+        fwd_fp = oracle.fp_screen(read, params.k, thr, member)
         if fwd_fp:
             want = contains(read)
         else:
             rc = read[::-1]
-            want = oracle.fp_screen(rc, params.k, thr, kset.__contains__) and contains(rc)
+            want = oracle.fp_screen(rc, params.k, thr, member) and contains(rc)
         if rid in got.index:
             assert bool(got.loc[rid, "sp_pass"]) == want, (read, target, params)
         else:
