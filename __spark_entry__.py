@@ -381,8 +381,10 @@ def _q_events_sessionize(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    # ts is TIMESTAMP_NTZ; epoch seconds via an explicit ltz hop (session
-    # timezone is pinned to UTC so the hop is value-preserving)
+    # ts is TIMESTAMP_NTZ; the ntz→ltz→long hop goes through the session
+    # timezone, so pin UTC or a DST transition in the driver's local zone
+    # would shift gaps by ±3600s
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
     with_flag = ev.withColumn(

@@ -93,6 +93,53 @@ def test_streaming_screen_matches_batch(spark, seq_parquet, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_windowed_hits(spark, seq_parquet, tmp_path):
+    """Watermarked tumbling-window hit counts on a stream equal the batch
+    computation over the same data."""
+    from bloomine_spark.operators.screen import screen_hits
+    from bloomine_spark.streaming.stream_ops import hits_per_window_stream
+
+    batch_df = spark.read.parquet(seq_parquet)
+    # synthesize an event-time column (deterministic per doc_id)
+    ts = F.timestamp_seconds(
+        F.lit(1700000000) + F.pmod(F.xxhash64("doc_id"), F.lit(600))
+    )
+    with_ts = batch_df.withColumn("ts", ts)
+    want = (
+        screen_hits(with_ts, DEFAULT_TARGET)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "source")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("w.start").alias("window_start"), "source", "n_hits")
+        .toPandas()
+    )
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(seq_parquet)
+        .withColumn("ts", ts)
+    )
+    q = (
+        hits_per_window_stream(
+            stream, DEFAULT_TARGET, window="1 minute", watermark="10 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("win_hits")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM win_hits").toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        zip(df["window_start"].astype(str), df["source"], df["n_hits"])
+    )
+    assert key(got) == key(want) and len(want) > 5
+
+
 def test_streaming_hll_stateful(spark, seq_parquet, tmp_path):
     from bloomine_spark.streaming.stream_ops import hll_distinct_by_key_stream
 
