@@ -177,6 +177,26 @@ def _q_moi_variant_lengths(spark, sf_dir):
     )
 
 
+def _q_cascade_combined_scores(spark, sf_dir):
+    """The REAL J1 merge on token-domain score logs: cascade both MOI
+    flanks, per-(doc,rc,flank) max, full-outer merge, null-safe pass flag
+    (/root/reference/bloomine/BloomineRunner.py:205-274). SP scores are not
+    SQL-expressible → rows-only; semantics pytest-gated in
+    tests/test_cascade_moi.py."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.cascade import cascade, combined_flank_scores
+    from bloomine_spark.operators.screen import prepare_target
+
+    seqs = _docs_tokens(spark, sf_dir)
+    head = _pattern_tokens(spark, MOI_HEAD)
+    tail = _pattern_tokens(spark, MOI_TAIL)
+    p = ScreenParams(k=2)
+    _hits, s1, s2 = cascade(seqs, head, tail, p)
+    thr1 = prepare_target(head, p).mst
+    thr2 = prepare_target(tail, p).mst
+    return combined_flank_scores(s1, s2, thr1, thr2)
+
+
 def _q_flank_log_merge_events(spark, sf_dir):
     """J1/A4/A5 relational shape on driver data: per-user best scores from
     two 'flank' event families, full-outer merged with a null-safe pass flag
@@ -650,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screen_hits_per_source": _q_screen_hits_per_source,
         "bloom_token_filter": _q_bloom_token_filter,
         "moi_variant_lengths": _q_moi_variant_lengths,
+        "cascade_combined_scores": _q_cascade_combined_scores,
         "flank_log_merge_events": _q_flank_log_merge_events,
         "argmax_probe_lineitem": _q_argmax_probe_lineitem,
         "top_order_per_customer": _q_top_order_per_customer,
