@@ -93,6 +93,60 @@ def sketch_partials(
 
         return df.mapInArrow(fold_arrow, schema=schema)
 
+    if len(group_cols) == 1:
+        # single-key grouped fold, also Arrow-native: group rows with one
+        # np.unique, slice the flat token buffer per group via a stable
+        # sort on per-position group ids — no pandas groupby machinery
+        import pyarrow as pa
+
+        from bloomine_spark.functions.kgrams import token_batch_from_arrow
+
+        gcol = group_cols[0]
+        is_array = isinstance(df.schema[value_col].dataType, T.ArrayType)
+
+        def fold_arrow_grouped(batches):
+            acc: dict = {}
+            gtype = None
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                garr = rb.column(rb.schema.get_field_index(gcol))
+                if gtype is None:
+                    gtype = garr.type
+                g = garr.to_numpy(zero_copy_only=False)
+                keys, inv = np.unique(g, return_inverse=True)
+                if is_array:
+                    tb = token_batch_from_arrow(rb, value_col)
+                    pos_group = np.repeat(inv, tb.lens)
+                    vals_all = tb.flat
+                else:
+                    pos_group = inv
+                    vals_all = rb.column(
+                        rb.schema.get_field_index(value_col)
+                    ).to_numpy(zero_copy_only=False)
+                order = np.argsort(pos_group, kind="stable")
+                sorted_vals = vals_all[order]
+                sorted_groups = pos_group[order]
+                bounds = np.searchsorted(
+                    sorted_groups, np.arange(len(keys) + 1)
+                )
+                for gi, key in enumerate(keys):
+                    if key not in acc:
+                        acc[key] = factory()
+                    acc[key].update_values(sorted_vals[bounds[gi]:bounds[gi + 1]])
+            if acc:
+                keys = sorted(acc.keys())
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        gcol: pa.array(list(keys), type=gtype),
+                        STATE_COL: pa.array(
+                            [acc[k].to_bytes() for k in keys], type=pa.binary()
+                        ),
+                    }
+                )
+
+        return df.mapInArrow(fold_arrow_grouped, schema=schema)
+
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
         for pdf in batches:

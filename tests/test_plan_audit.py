@@ -68,6 +68,7 @@ def test_sketch_partials_shuffle_is_narrow(spark):
     merged = merge_grouped(partials, ["source"], factory)
     facts = plan_facts(merged)
     text = facts.text
-    # exactly one exchange, and it is ABOVE the MapInPandas partial fold
+    # exactly one exchange, and it is ABOVE the partial fold node
     assert facts.n_exchanges == 1
-    assert text.index("Exchange") < text.index("MapInPandas")
+    fold_node = "MapInArrow" if "MapInArrow" in text else "MapInPandas"
+    assert text.index("Exchange") < text.index(fold_node)
