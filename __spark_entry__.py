@@ -533,7 +533,9 @@ def _q_exact_dup_docs(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicates(docs, F.col("text"))
+    return exact_duplicates(docs, F.col("text")).withColumn(
+        "canonical_id", F.col("canonical_id").cast("string")
+    )
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
