@@ -258,12 +258,21 @@ def _q_top_order_per_customer(spark, sf_dir):
 
 
 def _kgram_str_expr(n: int):
-    """Word n-gram strings via pure built-ins (W3 relational analog)."""
+    """Word n-gram strings via pure built-ins (W3 relational analog).
+
+    Guarded for short docs: sequence(0, size-n) with size<n would produce
+    the DESCENDING array [0, -1, ...] (Spark sequence semantics), and the
+    transform would then crash on slice(words, 0, n) — so docs with fewer
+    than n words yield an empty gram array instead.
+    """
     words = F.split(F.col("text"), " ")
-    return F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _q_distinct_kgrams_per_source_exact(spark, sf_dir):
@@ -315,23 +324,25 @@ def _q_token_freq_topk_exact(spark, sf_dir):
 
 
 def _q_cms_token_freq_topk(spark, sf_dir):
-    """North rule CMS: estimated frequencies for the exact top-20 words
-    (no oracle — approximate; ε–δ bound gated in tests)."""
+    """North rule CMS: estimated frequencies for the Misra–Gries top-20
+    tokens. Probe keys come from the MG heavy-hitters sketch — both
+    sketches are one-pass mergeable aggregations, so no exact wordcount or
+    driver-side collect of the corpus is needed anywhere (no oracle —
+    approximate; ε–δ bound gated in tests)."""
     _ship_pkg(spark)
-    from bloomine_spark.sketch.cms import CountMinSketch
-    from bloomine_spark.sketch.core import sketch_agg_global
-
-    seqs = _docs_tokens(spark, sf_dir)
-    factory = lambda: CountMinSketch.empty(1e-3, 1e-2)  # noqa: E731
-    cms = sketch_agg_global(seqs, "tokens", factory)
-    top = _q_token_freq_topk_exact(spark, sf_dir).collect()
-    words = [r["word"] for r in top]
     import numpy as np
 
-    toks = np.array([_pattern_tokens(spark, w)[0] for w in words], dtype=np.int64)
+    from bloomine_spark.sketch.cms import CountMinSketch
+    from bloomine_spark.sketch.core import sketch_agg_global
+    from bloomine_spark.sketch.mg import MisraGries
+
+    seqs = _docs_tokens(spark, sf_dir)
+    cms = sketch_agg_global(seqs, "tokens", lambda: CountMinSketch.empty(1e-3, 1e-2))
+    mg = sketch_agg_global(seqs, "tokens", lambda: MisraGries(256))
+    toks = np.array([t for t, _ in mg.top_k(20)], dtype=np.int64)
     est = cms.estimate_values(toks)
     return spark.createDataFrame(
-        [(w, int(e)) for w, e in zip(words, est)], ["word", "est_freq"]
+        [(int(t), int(e)) for t, e in zip(toks, est)], ["token", "est_freq"]
     )
 
 
@@ -385,7 +396,13 @@ def _q_events_hourly_agg(spark, sf_dir):
         ev.groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type"
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact decimal sum: order-independent vs the oracle
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
     )
 
@@ -401,15 +418,17 @@ def _q_events_sessionize(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    # ts is TIMESTAMP_NTZ; the ntz→ltz→long hop goes through the session
-    # timezone, so pin UTC or a DST transition in the driver's local zone
-    # would shift gaps by ±3600s
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    with_flag = ev.withColumn(
+    # ts is TIMESTAMP_NTZ; timestampdiff on NTZ is pure wall-clock
+    # arithmetic, so the gap computation is timezone-independent (no
+    # session-timezone mutation needed). Microsecond resolution matches the
+    # oracle's epoch_us difference exactly — no truncation boundary.
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    with_flag = with_prev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     with_sid = with_flag.withColumn(
         "session_id", F.sum("new_session").over(
@@ -417,9 +436,14 @@ def _q_events_sessionize(spark, sf_dir):
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     )
+    # value is summed as DECIMAL(18,6) so the aggregate is exact and
+    # order-independent — a plain double SUM's result depends on partition
+    # merge order and can flip a ROUND(...,4) digit vs the oracle
     return with_sid.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
         F.min("ts").alias("session_start"),
     )
 
@@ -429,16 +453,23 @@ def _q_lineitem_pricing_summary(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731 — exact, order-independent sums
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(dec(F.col("l_quantity"))).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -452,8 +483,12 @@ def _q_salted_source_counts(spark, sf_dir):
     partial = salted.groupBy("source", "salt").agg(
         F.count("*").alias("c"), F.sum("n_tok").alias("t")
     )
+    # explicit long cast: the oracle CASTs to BIGINT too — DuckDB's HUGEINT
+    # sum otherwise materializes as float64 and %.6g formatting diverges
+    # from int64 above 6 significant digits
     return partial.groupBy("source").agg(
-        F.sum("c").alias("n_docs"), F.sum("t").alias("total_tokens")
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("total_tokens"),
     )
 
 
@@ -515,8 +550,15 @@ def _q_regional_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -545,7 +587,10 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    # max_doc_freq caps shingle posting lists: a shingle shared by f docs
+    # contributes f² self-join rows, so one stopword 3-gram detonates the
+    # shuffle at corpus scale. The oracle applies the identical cap.
+    return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=100)
 
 
 def _q_minhash_lsh_dups(spark, sf_dir):
@@ -835,15 +880,17 @@ def oracle_sql() -> dict[str, str]:
 
     sql["events_hourly_agg"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
-               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                 AS sum_value
         FROM events GROUP BY 1, 2
     """
 
     sql["events_sessionize"] = """
         WITH flagged AS (
           SELECT user_id, ts, value,
-                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
-                          PARTITION BY user_id ORDER BY ts)) > 1800
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts)) > 1800000000
                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                           IS NULL
                       THEN 1 ELSE 0 END AS new_session
@@ -855,17 +902,23 @@ def oracle_sql() -> dict[str, str]:
           FROM flagged
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                 AS sum_value,
                MIN(ts) AS session_start
         FROM sid GROUP BY user_id, session_id
     """
 
     sql["lineitem_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -874,7 +927,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["salted_source_counts"] = """
         SELECT source, COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_tokens
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY source
     """
 
@@ -891,11 +944,16 @@ def oracle_sql() -> dict[str, str]:
         ), s AS (
           SELECT DISTINCT id, array_to_string(toks[i + 1 : i + 3], ' ') AS g
           FROM d, unnest(range(0, len(toks) - 2)) AS u(i)
+        ), capped AS (
+          SELECT id, g FROM (
+            SELECT id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM s
+          ) WHERE df <= 100
         ), sz AS (
-          SELECT id, COUNT(*) AS sz FROM s GROUP BY id
+          SELECT id, COUNT(*) AS sz FROM capped GROUP BY id
         ), inter AS (
           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-          FROM s a JOIN s b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+          FROM capped a JOIN capped b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2
         )
         SELECT id_a, id_b,
                ROUND(inter * 1.0 / (x.sz + y.sz - inter), 6) AS jaccard
@@ -971,7 +1029,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["regional_revenue"] = """
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                COUNT(*) AS n_lineitems
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey

@@ -48,13 +48,20 @@ def exact_duplicates(
 # ---------------------------------------------------------------------------
 
 def _word_shingles_expr(text_col: str, n: int):
+    # Guarded: sequence(0, -1) yields the DESCENDING array [0, -1] in Spark,
+    # so an unguarded transform crashes on slice(words, 0, n) for any doc
+    # with fewer than n words (and a size==n-1 doc would emit a wrong short
+    # shingle). Short docs produce an empty shingle set instead.
     words = F.split(F.col(text_col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-    )
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
@@ -63,12 +70,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs via shared-shingle equi-join.
 
     Fully relational (SQL-oracle-checkable): distinct shingles per doc →
     self-equi-join on shingle → pair intersection counts → |A|+|B|−∩ union.
     Only docs sharing ≥1 shingle ever pair up.
+
+    ``max_doc_freq`` caps the posting list: a shingle shared by f docs
+    contributes f² rows to the self-join, so one ultra-frequent shingle
+    ("of the and") detonates the shuffle at corpus scale. Shingles with
+    document frequency > cap are dropped from CANDIDATE GENERATION AND from
+    the intersection count — i.e. Jaccard is computed over the capped
+    shingle universe on both sides (doc sizes are recomputed post-cap), so
+    the result is exactly the oracle's answer on the same capped universe.
+    Recall effect: a pair is missed only if ALL of its shared shingles are
+    ultra-frequent — such pairs share no distinctive content and are
+    near-dup noise, not signal. Default None = uncapped (exact classic
+    Jaccard; fine at test scale, cap at ≥ corpus scale).
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(
@@ -76,6 +96,15 @@ def ngram_jaccard_pairs(
         .filter(F.col("g") != "")
         .distinct()
     )
+    if max_doc_freq is not None:
+        # document frequency per shingle; one narrow extra aggregation —
+        # shuffles (g, df) only, then a broadcast-friendly semi filter
+        freq = sh.groupBy("g").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(freq, "g")
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("id", "g")
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -102,32 +131,48 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_signatures_kernel(
-    tokens_or_text: str, n: int, num_perm: int, is_text: bool
-):
-    seeds = np.arange(1, num_perm + 1, dtype=np.uint64)
+def _minhash_signatures_kernel(num_perm: int):
+    """Arrow-native minhash: the shingle-hash list column is consumed
+    through its contiguous values+offsets buffers (zero copy, no per-row
+    ndarrays), per-permutation minima via ``np.minimum.reduceat``, and the
+    signature column is emitted as one flat int64 buffer + offsets — no
+    per-row Python anywhere."""
+    import pyarrow as pa
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    from bloomine_spark.functions.kgrams import token_batch_from_arrow
+
+    seeds = np.arange(1, num_perm + 1, dtype=np.uint64)
+    seed_mix = splitmix64(seeds)
+
+    def kernel(batches) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            # shingle hash sets per row
-            rows_h: list[np.ndarray] = []
-            for v in pdf["_shingle_hashes"]:
-                rows_h.append(np.asarray(v, dtype=np.uint64))
-            lens = np.array([len(r) for r in rows_h], dtype=np.int64)
-            keep = lens > 0
+            batch = token_batch_from_arrow(rb, "_shingle_hashes")
+            keep = batch.lens > 0
             if not keep.any():
                 continue
-            flat = np.concatenate([r for r, k in zip(rows_h, keep) if k])
-            off = np.concatenate(([0], np.cumsum(lens[keep])))[:-1]
-            sig = np.empty((int(keep.sum()), len(seeds)), dtype=np.uint64)
-            for j, s in enumerate(seeds):
-                mixed = splitmix64(flat ^ splitmix64(np.full(1, s))[0])
+            kidx = np.flatnonzero(keep)
+            lens = batch.lens[kidx]
+            # empty rows occupy no space in the flat buffer, so the kept
+            # rows' segments are already contiguous in row order
+            flat = batch.flat
+            off = np.zeros(len(kidx), dtype=np.int64)
+            np.cumsum(lens[:-1], out=off[1:])
+            sig = np.empty((len(kidx), num_perm), dtype=np.uint64)
+            for j in range(num_perm):
+                mixed = splitmix64(flat ^ seed_mix[j])
                 sig[:, j] = np.minimum.reduceat(mixed, off)
-            out = pdf.loc[keep, ["doc_id"]].reset_index(drop=True)
-            out["signature"] = [row.astype(np.int64) for row in sig]
-            yield out
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(kidx) + 1, dtype=np.int32) * num_perm),
+                pa.array(sig.ravel().view(np.int64)),
+            )
+            doc = rb.column(rb.schema.get_field_index("doc_id")).take(
+                pa.array(kidx)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [doc, sig_col], ["doc_id", "signature"]
+            )
 
     return kernel
 
@@ -152,9 +197,7 @@ def minhash_signatures(
             T.StructField("signature", T.ArrayType(T.LongType())),
         ]
     )
-    return pre.mapInPandas(
-        _minhash_signatures_kernel(text_col, n, num_perm, True), schema=schema
-    )
+    return pre.mapInArrow(_minhash_signatures_kernel(num_perm), schema=schema)
 
 
 def minhash_lsh_duplicates(
@@ -251,29 +294,43 @@ def simhash_signatures(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = []
-            for v in pdf["_wh"]:
-                h = np.asarray(v, dtype=np.uint64)
-                if len(h) == 0:
-                    out.append(0)
-                    continue
-                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 >= len(h)
-                sh = np.uint64(0)
-                sh = np.bitwise_or.reduce(
-                    np.where(votes, np.uint64(1) << bit_idx, np.uint64(0))
-                )
-                out.append(int(sh.astype(np.int64)))
-            res = pdf[["doc_id"]].copy()
-            res["simhash"] = np.array(out, dtype=np.int64)
-            yield res
+    def kernel(batches) -> Iterator["pa.RecordBatch"]:
+        # Arrow-native bit-plane votes: for each of the 64 bits, one
+        # vectorized extract over the whole flat buffer + one
+        # ``np.add.reduceat`` per-row sum — no per-row Python, and memory
+        # stays O(flat) instead of the O(flat × 64) of a bits matrix.
+        import pyarrow as pa
 
-    return pre.mapInPandas(kernel, schema=schema)
+        from bloomine_spark.functions.kgrams import token_batch_from_arrow
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            batch = token_batch_from_arrow(rb, "_wh")
+            out = np.zeros(n, dtype=np.uint64)
+            kidx = np.flatnonzero(batch.lens > 0)
+            if len(kidx):
+                lens = batch.lens[kidx]
+                flat = batch.flat  # kept-row segments are contiguous
+                off = np.zeros(len(kidx), dtype=np.int64)
+                np.cumsum(lens[:-1], out=off[1:])
+                sh = np.zeros(len(kidx), dtype=np.uint64)
+                for b in range(64):
+                    bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    votes = np.add.reduceat(bit, off)
+                    sh |= np.where(
+                        votes * 2 >= lens, np.uint64(1) << np.uint64(b), np.uint64(0)
+                    )
+                out[kidx] = sh
+            doc = rb.column(rb.schema.get_field_index("doc_id"))
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(out.view(np.int64))], ["doc_id", "simhash"]
+            )
+
+    return pre.mapInArrow(kernel, schema=schema)
 
 
 def simhash_duplicates(
@@ -341,13 +398,25 @@ def embedding_near_dup_exact(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Exact cosine≥t pairs via blockwise matmul against a broadcast matrix.
 
     Correct brute-force baseline: O(n²) similarity work but distributed as
     (n/P)·n per task with no shuffle; use the LSH variant for corpora where
     the broadcast side no longer fits (see embedding_near_dup_lsh).
+
+    Guarded: the whole table is collected to the driver for the broadcast,
+    so above ``max_broadcast_rows`` this refuses with a pointer to the LSH
+    path instead of silently OOM-ing a real corpus through the driver.
     """
+    n_rows = emb.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_near_dup_exact is the broadcast brute-force baseline "
+            f"({n_rows} rows > max_broadcast_rows={max_broadcast_rows}); use "
+            f"embedding_near_dup_lsh for corpora of this size"
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)

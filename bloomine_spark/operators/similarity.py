@@ -57,9 +57,16 @@ def brute_force_topk(
             self_mask = qi[:, None] == ids[None, :]
             sims[self_mask] = -np.inf
             kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # deterministic partial top-k: order each query's candidates by
+            # (cosine desc, neighbor_id asc) before truncating, so an
+            # equal-cosine lower-id candidate at the k boundary is never
+            # dropped ahead of the global tie-breaking window
+            cols = np.empty((len(qi), kk), dtype=np.int64)
+            for i in range(len(qi)):
+                order = np.lexsort((ids, -sims[i]))
+                cols[i] = order[:kk]
             rows = np.repeat(qi, kk)
-            cols = part.ravel()
+            cols = cols.ravel()
             yield pd.DataFrame(
                 {
                     "query_id": rows,

@@ -128,8 +128,11 @@ def fingerprint_winnow(
                 else:
                     sel = np.array([kh.min()], dtype=np.uint64)
                 ids.append(doc_id)
-                fps.append(sel.astype(np.int64))
-                mins.append(int(sel.min().astype(np.int64)))
+                sel64 = sel.astype(np.int64)
+                fps.append(sel64)
+                # min in the SIGNED domain so min_fp == array_min(fingerprints)
+                # even when a uint64 hash ≥ 2^63 wraps negative
+                mins.append(int(sel64.min()))
             if ids:
                 yield pd.DataFrame(
                     {"doc_id": ids, "fingerprints": fps, "min_fp": mins}

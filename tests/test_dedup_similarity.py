@@ -217,3 +217,84 @@ def test_multimodal_stub_raises(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+# ----------------------------------------------------- short-doc guards
+def test_short_docs_do_not_crash_shingling(spark):
+    """sequence(0, size-n) with size<n yields a DESCENDING array in Spark;
+    unguarded, transform+slice crashes for any doc with <n words. Short
+    docs must instead contribute an empty shingle set (ADVICE r1)."""
+    rows = [
+        (1, "one"),
+        (2, "two words"),
+        (3, "three words here"),
+        (4, "three words here"),
+        (5, "a much longer document with several words in it"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).toPandas()
+    # identical 3-word docs pair at jaccard 1.0; 1/2-word docs pair nothing
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(3, 4)}
+    mh = minhash_lsh_duplicates(docs, num_perm=64, bands=16, threshold=0.5).toPandas()
+    assert set(zip(mh["id_a"], mh["id_b"])) == {(3, 4)}
+
+
+def test_entry_kgram_expr_handles_short_docs(spark):
+    import __spark_entry__ as e
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "exactly three words")],
+        ["doc_id", "text"],
+    )
+    got = docs.select(
+        "doc_id", F.explode(e._kgram_str_expr(3)).alias("g")
+    ).toPandas()
+    assert list(got["doc_id"]) == [3]
+    assert list(got["g"]) == ["exactly three words"]
+
+
+def test_ngram_jaccard_max_doc_freq_caps_posting_lists(spark):
+    """A shingle shared by all docs must not generate f² candidates when
+    capped; pairs sharing only distinctive shingles are still found, and
+    jaccard is computed over the capped universe on both sides."""
+    common = "the quick brown fox jumps"  # 3 shared shingles in every doc
+    rows = [(i, f"{common} unique{i} filler{i} tail{i}") for i in range(40)]
+    # planted near-dup pair sharing distinctive content
+    rows.append((100, f"{common} special one two three four five"))
+    rows.append((101, f"{common} special one two three four five"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.3, max_doc_freq=5
+    ).toPandas()
+    # ultra-frequent shingles dropped -> the 40 filler docs share nothing
+    assert set(zip(capped["id_a"], capped["id_b"])) == {(100, 101)}
+    assert (capped["jaccard"] == 1.0).all()
+
+    # uncapped: every doc pairs with every other through the common phrase
+    # (jaccard small, but the candidate space is the full f² blow-up)
+    uncapped = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.0001, max_doc_freq=None
+    ).toPandas()
+    assert len(uncapped) == 42 * 41 // 2
+
+
+def test_embedding_exact_guard_trips(spark):
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup_exact(emb, threshold=0.9, max_broadcast_rows=10)
+
+
+def test_winnow_min_fp_consistent(spark):
+    """min_fp must equal array_min(fingerprints) in the signed int64 domain
+    even when a uint64 hash >= 2^63 wraps negative (ADVICE r1)."""
+    from bloomine_spark.operators.textops import fingerprint_winnow
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    got = fingerprint_winnow(docs).toPandas()
+    assert len(got) == 100
+    for _, r in got.iterrows():
+        assert r["min_fp"] == min(r["fingerprints"])
+    # at least one doc exercises the wrap (hashes are uniform over uint64)
+    assert (got["min_fp"] < 0).any()
