@@ -29,6 +29,15 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--flank2",
+        default=None,
+        help="comma-joined token ids; with --flank2 the job runs the "
+        "two-flank cascade with per-stage resume (completed stages under "
+        "<output>/<run-id>/ are skipped on rerun, "
+        "BloomineRunner.py:170-190 semantics)",
+    )
+    ap.add_argument("--force", action="store_true", help="ignore completed stages")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,11 +54,21 @@ def main() -> None:
     )
 
     df = spark.read.parquet(args.input)
-    scores = screen_scores(df, target, params, mode=args.mode).cache()
-    scores.write.mode("overwrite").parquet(f"{args.output}/scores")
-    scores.filter(F.col("sp_pass")).write.mode("overwrite").parquet(
-        f"{args.output}/hits"
-    )
+    if args.flank2:
+        from bloomine_spark.sources.stages import resumable_cascade
+
+        flank2 = [int(t) for t in args.flank2.split(",")]
+        _, runner = resumable_cascade(
+            df, target, flank2, f"{args.output}/{args.run_id}", params,
+            force=args.force,
+        )
+        print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
+    else:
+        scores = screen_scores(df, target, params, mode=args.mode).cache()
+        scores.write.mode("overwrite").parquet(f"{args.output}/scores")
+        scores.filter(F.col("sp_pass")).write.mode("overwrite").parquet(
+            f"{args.output}/hits"
+        )
 
     if args.checkpoint_dir:
         from bloomine_spark.sketch.hll import HyperLogLog

@@ -1,0 +1,166 @@
+"""Real multimodal decode: stdlib codec round-trips (PNG incl. all five
+scanline filters, BMP, PPM, WAV, RFV1 frames) and the Spark pipelines over
+genuinely encoded payloads."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from bloomine_spark.functions import codecs
+
+
+def _rand_img(h, w, c=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------- codecs
+
+@pytest.mark.parametrize("shape", [(17, 23), (17, 23, 3), (8, 8, 4)])
+def test_png_roundtrip(shape):
+    img = _rand_img(*shape[:2], c=shape[2] if len(shape) == 3 else None)
+    out = codecs.decode_png(codecs.encode_png(img))
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_each_filter_type(ftype):
+    """Hand-filter scanlines per the PNG spec and assert the decoder's
+    unfiltering reconstructs the original — covers Sub/Up/Average/Paeth,
+    which our own encoder (filter 0) never produces."""
+    img = _rand_img(9, 13, seed=ftype)
+    h, w = img.shape
+    prev = np.zeros(w, np.int32)
+    body = bytearray()
+    for y in range(h):
+        row = img[y].astype(np.int32)
+        left = np.concatenate(([0], row[:-1]))
+        ul = np.concatenate(([0], prev[:-1]))
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            filt = row - ((left + prev) >> 1)
+        else:  # Paeth
+            filt = np.empty(w, np.int32)
+            for x in range(w):
+                a, b, c = int(left[x]), int(prev[x]), int(ul[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = row[x] - pred
+        body.append(ftype)
+        body += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(bytes(body)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(data), img)
+
+
+def test_bmp_roundtrip():
+    img = _rand_img(11, 7, c=3, seed=3)  # width*3 not divisible by 4 → padding
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+
+
+def test_ppm_roundtrip_and_comments():
+    img = _rand_img(6, 9, c=3, seed=4)
+    enc = codecs.encode_ppm(img)
+    np.testing.assert_array_equal(codecs.decode_ppm(enc), img)
+    commented = b"P6\n# a comment\n9 6\n# another\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(codecs.decode_ppm(commented), img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-30000, 30000, 4000, dtype=np.int16)
+    out, sr = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert sr == 8000
+    np.testing.assert_array_equal(out[:, 0], samples)
+
+
+def test_rfv1_frames_roundtrip():
+    frames = [b"frame0", b"xx", b""]
+    got = list(codecs.iter_frames(codecs.encode_frames(frames)))
+    assert got == [(0, b"frame0"), (1, b"xx"), (2, b"")]
+
+
+def test_non_png_rejected():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"JFIF not a png")
+
+
+# ----------------------------------------------------------- Spark paths
+
+@pytest.mark.parametrize("codec", ["png", "bmp", "ppm"])
+def test_real_image_decode_pipeline(spark, codec):
+    """Real encoded payloads decode to the SAME grid features as the fake
+    raw path — the underlying synthetic image is identical, so the codec
+    round-trips inside the distributed pipeline."""
+    from bloomine_spark.operators.multimodal import (
+        decode_image_features,
+        synthetic_media,
+    )
+
+    real = synthetic_media(spark, 30, codec=codec)
+    feats = decode_image_features(real, decoder="auto", grid=4).toPandas()
+    fake = decode_image_features(
+        synthetic_media(spark, 30, codec="fake-raw"), decoder="fake", grid=4
+    ).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = fake.sort_values("media_id").reset_index(drop=True)
+    assert list(a["media_id"]) == list(b["media_id"])
+    assert (a["width"] == b["width"]).all() and (a["height"] == b["height"]).all()
+    for x, y in zip(a["features"], b["features"]):
+        np.testing.assert_allclose(x, y, rtol=1e-5)
+
+
+def test_audio_features_pipeline(spark):
+    from bloomine_spark.operators.multimodal import audio_features, synthetic_audio
+
+    clips = synthetic_audio(spark, 20, sample_rate=8000)
+    feats = audio_features(clips).toPandas()
+    assert len(feats) == 20
+    assert (feats["sample_rate"] == 8000).all()
+    # sine-dominated signal: RMS near 0.5/sqrt(2)*32767, ZCR ≈ 2f/sr
+    assert (feats["rms"] > 5000).all() and (feats["rms"] < 20000).all()
+    assert (feats["zero_cross_rate"] > 0.01).all()
+    assert (feats["duration_sec"] > 0.1).all()
+
+
+def test_video_frame_sampling_pipeline(spark):
+    from bloomine_spark.operators.multimodal import (
+        decode_image_features,
+        sample_video_frames,
+        synthetic_video,
+    )
+    from pyspark.sql import functions as F
+
+    clips = synthetic_video(spark, 5, frames_per_clip=12)
+    frames = sample_video_frames(clips, every_n=4, decoder="rfv1")
+    pdf = frames.toPandas()
+    assert len(pdf) == 5 * 3  # frames 0, 4, 8 per clip
+    assert sorted(set(pdf["frame_idx"])) == [0, 4, 8]
+    # sampled frames are real PNGs → feed them back through image decode
+    as_media = frames.select(
+        F.concat_ws("#", "media_id", F.col("frame_idx").cast("string")).alias(
+            "media_id"
+        ),
+        F.lit("image").alias("media_type"),
+        F.col("frame").alias("payload"),
+        F.create_map().alias("meta"),
+    )
+    feats = decode_image_features(as_media, decoder="auto").toPandas()
+    assert len(feats) == 15
+    assert (feats["width"] >= 16).all()
