@@ -141,6 +141,82 @@ def _kmer_hit(
     return None, None
 
 
+def _batch_flank_anchors(batch, kascade, flank_flag: str, len_flank: int):
+    """Vectorized kmer_hit (/root/reference/bloomine/moi.py:80-128) over a
+    whole TokenBatch: for k descending, every still-unresolved row's fwd and
+    reversed window hashes are matched against the flank's k-kmers at once;
+    per row the winning anchor minimizes (kmer index i, fwd-before-rev,
+    first position) — exactly the reference's loop order. Token equality is
+    verified on hash candidates (no collision trust).
+
+    Returns (pos int64[n] with -1 = no hit, dir int8[n] with 1='+', 2='-').
+    """
+    from bloomine_spark.functions.kgrams import kgram_windows
+
+    n = batch.n_rows
+    pos_out = np.full(n, -1, dtype=np.int64)
+    dir_out = np.zeros(n, dtype=np.int8)
+    unresolved = np.ones(n, dtype=bool)
+    k_arange_cache: dict[int, np.ndarray] = {}
+
+    for k, fh, fmat in kascade:  # k descends, like make_kascade
+        if not unresolved.any():
+            break
+        # min flank index per unique hash (stable sort → first = min i;
+        # equal hashes verify against the same token row)
+        order = np.argsort(fh, kind="stable")
+        fh_sorted = fh[order]
+        first = np.ones(len(fh_sorted), dtype=bool)
+        first[1:] = fh_sorted[1:] != fh_sorted[:-1]
+        uh = fh_sorted[first]
+        umin_i = order[first]
+        fmat_u64 = fmat.astype(np.uint64)
+
+        ar = k_arange_cache.setdefault(k, np.arange(k, dtype=np.int64))
+        cr, ci, cd, cp = [], [], [], []
+        for d, rev in ((1, False), (2, True)):
+            ws = kgram_windows(batch, k, reverse=rev)
+            if ws.n_windows == 0:
+                continue
+            loc = np.searchsorted(uh, ws.hashes)
+            np.minimum(loc, len(uh) - 1, out=loc)
+            m = (uh[loc] == ws.hashes) & unresolved[ws.row_ids]
+            if not m.any():
+                continue
+            gst = ws.gstarts[m]
+            i_idx = umin_i[loc[m]]
+            # verify tokens (rev windows read the flat buffer right-to-left)
+            gather = gst[:, None] + ((k - 1 - ar) if rev else ar)[None, :]
+            ok = (batch.flat[gather] == fmat_u64[i_idx]).all(axis=1)
+            if not ok.any():
+                continue
+            cr.append(ws.row_ids[m][ok])
+            ci.append(i_idx[ok])
+            cd.append(np.full(int(ok.sum()), d, dtype=np.int8))
+            cp.append(ws.starts[m][ok])
+        if not cr:
+            continue
+        rows = np.concatenate(cr)
+        ii = np.concatenate(ci)
+        dd = np.concatenate(cd)
+        pp = np.concatenate(cp)
+        # per row: lexmin (i, dir, pos) — reference loop order (i ascending,
+        # fwd checked before rev, .index() = first occurrence)
+        o2 = np.lexsort((pp, dd, ii, rows))
+        rows_s = rows[o2]
+        head_of_row = np.ones(len(rows_s), dtype=bool)
+        head_of_row[1:] = rows_s[1:] != rows_s[:-1]
+        sel = o2[head_of_row]
+        r = rows[sel]
+        if flank_flag == "head":
+            pos_out[r] = pp[sel] + len_flank - ii[sel] - 1
+        else:
+            pos_out[r] = pp[sel] - ii[sel]
+        dir_out[r] = dd[sel]
+        unresolved[r] = False
+    return pos_out, dir_out
+
+
 def extract_targets(
     hits: DataFrame,
     head_flank: Sequence[int],
@@ -151,8 +227,11 @@ def extract_targets(
     """Isolate the inter-flank region per hit read — isolate_target
     (/root/reference/bloomine/moi.py:17-77), token domain (RC = reversal).
 
-    Output: doc_id, extracted (array<int>). Runs as mapInPandas over the
-    (small, post-cascade) hit set.
+    Output: doc_id, extracted (array<int>), raw anchor positions and
+    orientation. Arrow-native: anchor search is the batched
+    ``_batch_flank_anchors`` (no per-row Python), and the variable-length
+    extracted regions are assembled with one vectorized gather over the
+    flat token buffer.
     """
     head = np.asarray(list(head_flank), dtype=np.int64)
     tail = np.asarray(list(tail_flank), dtype=np.int64)
@@ -170,35 +249,68 @@ def extract_targets(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {k.name: [] for k in schema.fields}
-            for doc_id, toks in zip(pdf["doc_id"], pdf[tokens_col]):
-                read = np.asarray(toks, dtype=np.int64)
-                read_rev = read[::-1].copy()
-                head_pos, o_h = _kmer_hit(kas_head, read, read_rev, "head", len_head)
-                tail_pos, o_t = _kmer_hit(kas_tail, read, read_rev, "tail", len_tail)
-                if head_pos is None or tail_pos is None or o_h != o_t:
-                    continue
-                raw_head, raw_tail = head_pos, tail_pos
-                n = len(read)
-                if head_pos > tail_pos:
-                    head_pos = n - head_pos + len_head + 1
-                    tail_pos = n - tail_pos - len_tail
-                seq = read if o_h == "+" else read_rev
-                if head_pos <= tail_pos:
-                    extracted = seq[head_pos + 1 : tail_pos]
-                else:
-                    extracted = seq[tail_pos + 1 : head_pos][::-1]
-                out["doc_id"].append(doc_id)
-                out["extracted"].append(extracted.astype(np.int32))
-                out["head_pos"].append(raw_head)
-                out["tail_pos"].append(raw_tail)
-                out["orientation"].append(o_h)
-            if out["doc_id"]:
-                yield pd.DataFrame(out)
+    def kernel(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return hits.mapInPandas(kernel, schema=schema)
+        from bloomine_spark.functions.kgrams import token_batch_from_arrow
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            batch = token_batch_from_arrow(rb, tokens_col)
+            hp, hd = _batch_flank_anchors(batch, kas_head, "head", len_head)
+            tp, td = _batch_flank_anchors(batch, kas_tail, "tail", len_tail)
+            ok = (hd != 0) & (td != 0) & (hd == td)
+            rows = np.flatnonzero(ok)
+            if len(rows) == 0:
+                continue
+            n = batch.lens[rows]
+            raw_h, raw_t = hp[rows], tp[rows]
+            o_rev = hd[rows] == 2
+            # flanks found in swapped order → mirror both anchors (moi.py:56-59)
+            flip = raw_h > raw_t
+            hp2 = np.where(flip, n - raw_h + len_head + 1, raw_h)
+            tp2 = np.where(flip, n - raw_t - len_tail, raw_t)
+            slice_rev = hp2 > tp2
+            a = np.where(slice_rev, tp2 + 1, hp2 + 1)
+            b = np.where(slice_rev, hp2, tp2)
+            out_len = np.maximum(b - a, 0)
+            total = int(out_len.sum())
+            # vectorized variable-length gather: element j of row r maps to
+            # a flat-buffer index via (slice order, row orientation)
+            rep = np.repeat(np.arange(len(rows)), out_len)
+            csum = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(out_len[:-1], out=csum[1:])
+            within = np.arange(total, dtype=np.int64) - np.repeat(csum, out_len)
+            j = np.where(slice_rev[rep], b[rep] - 1 - within, a[rep] + within)
+            j = np.where(o_rev[rep], n[rep] - 1 - j, j)
+            vals = (
+                batch.flat[batch.offsets[rows][rep] + j]
+                .view(np.int64)
+                .astype(np.int32)
+            )
+            offs = np.zeros(len(rows) + 1, dtype=np.int32)
+            np.cumsum(out_len, out=offs[1:])
+            ext = pa.ListArray.from_arrays(pa.array(offs), pa.array(vals))
+            doc = pc.cast(
+                rb.column(rb.schema.get_field_index("doc_id")).take(
+                    pa.array(rows)
+                ),
+                pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc,
+                    ext,
+                    pa.array(raw_h.astype(np.int32)),
+                    pa.array(raw_t.astype(np.int32)),
+                    pa.array(np.where(o_rev, "-", "+")),
+                ],
+                ["doc_id", "extracted", "head_pos", "tail_pos", "orientation"],
+            )
+
+    return hits.mapInArrow(kernel, schema=schema)
 
 
 def variant_counts(extracted: DataFrame) -> DataFrame:
