@@ -531,6 +531,74 @@ def _q_mg_token_topk(spark, sf_dir):
     )
 
 
+def _q_distinct_tokens_setops_exact(spark, sf_dir):
+    """U1–U4 exact set algebra over per-source distinct token sets:
+    |A|, |B|, |A∪B|, |A∩B|, |A\\B| for sources src0/src1 (oracle-checked;
+    the theta sketch query below is its approximate, mergeable analog)."""
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def words(src):
+        return (
+            docs.filter(F.col("source") == src)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .distinct()
+        )
+
+    a, b = words("src0"), words("src1")
+    row = [
+        (
+            a.count(),
+            b.count(),
+            a.union(b).distinct().count(),
+            a.intersect(b).count(),
+            a.subtract(b).count(),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_a long, n_b long, n_union long, n_intersect long, n_a_not_b long"
+    )
+
+
+def _q_theta_tokens_setops(spark, sf_dir):
+    """North-rule theta sketch: the SAME set algebra estimated from two
+    mergeable KMV sketches — union/intersection/difference compose on the
+    sketches, O(k) state per group at any data volume (no oracle —
+    approximate; error bounds + exact companion gated in tests)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.core import sketch_agg_global
+    from bloomine_spark.sketch.theta import (
+        ThetaSketch,
+        theta_a_not_b,
+        theta_intersect,
+        theta_union,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def hashes(src):
+        return (
+            docs.filter(F.col("source") == src)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .select(F.xxhash64("w").alias("h"))
+        )
+
+    a = sketch_agg_global(hashes("src0"), "h", lambda: ThetaSketch.empty(4096))
+    b = sketch_agg_global(hashes("src1"), "h", lambda: ThetaSketch.empty(4096))
+    rows = [
+        ("n_a", a.estimate()),
+        ("n_b", b.estimate()),
+        ("n_union", theta_union(a, b).estimate()),
+        ("n_intersect", theta_intersect(a, b).estimate()),
+        ("n_a_not_b", theta_a_not_b(a, b).estimate()),
+    ]
+    return spark.createDataFrame(
+        [(k, float(round(v, 1))) for k, v in rows], ["set_op", "est"]
+    )
+
+
 def _q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-style multi-join: revenue per nation, small dims broadcast,
     Catalyst free to reorder."""
@@ -748,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfamily_assign_docs": _q_polyfamily_assign_docs,
         "regional_revenue": _q_regional_revenue,
         "mg_token_topk": _q_mg_token_topk,
+        "distinct_tokens_setops_exact": _q_distinct_tokens_setops_exact,
+        "theta_tokens_setops": _q_theta_tokens_setops,
     }
 
 
@@ -1025,6 +1095,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                md5(lower(trim(text))) AS fingerprint
         FROM documents
+    """
+
+    sql["distinct_tokens_setops_exact"] = """
+        WITH a AS (
+          SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE source = 'src0'
+        ), b AS (
+          SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE source = 'src1'
+        )
+        SELECT (SELECT COUNT(*) FROM a) AS n_a,
+               (SELECT COUNT(*) FROM b) AS n_b,
+               (SELECT COUNT(*) FROM (SELECT w FROM a UNION SELECT w FROM b))
+                 AS n_union,
+               (SELECT COUNT(*) FROM
+                 (SELECT w FROM a INTERSECT SELECT w FROM b)) AS n_intersect,
+               (SELECT COUNT(*) FROM
+                 (SELECT w FROM a EXCEPT SELECT w FROM b)) AS n_a_not_b
     """
 
     sql["regional_revenue"] = """
