@@ -567,7 +567,7 @@ def _q_theta_tokens_setops(spark, sf_dir):
     sketches, O(k) state per group at any data volume (no oracle —
     approximate; error bounds + exact companion gated in tests)."""
     _ship_pkg(spark)
-    from bloomine_spark.sketch.core import sketch_agg_global
+    from bloomine_spark.sketch.core import STATE_COL, sketch_agg
     from bloomine_spark.sketch.theta import (
         ThetaSketch,
         theta_a_not_b,
@@ -577,16 +577,19 @@ def _q_theta_tokens_setops(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-
-    def hashes(src):
-        return (
-            docs.filter(F.col("source") == src)
-            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-            .select(F.xxhash64("w").alias("h"))
-        )
-
-    a = sketch_agg_global(hashes("src0"), "h", lambda: ThetaSketch.empty(4096))
-    b = sketch_agg_global(hashes("src1"), "h", lambda: ThetaSketch.empty(4096))
+    # ONE corpus scan builds both per-source sketches (grouped Arrow
+    # partials), vs a scan per source
+    hashes = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .select("source", F.xxhash64("w").alias("h"))
+    )
+    factory = lambda: ThetaSketch.empty(4096)  # noqa: E731
+    states = {
+        r["source"]: ThetaSketch.from_bytes(bytes(r[STATE_COL]))
+        for r in sketch_agg(hashes, ["source"], "h", factory).collect()
+    }
+    a, b = states["src0"], states["src1"]
     rows = [
         ("n_a", a.estimate()),
         ("n_b", b.estimate()),

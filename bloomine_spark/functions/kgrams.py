@@ -132,6 +132,32 @@ def kgram_windows(batch: TokenBatch, k: int, reverse: bool = False) -> WindowSet
     return WindowSet(row_ids, starts, gstarts, hashes)
 
 
+def iter_cache_slices(rb, tokens_col: str, max_tokens: int = 1 << 16):
+    """Zero-copy row slices of an Arrow RecordBatch whose summed token
+    counts stay ~cache-sized (max_tokens ≈ 512 KB of uint64 per full-length
+    temporary), so downstream whole-buffer kernels keep their numpy
+    temporaries L2/L3-resident instead of streaming DRAM — the single-box
+    memory-bus saturation diagnosed in BENCH/BASELINE.md. Slicing is
+    pyarrow ``RecordBatch.slice`` (buffer views, no copies)."""
+    import pyarrow as pa
+
+    arr = rb.column(rb.schema.get_field_index(tokens_col))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = arr.offsets.to_numpy()
+    if int(off[-1] - off[0]) <= max_tokens:
+        yield rb
+        return
+    cum = (off - off[0]).astype(np.int64)  # len n_rows+1, cumulative tokens
+    n, start = rb.num_rows, 0
+    while start < n:
+        end = int(np.searchsorted(cum, cum[start] + max_tokens, side="right")) - 1
+        if end <= start:
+            end = start + 1  # a single row larger than the budget
+        yield rb.slice(start, end - start)
+        start = end
+
+
 def distinct_per_row(row_ids: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     """Boolean mask of the first occurrence of each (row, hash) pair.
 

@@ -103,11 +103,22 @@ def screen_multi_scores(
 
     import pyarrow as pa
 
-    from bloomine_spark.functions.kgrams import token_batch_from_arrow
+    from bloomine_spark.functions.kgrams import (
+        iter_cache_slices,
+        token_batch_from_arrow,
+    )
 
     def kernel(batches) -> Iterator["pa.RecordBatch"]:
         ctx_map: dict[str, TargetContext] = ctx_bc.value
-        for rb in batches:
+        for rb0 in batches:
+            if rb0.num_rows == 0:
+                continue
+            yield from _slices(rb0, ctx_map)
+
+    def _slices(rb0, ctx_map) -> Iterator["pa.RecordBatch"]:
+        # cache-blocking row slices (see screen.py): per-row logic only,
+        # so slicing is semantics-free
+        for rb in iter_cache_slices(rb0, tokens_col):
             n = rb.num_rows
             if n == 0:
                 continue

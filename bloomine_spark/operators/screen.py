@@ -344,13 +344,25 @@ def make_screen_kernel(
     """
     import pyarrow as pa
 
-    from bloomine_spark.functions.kgrams import token_batch_from_arrow
+    from bloomine_spark.functions.kgrams import (
+        iter_cache_slices,
+        token_batch_from_arrow,
+    )
 
     def kernel(batches) -> Iterator["pa.RecordBatch"]:
         ctx: TargetContext = ctx_bc.value
         p = ctx.params
         bloom = ctx.bloom
-        for rb in batches:
+        for rb0 in batches:
+            if rb0.num_rows == 0:
+                continue
+            # cache-blocking: process the batch in zero-copy row slices so
+            # the window-hash/canvas temporaries stay cache-resident (all
+            # downstream logic is per-row, so slicing is semantics-free)
+            yield from _screen_slice_iter(rb0, ctx, p, bloom)
+
+    def _screen_slice_iter(rb0, ctx, p, bloom):
+        for rb in iter_cache_slices(rb0, tokens_col):
             n = rb.num_rows
             if n == 0:
                 continue

@@ -48,15 +48,23 @@ class CountMinSketch:
     def _row_idx(self, values: np.ndarray, r: int) -> np.ndarray:
         return (hash_u64(values, seed=r + 1) % np.uint64(self.w)).astype(np.int64)
 
+    # cache-blocking chunk (see hll.py): hash temporaries for 2^16 values
+    # stay L2-resident, so the d hash passes don't stream DRAM per row
+    _CHUNK = 1 << 16
+
     def update_values(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
         v = np.asarray(values)
-        for r in range(self.d):
-            # one row at a time: bincount beats unbuffered np.add.at ~10x,
-            # and never materializing the (d × n) index matrix keeps
-            # transient allocations small (multi-worker page-zero contention)
-            self.counts[r] += np.bincount(self._row_idx(v, r), minlength=self.w)
+        for i in range(0, len(v), self._CHUNK):
+            c = v[i : i + self._CHUNK]
+            for r in range(self.d):
+                # one row at a time: bincount beats unbuffered np.add.at
+                # ~10x, and never materializing the (d × n) index matrix
+                # keeps transient allocations small
+                self.counts[r] += np.bincount(
+                    self._row_idx(c, r), minlength=self.w
+                )
         self.n += len(v)
 
     def estimate_values(self, values: np.ndarray) -> np.ndarray:

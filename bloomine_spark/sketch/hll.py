@@ -50,10 +50,21 @@ class HyperLogLog:
     def m(self) -> int:
         return 1 << self.b
 
+    # cache-blocking chunk: every update pass allocates several full-length
+    # temporaries; at 2^16 values each stays ~512 KB — inside L2 — so the
+    # kernel's ~10 array passes hit cache instead of streaming to DRAM.
+    # (The round-1 scaling analysis showed the co-located workers saturate
+    # the single VM's memory bus; this cuts per-token DRAM traffic.)
+    _CHUNK = 1 << 16
+
     def update_hashes(self, h: np.ndarray) -> None:
         if len(h) == 0:
             return
         h = h.astype(np.uint64, copy=False)
+        for i in range(0, len(h), self._CHUNK):
+            self._update_chunk(h[i : i + self._CHUNK])
+
+    def _update_chunk(self, h: np.ndarray) -> None:
         idx = (h >> np.uint64(64 - self.b)).astype(np.int64)
         rest = (h << np.uint64(self.b)) | (np.uint64(1) << np.uint64(self.b - 1))
         # rank = clz(rest)+1, via the float64 exponent (frexp): ~6x faster
@@ -70,10 +81,14 @@ class HyperLogLog:
     def update_values(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
+        v = np.asarray(values)
         if self.hashed_input:
-            self.update_hashes(np.asarray(values, dtype=np.uint64))
-        else:
-            self.update_hashes(hash_u64(np.asarray(values)))
+            self.update_hashes(v.astype(np.uint64, copy=False))
+            return
+        # hash per cache-sized chunk too, so the hash temporaries and the
+        # rank pipeline share the same resident working set
+        for i in range(0, len(v), self._CHUNK):
+            self._update_chunk(hash_u64(v[i : i + self._CHUNK]))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if self.b != other.b:
