@@ -602,6 +602,41 @@ def _q_theta_tokens_setops(spark, sf_dir):
     )
 
 
+def _q_curate_training_docs(spark, sf_dir):
+    """End-to-end training-data curation composition: quality filter →
+    exact dedup (keep canonical min-doc_id copy) → deterministic per-source
+    sample (bottom-k by md5(doc_id), a mergeable uniform sample — the
+    hash-order trick makes 'random' sampling oracle-checkable and
+    shuffle-stable at any scale). Every stage is a narrow/grouped op: no
+    driver collects, no cross joins."""
+    _ship_pkg(spark)
+    from pyspark.sql import Window
+
+    from bloomine_spark.operators.textops import quality_scores
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_id_s", F.col("doc_id").cast("string")
+    )
+    q = quality_scores(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("q_doc_id"), "quality"
+    )
+    base = docs.join(q, docs["doc_id_s"] == q["q_doc_id"]).filter(
+        F.col("quality") >= 0.5
+    )
+    canon = Window.partitionBy(F.md5("text"))
+    deduped = (
+        base.withColumn("canonical", F.min("doc_id").over(canon))
+        .filter(F.col("doc_id") == F.col("canonical"))
+    )
+    w = Window.partitionBy("source").orderBy(F.md5("doc_id_s"), F.asc("doc_id"))
+    return (
+        deduped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("doc_id_s").alias("doc_id"), "source", "quality")
+    )
+
+
 def _q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-style multi-join: revenue per nation, small dims broadcast,
     Catalyst free to reorder."""
@@ -821,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_token_topk": _q_mg_token_topk,
         "distinct_tokens_setops_exact": _q_distinct_tokens_setops_exact,
         "theta_tokens_setops": _q_theta_tokens_setops,
+        "curate_training_docs": _q_curate_training_docs,
     }
 
 
@@ -1092,6 +1128,36 @@ def oracle_sql() -> dict[str, str]:
                                           w -> w IN ({stop_in}))) > 0
                     THEN 'en' ELSE 'other' END AS predicted_lang
         FROM documents
+    """
+
+    sql["curate_training_docs"] = f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS doc_id_s, text, source,
+                 len(string_split(text, ' ')) AS n_words,
+                 length(text) AS n_chars,
+                 len(list_filter(string_split(text, ' '),
+                                 w -> w IN ({stop_in}))) AS stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, doc_id_s, text, source,
+                 ROUND(LEAST(n_words / 100.0, 1.0) * 0.5
+                       + (stop * 1.0 / n_words) * 0.3
+                       + (1 - punct * 1.0 / GREATEST(n_chars, 1)) * 0.2, 4)
+                   AS quality
+          FROM base
+        ), deduped AS (
+          SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+            FROM scored WHERE quality >= 0.5
+          ) WHERE doc_id = canonical
+        ), sampled AS (
+          SELECT doc_id_s AS doc_id, source, quality,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY md5(doc_id_s), doc_id) AS rn
+          FROM deduped
+        )
+        SELECT doc_id, source, quality FROM sampled WHERE rn <= 10
     """
 
     sql["doc_fingerprint_md5"] = """

@@ -37,16 +37,23 @@ class CountMinSketch:
     def with_shape(cls, d: int, w: int) -> "CountMinSketch":
         return cls(d, w, np.zeros((d, w), dtype=np.int64), 0)
 
-    def _rows(self, values: np.ndarray) -> np.ndarray:
-        """(d, n) column indices for each value, one seeded hash per row."""
-        v = np.asarray(values)
-        out = np.empty((self.d, len(v)), dtype=np.int64)
-        for r in range(self.d):
-            out[r] = (hash_u64(v, seed=r + 1) % np.uint64(self.w)).astype(np.int64)
-        return out
+    def _base_hashes(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(h1, h2) per value for Kirsch–Mitzenmacher row derivation:
+        row r probes column (h1 + r·h2) mod w — two hash computations
+        instead of d, the same construction as the Bloom filter
+        (KM 2006: preserves the CMS guarantee asymptotically)."""
+        from bloomine_spark.functions.hashing import _SM_M1, splitmix64
+
+        h1 = hash_u64(np.asarray(values), seed=1)
+        h2 = splitmix64(h1 ^ _SM_M1) | np.uint64(1)
+        return h1, h2
 
     def _row_idx(self, values: np.ndarray, r: int) -> np.ndarray:
-        return (hash_u64(values, seed=r + 1) % np.uint64(self.w)).astype(np.int64)
+        h1, h2 = self._base_hashes(values)
+        return self._km_idx(h1, h2, r)
+
+    def _km_idx(self, h1: np.ndarray, h2: np.ndarray, r: int) -> np.ndarray:
+        return ((h1 + np.uint64(r) * h2) % np.uint64(self.w)).astype(np.int64)
 
     # cache-blocking chunk (see hll.py): hash temporaries for 2^16 values
     # stay L2-resident, so the d hash passes don't stream DRAM per row
@@ -58,12 +65,13 @@ class CountMinSketch:
         v = np.asarray(values)
         for i in range(0, len(v), self._CHUNK):
             c = v[i : i + self._CHUNK]
+            h1, h2 = self._base_hashes(c)  # hashed once, reused by all rows
             for r in range(self.d):
                 # one row at a time: bincount beats unbuffered np.add.at
                 # ~10x, and never materializing the (d × n) index matrix
                 # keeps transient allocations small
                 self.counts[r] += np.bincount(
-                    self._row_idx(c, r), minlength=self.w
+                    self._km_idx(h1, h2, r), minlength=self.w
                 )
         self.n += len(v)
 
@@ -71,10 +79,10 @@ class CountMinSketch:
         """Vectorized point queries → int64 estimates (min over rows)."""
         if len(values) == 0:
             return np.empty(0, dtype=np.int64)
-        v = np.asarray(values)
-        est = self.counts[0][self._row_idx(v, 0)]
+        h1, h2 = self._base_hashes(np.asarray(values))
+        est = self.counts[0][self._km_idx(h1, h2, 0)]
         for r in range(1, self.d):
-            est = np.minimum(est, self.counts[r][self._row_idx(v, r)])
+            est = np.minimum(est, self.counts[r][self._km_idx(h1, h2, r)])
         return est
 
     def estimate(self, value) -> int:
