@@ -602,6 +602,25 @@ def _q_theta_tokens_setops(spark, sf_dir):
     )
 
 
+def _q_bloom_semi_join_orders(spark, sf_dir):
+    """F1-as-join: Bloom prefilter built from high-value orders cuts the
+    lineitem side BEFORE the shuffle; the exact semi-join that follows
+    removes Bloom FPs, so the result equals the plain semi-join exactly."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.bloomjoin import bloom_semi_join
+    from bloomine_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    small = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bloom_semi_join(t["lineitem"], small, "l_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
 def _q_curate_training_docs(spark, sf_dir):
     """End-to-end training-data curation composition: quality filter →
     exact dedup (keep canonical min-doc_id copy) → deterministic per-source
@@ -857,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_tokens_setops_exact": _q_distinct_tokens_setops_exact,
         "theta_tokens_setops": _q_theta_tokens_setops,
         "curate_training_docs": _q_curate_training_docs,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
     }
 
 
@@ -1128,6 +1148,14 @@ def oracle_sql() -> dict[str, str]:
                                           w -> w IN ({stop_in}))) > 0
                     THEN 'en' ELSE 'other' END AS predicted_lang
         FROM documents
+    """
+
+    sql["bloom_semi_join_orders"] = """
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+        )
     """
 
     sql["curate_training_docs"] = f"""
