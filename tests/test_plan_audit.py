@@ -72,3 +72,26 @@ def test_sketch_partials_shuffle_is_narrow(spark):
     assert facts.n_exchanges == 1
     fold_node = "MapInArrow" if "MapInArrow" in text else "MapInPandas"
     assert text.index("Exchange") < text.index(fold_node)
+
+
+@needs_data
+def test_bloom_semi_join_plan(spark):
+    """The Bloom prefilter must sit below the join (big side pruned before
+    the exchange) and the final join must not be cartesian."""
+    import __spark_entry__ as em
+
+    q = em.queries()["bloom_semi_join_orders"](spark, SF)
+    assert_no_cartesian(q)
+    facts = plan_facts(q)
+    text = facts.text
+    # the Arrow probe node exists and appears below the semi join
+    assert "MapInArrow" in text
+    assert "LeftSemi" in text or "left_semi" in text.lower()
+
+
+@needs_data
+def test_curate_training_docs_plan(spark):
+    import __spark_entry__ as em
+
+    q = em.queries()["curate_training_docs"](spark, SF)
+    assert_no_cartesian(q)
