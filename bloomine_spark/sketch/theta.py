@@ -44,16 +44,21 @@ class ThetaSketch:
     def empty(cls, k: int = 4096) -> "ThetaSketch":
         return cls(k=k, theta=_THETA_MAX, samples=np.empty(0, dtype=np.uint64))
 
+    # cache-blocking chunk (see hll.py): hash + threshold-filter + sort stay
+    # L2-resident per chunk; θ tightens as chunks fold in, so later chunks
+    # filter more and the retained set stays ≤ k
+    _CHUNK = 1 << 16
+
     # ---------------------------------------------------------------- update
     def update_values(self, values: np.ndarray) -> None:
-        if len(values) == 0:
-            return
-        h = hash_u64(np.asarray(values))
-        h = h[h < self.theta]
-        if len(h) == 0:
-            return
-        self.samples = np.unique(np.concatenate([self.samples, h]))
-        self._trim()
+        v = np.asarray(values)
+        for i in range(0, len(v), self._CHUNK):
+            h = hash_u64(v[i : i + self._CHUNK])
+            h = h[h < self.theta]
+            if len(h) == 0:
+                continue
+            self.samples = np.unique(np.concatenate([self.samples, h]))
+            self._trim()
 
     def _trim(self) -> None:
         if len(self.samples) > self.k:
