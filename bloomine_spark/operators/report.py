@@ -1,0 +1,73 @@
+"""Report sinks in the reference's own output formats.
+
+- ``render_subpop_report`` reproduces the MOI text report byte format
+  (/root/reference/bloomine/moi.py:131-161: header, ``Sequence variants:``
+  block of ``<seq>\\t<count>`` lines, ``Length variants:`` block).
+- ``polyfamily_summary_json`` reproduces the polyfamily JSON summary
+  (/root/reference/bloomine/run.py:100-125: ``{probe_id: [[seq, count],
+  ...]}`` sorted by count descending).
+
+Both take the (small, post-aggregation) result DataFrames — the driver-side
+formatting of counts the cluster already reduced; nothing here touches row
+data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _default_detok(tokens: Sequence[int]) -> str:
+    return " ".join(str(t) for t in tokens)
+
+
+def render_subpop_report(
+    variants: DataFrame,
+    length_variants: DataFrame,
+    fastq: str,
+    flanks_fasta: str,
+    detokenize: Callable[[Sequence[int]], str] = _default_detok,
+    timestamp: datetime.datetime | None = None,
+) -> str:
+    """Text report from ``variant_counts`` / ``length_variant_counts``
+    output, in the exact reference format (moi.py:146-160)."""
+    ts = (timestamp or datetime.datetime.now()).strftime("%d-%m-%y %H:%M:%S")
+    lines = [
+        f"Subpop report generated {ts}",
+        "",
+        f"fastq:\t{fastq}",
+        f"flanks_fasta flanks:\t{flanks_fasta}",
+        "",
+        "",
+        "Sequence variants:",
+    ]
+    for r in variants.collect():
+        lines.append(f"{detokenize(r['extracted'])}\t{r['count']}")
+    lines.append("")
+    lines.append("Length variants:")
+    for r in length_variants.collect():
+        lines.append(f"{r['variant_len']}\t{r['count']}")
+    lines.append("")
+    return "\n".join(lines) + "\n"
+
+
+def polyfamily_summary_json(
+    per_probe_variants: Mapping[str, DataFrame],
+    detokenize: Callable[[Sequence[int]], str] = _default_detok,
+) -> str:
+    """{probe_id: [[variant, count], ...]} sorted by count desc
+    (run.py:117-121's ``probe_json`` layout)."""
+    out: dict[str, list] = {}
+    for probe_id in sorted(per_probe_variants):
+        rows = per_probe_variants[probe_id].collect()
+        pairs = sorted(
+            ((detokenize(r["extracted"]), int(r["count"])) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )
+        if pairs:
+            out[probe_id] = [[s, c] for s, c in pairs]
+    return json.dumps(out, indent=2)
