@@ -1025,9 +1025,12 @@ def oracle_sql() -> dict[str, str]:
                       THEN 1 ELSE 0 END AS new_session
           FROM events
         ), sid AS (
-          SELECT *, SUM(new_session) OVER (
+          -- CAST: DuckDB's windowed SUM returns HUGEINT, which pandas
+          -- materializes as float64 — int64 1 vs float64 1.0 hash-diverges
+          -- under the driver's canonicalizer (red row in r01+r02)
+          SELECT *, CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,

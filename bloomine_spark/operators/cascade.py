@@ -275,6 +275,14 @@ def extract_targets(
             slice_rev = hp2 > tp2
             a = np.where(slice_rev, tp2 + 1, hp2 + 1)
             b = np.where(slice_rev, hp2, tp2)
+            # Python slice resolution (reference read_seq[start:end],
+            # moi.py:66-73): partial flank matches at read edges produce
+            # anchors outside [0, n) — a negative index wraps once from the
+            # end, then both bounds clamp to [0, n], exactly like a Python
+            # slice. Without this the flat-buffer gather below reads other
+            # rows' tokens (or runs off the buffer).
+            a = np.clip(np.where(a < 0, a + n, a), 0, n)
+            b = np.clip(np.where(b < 0, b + n, b), 0, n)
             out_len = np.maximum(b - a, 0)
             total = int(out_len.sum())
             # vectorized variable-length gather: element j of row r maps to

@@ -45,7 +45,10 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(pdf: pd.DataFrame) -> str:
     canon_rows = canon(pdf)
-    blob = canon_rows.to_csv(index=False, float_format="%.6g").encode()
+    # No float_format: the driver's canonicalizer does not normalize dtype
+    # repr, so int64 1 vs float64 1.0 must hash-diverge here too (this
+    # masked the events_sessionize HUGEINT->float64 red row in r01/r02).
+    blob = canon_rows.to_csv(index=False).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
