@@ -257,6 +257,43 @@ def _q_top_order_per_customer(spark, sf_dir):
     )
 
 
+def _q_max_sum_lineitems(spark, sf_dir):
+    """A8 relational twin: per supplier (probe), keep the orders (docs)
+    whose total quantity equals the supplier's max — ties preserved, unlike
+    the W1 argmax (max_sum_reads semantics,
+    /root/reference/bloomine/polyfamily.py:145-147)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.cascade import max_sum_reads
+    from bloomine_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.col("l_orderkey").cast("string").alias("doc_id"),
+        F.col("l_suppkey").cast("string").alias("target_id"),
+    ).agg(F.sum("l_quantity").cast("long").alias("total_score"))
+    return max_sum_reads(per)
+
+
+def _q_flank_intersection_customers(spark, sf_dir):
+    """J2 relational twin: customers present in BOTH score sets (best order
+    price, account balance) with each best above its threshold —
+    flank_intersection semantics (inner join == keyset intersection,
+    /root/reference/bloomine/polyfamily.py:84-101)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.cascade import flank_intersection
+    from bloomine_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s1 = o.select(
+        F.col("o_custkey").alias("doc_id"), F.col("o_totalprice").alias("score")
+    )
+    s2 = c.select(
+        F.col("c_custkey").alias("doc_id"), F.col("c_acctbal").alias("score")
+    )
+    return flank_intersection(s1, s2, 300000.0, 5000.0)
+
+
 def _kgram_str_expr(n: int):
     """Word n-gram strings via pure built-ins (W3 relational analog).
 
@@ -336,9 +373,19 @@ def _q_cms_token_freq_topk(spark, sf_dir):
     from bloomine_spark.sketch.core import sketch_agg_global
     from bloomine_spark.sketch.mg import MisraGries
 
+    from bloomine_spark.sketch.core import CompositeSketch
+
     seqs = _docs_tokens(spark, sf_dir)
-    cms = sketch_agg_global(seqs, "tokens", lambda: CountMinSketch.empty(1e-3, 1e-2))
-    mg = sketch_agg_global(seqs, "tokens", lambda: MisraGries(256))
+    # CMS + MG are both one-pass mergeable folds over the same corpus:
+    # a composite sketch pays the scan once instead of twice
+    comp = sketch_agg_global(
+        seqs,
+        "tokens",
+        lambda: CompositeSketch(
+            [CountMinSketch.empty(1e-3, 1e-2), MisraGries(256)]
+        ),
+    )
+    cms, mg = comp.sketches
     toks = np.array([t for t, _ in mg.top_k(20)], dtype=np.int64)
     est = cms.estimate_values(toks)
     return spark.createDataFrame(
@@ -538,27 +585,30 @@ def _q_distinct_tokens_setops_exact(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-
-    def words(src):
-        return (
-            docs.filter(F.col("source") == src)
-            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-            .distinct()
+    # one scan + one (w)-grouped shuffle computes all five set sizes —
+    # the naive form (5 count() actions over unions/intersects/subtracts)
+    # rescans the corpus 5x and shuffles wide rows each time
+    membership = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select(
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+            (F.col("source") == "src0").cast("int").alias("is_a"),
+            (F.col("source") == "src1").cast("int").alias("is_b"),
         )
-
-    a, b = words("src0"), words("src1")
-    row = [
-        (
-            a.count(),
-            b.count(),
-            a.union(b).distinct().count(),
-            a.intersect(b).count(),
-            a.subtract(b).count(),
+        .groupBy("w")
+        .agg(
+            F.max("is_a").alias("in_a"),
+            F.max("is_b").alias("in_b"),
         )
-    ]
-    return spark.createDataFrame(
-        row, "n_a long, n_b long, n_union long, n_intersect long, n_a_not_b long"
     )
+    return membership.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_intersect"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long")
+        .alias("n_a_not_b"),
+    ).select("n_a", "n_b", "n_union", "n_intersect", "n_a_not_b")
 
 
 def _q_theta_tokens_setops(spark, sf_dir):
@@ -846,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flank_log_merge_events": _q_flank_log_merge_events,
         "argmax_probe_lineitem": _q_argmax_probe_lineitem,
         "top_order_per_customer": _q_top_order_per_customer,
+        "max_sum_lineitems": _q_max_sum_lineitems,
+        "flank_intersection_customers": _q_flank_intersection_customers,
         "distinct_kgrams_per_source_exact": _q_distinct_kgrams_per_source_exact,
         "hll_distinct_kgrams_per_source": _q_hll_distinct_kgrams_per_source,
         "token_freq_topk_exact": _q_token_freq_topk_exact,
@@ -969,6 +1021,33 @@ def oracle_sql() -> dict[str, str]:
           ) AS rn FROM per
         )
         SELECT doc_id, target_id, total_score FROM ranked WHERE rn = 1
+    """
+
+    sql["max_sum_lineitems"] = """
+        WITH per AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                 CAST(l_suppkey AS VARCHAR) AS target_id,
+                 CAST(SUM(l_quantity) AS BIGINT) AS total_score
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT doc_id, target_id, total_score
+        FROM (SELECT *, MAX(total_score) OVER (PARTITION BY target_id)
+                        AS max_total FROM per)
+        WHERE total_score = max_total
+    """
+
+    sql["flank_intersection_customers"] = """
+        WITH f1 AS (
+          SELECT o_custkey AS doc_id, MAX(o_totalprice) AS f1_best
+          FROM orders GROUP BY o_custkey
+        ), f2 AS (
+          SELECT c_custkey AS doc_id, MAX(c_acctbal) AS f2_best
+          FROM customer GROUP BY c_custkey
+        )
+        SELECT f1.doc_id AS doc_id, f1_best, f2_best,
+               f1_best + f2_best AS total
+        FROM f1 JOIN f2 ON f1.doc_id = f2.doc_id
+        WHERE f1_best >= 300000.0 AND f2_best >= 5000.0
     """
 
     sql["top_order_per_customer"] = """

@@ -49,6 +49,73 @@ def _values_of(pdf_col: pd.Series) -> np.ndarray:
     return pdf_col.to_numpy()
 
 
+class CompositeSketch:
+    """Several mergeable sketches folded in ONE pass over the input.
+
+    Different summaries of the same corpus (e.g. CMS frequencies + MG heavy
+    hitters) are each one-pass mergeable folds — running them as separate
+    ``sketch_agg_global`` calls scans the corpus once per sketch. A
+    composite updates every member per batch, so the scan cost is paid
+    once and the members still merge independently. Serialization embeds
+    each member's ``module:qualname`` so ``from_bytes`` reconstructs the
+    members on any executor (all sketch classes ship in the addPyFile zip).
+    """
+
+    MAGIC = b"CMP1"
+
+    def __init__(self, sketches):
+        self.sketches = list(sketches)
+
+    def update_values(self, values: np.ndarray) -> None:
+        for s in self.sketches:
+            s.update_values(values)
+
+    def merge(self, other: "CompositeSketch") -> None:
+        if len(other.sketches) != len(self.sketches):
+            raise ValueError(
+                f"composite arity mismatch: {len(self.sketches)} vs "
+                f"{len(other.sketches)}"
+            )
+        for a, b in zip(self.sketches, other.sketches):
+            a.merge(b)
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        parts = [self.MAGIC, struct.pack("<I", len(self.sketches))]
+        for s in self.sketches:
+            name = f"{type(s).__module__}:{type(s).__qualname__}".encode()
+            blob = s.to_bytes()
+            parts += [
+                struct.pack("<I", len(name)), name,
+                struct.pack("<Q", len(blob)), blob,
+            ]
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CompositeSketch":
+        import importlib
+        import struct
+
+        if blob[:4] != cls.MAGIC:
+            raise ValueError("not a CompositeSketch blob")
+        off = 4
+        (n,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        members = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            mod, _, qual = blob[off : off + ln].decode().partition(":")
+            off += ln
+            (lb,) = struct.unpack_from("<Q", blob, off)
+            off += 8
+            member_cls = getattr(importlib.import_module(mod), qual)
+            members.append(member_cls.from_bytes(blob[off : off + lb]))
+            off += lb
+        return cls(members)
+
+
 def sketch_partials(
     df: DataFrame,
     group_cols: list[str],

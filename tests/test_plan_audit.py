@@ -95,3 +95,15 @@ def test_curate_training_docs_plan(spark):
 
     q = em.queries()["curate_training_docs"](spark, SF)
     assert_no_cartesian(q)
+
+
+@needs_data
+def test_setops_exact_is_one_scan(spark):
+    """The U1-U4 exact set-algebra query must read documents ONCE — the
+    naive form (5 count() actions over union/intersect/subtract) rescans
+    the corpus 5x at 100 TB."""
+    import __spark_entry__ as em
+
+    q = em.queries()["distinct_tokens_setops_exact"](spark, SF)
+    facts = plan_facts(q)
+    assert facts.text.count("Scan parquet") == 1, facts.text

@@ -172,3 +172,56 @@ def test_tdigest_serde():
     td.update_values(np.arange(1000, dtype=float))
     td2 = TDigest.from_bytes(td.to_bytes())
     assert td2.quantile(0.5) == pytest.approx(td.quantile(0.5))
+
+
+def test_composite_sketch_equals_separate_passes():
+    """CompositeSketch(update→merge→serde) must agree member-by-member with
+    running each sketch alone — the fused fold changes the scan count, not
+    the math."""
+    import numpy as np
+
+    from bloomine_spark.sketch.cms import CountMinSketch
+    from bloomine_spark.sketch.core import CompositeSketch
+    from bloomine_spark.sketch.mg import MisraGries
+
+    rng = np.random.default_rng(7)
+    part_a = rng.zipf(1.4, 20000).astype(np.int64)
+    part_b = rng.zipf(1.4, 30000).astype(np.int64)
+
+    def fold(mk, parts):
+        sks = []
+        for p in parts:
+            s = mk()
+            s.update_values(p)
+            sks.append(s)
+        m = sks[0]
+        for s in sks[1:]:
+            m.merge(s)
+        return m
+
+    comp = fold(
+        lambda: CompositeSketch(
+            [CountMinSketch.empty(1e-3, 1e-2), MisraGries(64)]
+        ),
+        [part_a, part_b],
+    )
+    # serde round-trip reconstructs member classes by name
+    comp = CompositeSketch.from_bytes(comp.to_bytes())
+    cms_alone = fold(lambda: CountMinSketch.empty(1e-3, 1e-2), [part_a, part_b])
+    mg_alone = fold(lambda: MisraGries(64), [part_a, part_b])
+    cms_c, mg_c = comp.sketches
+    probe = np.unique(np.concatenate([part_a[:500], part_b[:500]]))
+    assert (cms_c.estimate_values(probe) == cms_alone.estimate_values(probe)).all()
+    assert mg_c.top_k(20) == mg_alone.top_k(20)
+
+
+def test_composite_sketch_arity_mismatch_raises():
+    import pytest as _pytest
+
+    from bloomine_spark.sketch.core import CompositeSketch
+    from bloomine_spark.sketch.mg import MisraGries
+
+    a = CompositeSketch([MisraGries(8)])
+    b = CompositeSketch([MisraGries(8), MisraGries(8)])
+    with _pytest.raises(ValueError):
+        a.merge(b)
