@@ -71,9 +71,10 @@ def encode_png(img: np.ndarray) -> bytes:
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to (H,W) or (H,W,C) uint8.
 
-    Full scanline unfiltering per the PNG spec: None/Up are vectorized;
-    Sub/Average/Paeth carry an in-row data dependency and run as per-byte
-    loops (only images encoded with those filters pay that cost)."""
+    Full scanline unfiltering per the PNG spec: None/Up/Sub are fully
+    vectorized (Sub is a per-channel mod-256 cumsum); Average/Paeth carry a
+    pixel-to-pixel dependency and run sequentially over pixel columns with
+    channel-vectorized steps."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat = 8, bytearray()
@@ -114,27 +115,38 @@ def decode_png(data: bytes) -> np.ndarray:
             rec = row & 0xFF
         elif f == 2:  # Up
             rec = (row + prev) & 0xFF
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = np.cumsum(
+                row.astype(np.uint8).reshape(w, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: sequential over pixel COLUMNS
+            # (the in-row dependency is pixel-to-pixel), vectorized over
+            # channels — w iterations instead of w*ch per-byte steps
+            row2 = row.reshape(w, ch)
+            prev2 = prev.reshape(w, ch)
+            rec2 = np.empty((w, ch), np.int32)
+            left = np.zeros(ch, np.int32)
+            if f == 3:  # Average
+                for x in range(w):
+                    left = (row2[x] + ((left + prev2[x]) >> 1)) & 0xFF
+                    rec2[x] = left
+            else:  # Paeth
+                ul = np.zeros(ch, np.int32)
+                for x in range(w):
+                    b = prev2[x]
+                    p = left + b - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                    )
+                    left = (row2[x] + pred) & 0xFF
+                    rec2[x] = left
+                    ul = b
+            rec = rec2.reshape(stride)
         else:
-            rec = row.copy()
-            if f == 1:  # Sub
-                for x in range(stride):
-                    left = rec[x - ch] if x >= ch else 0
-                    rec[x] = (rec[x] + left) & 0xFF
-            elif f == 3:  # Average
-                for x in range(stride):
-                    left = rec[x - ch] if x >= ch else 0
-                    rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
-            elif f == 4:  # Paeth
-                for x in range(stride):
-                    a = int(rec[x - ch]) if x >= ch else 0
-                    b = int(prev[x])
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[x] = (rec[x] + pred) & 0xFF
-            else:
-                raise ValueError(f"bad PNG filter type {f}")
+            raise ValueError(f"bad PNG filter type {f}")
         out[y] = rec
     img = out.reshape(h, w, ch)
     return img[:, :, 0] if ch == 1 else img

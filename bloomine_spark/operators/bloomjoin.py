@@ -67,7 +67,11 @@ def bloom_semi_join(
     stage, (3) exact semi-join on the survivors removes Bloom FPs. The
     result equals the plain semi-join row-for-row.
     """
-    bloom = build_key_bloom(small, key_col, fp=fp)
+    # one evaluation of the small side serves all three consumers (sizing
+    # count, Bloom build scan, exact semi-join) — without the cache the
+    # same input would be recomputed three times
+    keys = small.select(key_col).distinct().persist()
+    bloom = build_key_bloom(keys, key_col, fp=fp, n_expected=keys.count())
     bc = big.sparkSession.sparkContext.broadcast(bloom.to_bytes())
 
     # build and probe must share one hash family: both sides key on
@@ -93,6 +97,4 @@ def bloom_semi_join(
 
     survivors = hashed_big.mapInArrow(probe, schema=out_schema).drop("_kh")
     # exact phase: FPs die here; broadcast hint is Catalyst's call if small
-    return survivors.join(
-        small.select(key_col).distinct(), on=key_col, how="left_semi"
-    )
+    return survivors.join(keys, on=key_col, how="left_semi")

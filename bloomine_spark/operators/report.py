@@ -55,6 +55,61 @@ def render_subpop_report(
     return "\n".join(lines) + "\n"
 
 
+FLANK_TSV_HEADER = "\t".join(
+    [
+        "read_id",
+        "flank_1_score",
+        "flank_1_RC_score",
+        "flank_2_score",
+        "flank_2_RC_score",
+        "threshold",
+        "pass",
+    ]
+)
+
+
+def iter_flank_scores_tsv(combined: DataFrame):
+    """Yield the combined flank-scores TSV lines (no trailing newline), in
+    the exact reference format (/root/reference/bloomine/BloomineRunner.py:
+    240-274): header row, read_ids ascending, missing scores as EMPTY
+    fields, integer scores, threshold via Python float repr, pass as 0/1.
+
+    Streams via ``toLocalIterator`` so the driver never holds the whole log
+    (the sort happens cluster-side; ASCII read_ids order identically under
+    Spark's UTF8-binary and the reference's Python code-point sort).
+    """
+    yield FLANK_TSV_HEADER
+
+    def cell(v) -> str:
+        return "" if v is None else str(int(v))
+
+    for r in combined.orderBy("doc_id").toLocalIterator():
+        yield "\t".join(
+            [
+                str(r["doc_id"]),
+                cell(r["f1_score"]),
+                cell(r["f1_rc_score"]),
+                cell(r["f2_score"]),
+                cell(r["f2_rc_score"]),
+                str(float(r["threshold"])),
+                str(int(r["pass"])),
+            ]
+        )
+
+
+def render_flank_scores_tsv(combined: DataFrame) -> str:
+    """Whole combined TSV as one string (small post-aggregation logs)."""
+    return "\n".join(iter_flank_scores_tsv(combined)) + "\n"
+
+
+def write_flank_scores_tsv(combined: DataFrame, path: str) -> None:
+    """Stream the combined TSV to a local/NFS ``path`` (single-file sink,
+    like the reference's ``<prefix>_combined_flank_scores.tsv``)."""
+    with open(path, "w") as fh:
+        for line in iter_flank_scores_tsv(combined):
+            fh.write(line + "\n")
+
+
 def polyfamily_summary_json(
     per_probe_variants: Mapping[str, DataFrame],
     detokenize: Callable[[Sequence[int]], str] = _default_detok,

@@ -68,6 +68,10 @@ class ThetaSketch:
 
     # ----------------------------------------------------------------- merge
     def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        if other.k != self.k:
+            # silently trimming a k=4096 sketch into a k=512 one would skew
+            # estimates (mirrors hll.py's b-mismatch guard)
+            raise ValueError(f"theta k mismatch: {self.k} vs {other.k}")
         self.theta = min(self.theta, other.theta)
         merged = np.unique(np.concatenate([self.samples, other.samples]))
         self.samples = merged[merged < self.theta]
@@ -90,7 +94,8 @@ class ThetaSketch:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "ThetaSketch":
-        assert blob[:4] == _MAGIC, "not a theta sketch blob"
+        if blob[:4] != _MAGIC:  # explicit: asserts vanish under python -O
+            raise ValueError("not a theta sketch blob")
         k, theta, n = struct.unpack("<IQQ", blob[4:24])
         samples = np.frombuffer(blob[24 : 24 + 8 * n], dtype=np.uint64).copy()
         return cls(k=k, theta=np.uint64(theta), samples=samples)

@@ -38,6 +38,13 @@ def main() -> None:
         "BloomineRunner.py:170-190 semantics)",
     )
     ap.add_argument("--force", action="store_true", help="ignore completed stages")
+    ap.add_argument(
+        "--tsv",
+        default=None,
+        help="with --flank2: also write the combined flank-scores TSV to "
+        "this path (reference <prefix>_combined_flank_scores.tsv format, "
+        "BloomineRunner.py:205-274)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,11 +65,27 @@ def main() -> None:
         from bloomine_spark.sources.stages import resumable_cascade
 
         flank2 = [int(t) for t in args.flank2.split(",")]
-        _, runner = resumable_cascade(
+        stages, runner = resumable_cascade(
             df, target, flank2, f"{args.output}/{args.run_id}", params,
             force=args.force,
         )
         print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
+        if args.tsv:
+            from bloomine_spark.operators.cascade import combined_flank_scores
+            from bloomine_spark.operators.report import write_flank_scores_tsv
+
+            # thresholds come from the score logs themselves, like the
+            # reference's parse() reads thr from each TSV (Runner.py:213-234)
+            def _thr(log):
+                row = log.select("threshold").first()
+                return float(row["threshold"]) if row else 0.0
+
+            combined = combined_flank_scores(
+                stages["flank1_scores"], stages["flank2_scores"],
+                _thr(stages["flank1_scores"]), _thr(stages["flank2_scores"]),
+            )
+            write_flank_scores_tsv(combined, args.tsv)
+            print(f"combined flank-scores TSV: {args.tsv}")
     else:
         scores = screen_scores(df, target, params, mode=args.mode).cache()
         scores.write.mode("overwrite").parquet(f"{args.output}/scores")

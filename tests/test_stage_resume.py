@@ -90,3 +90,26 @@ def test_force_reruns_everything(spark, seqs, tmp_path):
     )
     assert runner.skipped == []
     assert runner.ran == ["flank1_scores", "flank2_scores", "hits"]
+
+
+def test_changed_inputs_invalidate_stale_stages(spark, seqs, tmp_path):
+    """A completed stage is only reusable if built from the SAME inputs:
+    rerunning with a different flank2 must rebuild flank2-dependent stages
+    (previously they were silently reused stale) while flank1 still skips."""
+    run_dir = str(tmp_path / "run3")
+    resumable_cascade(seqs, HEAD, TAIL, run_dir, ScreenParams())
+
+    other_tail = list(range(901, 913))  # absent from every read
+    out, runner = resumable_cascade(
+        seqs, HEAD, other_tail, run_dir, ScreenParams()
+    )
+    assert runner.skipped == ["flank1_scores"]
+    assert runner.ran == ["flank2_scores", "hits"]
+    # the rebuilt flank-2 screen reflects the NEW flank: nothing passes it
+    assert out["hits"].count() == 0
+
+    # params changes invalidate the first screen too
+    _, runner2 = resumable_cascade(
+        seqs, HEAD, other_tail, run_dir, ScreenParams(fp_sim=35.0)
+    )
+    assert runner2.ran[0] == "flank1_scores"
