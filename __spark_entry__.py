@@ -800,14 +800,26 @@ def _q_embedding_near_dup_exact(spark, sf_dir):
 
 
 def _q_embedding_near_dup_lsh(spark, sf_dir):
-    """Hyperplane-LSH near-dup path (scale variant; pytest-gated recall —
-    the natural fixture has no ≥0.9 pairs, planted ones in tests do)."""
+    """Hyperplane-LSH near-dup path (scale variant). The natural fixture has
+    no ≥0.9-cosine pairs, so 10 deterministic near-duplicates are planted
+    (clone ids offset by 1e6, per-coordinate scale ±0.15%) — the driver run
+    itself demonstrates nonzero recall, not just the pytest planted-pair
+    gate; exact verify still filters at the same threshold."""
     _ship_pkg(spark)
     from bloomine_spark.operators.dedup import embedding_near_dup_lsh
     from bloomine_spark.sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_lsh(emb, threshold=0.9, n_planes=12, n_tables=8)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.0005 * ((i % 7).cast("double") - 3.0)),
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_lsh(
+        emb.unionByName(clones), threshold=0.9, n_planes=12, n_tables=8
+    )
 
 
 def _ann_queries(spark, sf_dir, n=5):

@@ -94,8 +94,23 @@ def train_ivf_centroids(
     seed: int = 5,
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Driver-side k-means on a bounded sample (spherical, normalized)."""
-    pdf = emb.select(vec_col).limit(sample).toPandas()
+    """Driver-side spherical k-means on a SEEDED DISTRIBUTED sample.
+
+    ``limit(n)`` would take whatever rows the first partitions produce —
+    at 100 TB that is one file's worth of possibly sorted/skewed data, and
+    centroids trained on it misroute everything else. ``df.sample`` draws
+    from every partition; the fraction derives from the table's row count
+    (metadata-only for parquet), so the driver-side budget (``sample``
+    rows, configurable) holds at any scale.
+    """
+    n = emb.count()
+    frac = min(1.0, (sample * 1.2) / max(n, 1))
+    pdf = (
+        emb.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .limit(sample)
+        .toPandas()
+    )
     x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]

@@ -79,3 +79,59 @@ def test_run_polyfamily_cli_writes_json(spark, tmp_path):
     assert got == {"a0": "probeA", "a1": "probeA", "a2": "probeA",
                    "a3": "probeA", "a4": "probeA", "b0": "probeB",
                    "b1": "probeB"}
+
+
+def _write_grid_input(spark, tmp_path):
+    """Two samples (source column), each with probe-A and probe-B reads."""
+    rows = []
+    for src, na, nb in (("s0", 3, 2), ("s1", 2, 1)):
+        for i in range(na):
+            read = [301, 302] + HEAD + [1, 2, 3] + TAIL + [401]
+            rows.append({"doc_id": f"{src}_a{i}",
+                         "tokens": np.array(read, np.int32), "source": src})
+        for i in range(nb):
+            read = [301] + HEAD_B + [8, 9] + TAIL + [402, 403]
+            rows.append({"doc_id": f"{src}_b{i}",
+                         "tokens": np.array(read, np.int32), "source": src})
+    pdf = pd.DataFrame(rows)
+    pdf["n_tok"] = pdf["tokens"].apply(len).astype("int32")
+    path = str(tmp_path / "grid_seqs")
+    spark.createDataFrame(
+        pdf[["doc_id", "tokens", "n_tok", "source"]]
+    ).write.parquet(path)
+    return path
+
+
+def test_run_grid_cli_per_sample_outputs_and_resume(spark, tmp_path):
+    """RunManager surface (run.py:26-61): samples x probes in ONE job —
+    per-sample flank_scores.log + polyfamily.json, resumable stages."""
+    inp = _write_grid_input(spark, tmp_path)
+    out = str(tmp_path / "grid")
+    targets = json.dumps({"probeA": [HEAD, TAIL], "probeB": [HEAD_B, TAIL]})
+    argv = ["--input", inp, "--targets", targets, "--min-kmer", "11",
+            "--output", out, "--run-id", "g0"]
+    stdout = _run("run_grid.py", argv)
+    assert "stages ran: ['multi_scores', 'assignments', 'hits']" in stdout
+
+    for sample, a_count, b_count in (("s0", 3, 2), ("s1", 2, 1)):
+        log = open(f"{out}/samples/{sample}/{sample}.flank_scores.log").read()
+        lines = log.splitlines()
+        assert lines[0].split("\t") == [
+            "probe_set", "read_id", "flank_1_score", "flank_1_RC_score",
+            "flank_2_score", "flank_2_RC_score", "threshold", "pass"]
+        # every body row belongs to this sample and has 8 fields
+        assert all(ln.split("\t")[1].startswith(sample) for ln in lines[1:])
+        blob = json.load(open(f"{out}/samples/{sample}/{sample}.polyfamily.json"))
+        assert ["1 2 3", a_count] in blob["probeA"]
+        assert blob["probeB"] == [["8 9", b_count]]
+
+    assigned = spark.read.parquet(f"{out}/g0/assignments").toPandas()
+    assert set(assigned["source"]) == {"s0", "s1"}
+    assert (assigned[assigned["doc_id"].str.contains("_a")]["target_id"]
+            == "probeA").all()
+
+    # rerun: all stages skipped, sinks re-render identically
+    log_before = open(f"{out}/samples/s0/s0.flank_scores.log").read()
+    stdout2 = _run("run_grid.py", argv)
+    assert "stages ran: []" in stdout2
+    assert open(f"{out}/samples/s0/s0.flank_scores.log").read() == log_before
