@@ -822,6 +822,28 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+def _q_scrub_pii(spark, sf_dir):
+    """Curation scrub: replace emails/IPv4s/phone-shaped runs with typed
+    tags + per-doc counts, pure codegen expressions (no shuffle). PII is
+    planted deterministically on doc_id % 50 == 0 so the scrub is exercised
+    (the synthetic corpus contains none); the oracle plants and scrubs with
+    the IDENTICAL pattern strings (textops.PII_PATTERNS)."""
+    from bloomine_spark.operators.textops import scrub_pii
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0.1 call 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    return scrub_pii(docs.withColumn("text", planted))
+
+
 def _ann_queries(spark, sf_dir, n=5):
     from bloomine_spark.sources.tables import load_table
 
@@ -933,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "doc_fingerprint_md5": _q_doc_fingerprint_md5,
+        "scrub_pii": _q_scrub_pii,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "polyfamily_assign_docs": _q_polyfamily_assign_docs,
         "regional_revenue": _q_regional_revenue,
@@ -1286,6 +1309,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                md5(lower(trim(text))) AS fingerprint
         FROM documents
+    """
+
+    from bloomine_spark.operators.textops import PII_PATTERNS as _PII
+
+    _pii = dict(_PII)
+    sql["scrub_pii"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN
+                   concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com from 10.0.0.1 call 555-123-4567')
+                 ELSE text END AS t0
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t0, '{_pii["email"]}')) AS BIGINT)
+                   AS n_email,
+                 regexp_replace(t0, '{_pii["email"]}', '<EMAIL>', 'g') AS t1
+          FROM planted
+        ), s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1, '{_pii["ipv4"]}')) AS BIGINT)
+                   AS n_ipv4,
+                 regexp_replace(t1, '{_pii["ipv4"]}', '<IPV4>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '{_pii["phone"]}', '<PHONE>', 'g')
+                 AS clean_text,
+               n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t2, '{_pii["phone"]}')) AS BIGINT)
+                 AS n_phone
+        FROM s2
     """
 
     sql["distinct_tokens_setops_exact"] = """

@@ -76,6 +76,22 @@ def token_batch_from_arrow(rb, col: str) -> TokenBatch:
     return TokenBatch(flat, lens, off)
 
 
+def raw_list_values(rb, col: str) -> np.ndarray:
+    """The flat child values of a list column in its NATIVE dtype, zero
+    copy. Consumers that chunk-convert anyway (the sketch update kernels'
+    scratch-buffer copyto) should take this instead of TokenBatch.flat:
+    the eager int32→uint64 widening there writes+rereads 8 bytes per token
+    — about 2/3 of the memory traffic of a bandwidth-bound fold."""
+    import pyarrow as pa
+
+    arr = rb.column(rb.schema.get_field_index(col)) if isinstance(col, str) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy()
+    values = arr.values.to_numpy(zero_copy_only=False)
+    return values[offsets[0] : offsets[-1]]
+
+
 @dataclass
 class WindowSet:
     """All valid length-k windows of a TokenBatch.

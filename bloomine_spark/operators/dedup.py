@@ -157,15 +157,35 @@ def _minhash_signatures_kernel(num_perm: int):
             # empty rows occupy no space in the flat buffer, so the kept
             # rows' segments are already contiguous in row order
             flat = batch.flat
-            off = np.zeros(len(kidx), dtype=np.int64)
-            np.cumsum(lens[:-1], out=off[1:])
-            sig = np.empty((len(kidx), num_perm), dtype=np.uint64)
-            for j in range(num_perm):
-                mixed = splitmix64(flat ^ seed_mix[j])
-                sig[:, j] = np.minimum.reduceat(mixed, off)
+            nrows = len(kidx)
+            starts = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            # cache-blocked + zero-alloc: process row groups whose flat
+            # segment fits L2 (~2^16 values), reusing ONE scratch buffer —
+            # the naive loop allocates 2 full-flat temporaries per
+            # permutation (128 per batch) and streams the whole buffer
+            # num_perm times instead of keeping each segment hot
+            ch = 1 << 16
+            sig_t = np.empty((num_perm, nrows), dtype=np.uint64)
+            buf = np.empty(min(int(starts[-1]), max(ch, int(lens.max()))),
+                           dtype=np.uint64)
+            r0 = 0
+            while r0 < nrows:
+                r1 = int(np.searchsorted(starts, starts[r0] + ch, "right")) - 1
+                r1 = min(max(r1, r0 + 1), nrows)
+                seg = flat[starts[r0] : starts[r1]]
+                if len(buf) < len(seg):
+                    buf = np.empty(len(seg), dtype=np.uint64)
+                b = buf[: len(seg)]
+                off = starts[r0:r1] - starts[r0]
+                for j in range(num_perm):
+                    np.bitwise_xor(seg, seed_mix[j], out=b)
+                    splitmix64(b, inplace=True)
+                    sig_t[j, r0:r1] = np.minimum.reduceat(b, off)
+                r0 = r1
             sig_col = pa.ListArray.from_arrays(
-                pa.array(np.arange(len(kidx) + 1, dtype=np.int32) * num_perm),
-                pa.array(sig.ravel().view(np.int64)),
+                pa.array(np.arange(nrows + 1, dtype=np.int32) * num_perm),
+                pa.array(np.ascontiguousarray(sig_t.T).ravel().view(np.int64)),
             )
             doc = rb.column(rb.schema.get_field_index("doc_id")).take(
                 pa.array(kidx)
@@ -313,17 +333,40 @@ def simhash_signatures(
             if len(kidx):
                 lens = batch.lens[kidx]
                 flat = batch.flat  # kept-row segments are contiguous
-                off = np.zeros(len(kidx), dtype=np.int64)
-                np.cumsum(lens[:-1], out=off[1:])
-                sh = np.zeros(len(kidx), dtype=np.uint64)
-                for b in range(64):
-                    bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(
-                        np.int64
-                    )
-                    votes = np.add.reduceat(bit, off)
-                    sh |= np.where(
-                        votes * 2 >= lens, np.uint64(1) << np.uint64(b), np.uint64(0)
-                    )
+                nk = len(kidx)
+                starts = np.zeros(nk + 1, dtype=np.int64)
+                np.cumsum(lens, out=starts[1:])
+                sh = np.zeros(nk, dtype=np.uint64)
+                # cache-blocked + zero-alloc (see minhash kernel): each
+                # row-group's flat segment stays L2-resident across all 64
+                # bit planes, extracted in ONE reused scratch buffer
+                ch = 1 << 16
+                buf = np.empty(
+                    min(int(starts[-1]), max(ch, int(lens.max()))),
+                    dtype=np.uint64,
+                )
+                r0 = 0
+                while r0 < nk:
+                    r1 = int(
+                        np.searchsorted(starts, starts[r0] + ch, "right")
+                    ) - 1
+                    r1 = min(max(r1, r0 + 1), nk)
+                    seg = flat[starts[r0] : starts[r1]]
+                    if len(buf) < len(seg):
+                        buf = np.empty(len(seg), dtype=np.uint64)
+                    bu = buf[: len(seg)]
+                    off = starts[r0:r1] - starts[r0]
+                    seg_lens = lens[r0:r1]
+                    for b in range(64):
+                        np.right_shift(seg, np.uint64(b), out=bu)
+                        np.bitwise_and(bu, np.uint64(1), out=bu)
+                        votes = np.add.reduceat(bu, off)
+                        sh[r0:r1] |= np.where(
+                            votes * np.uint64(2) >= seg_lens.astype(np.uint64),
+                            np.uint64(1) << np.uint64(b),
+                            np.uint64(0),
+                        )
+                    r0 = r1
                 out[kidx] = sh
             doc = rb.column(rb.schema.get_field_index("doc_id"))
             yield pa.RecordBatch.from_arrays(

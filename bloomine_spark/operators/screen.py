@@ -424,11 +424,18 @@ def make_screen_kernel(
                     run_starts = np.concatenate(([0], edges + 1))
                     run_ends = np.concatenate((edges + 1, [total_len]))
                     run_vals = gmask[run_starts]
-                    for r in np.unique(rids):
-                        o = int(batch.offsets[r])
-                        e = o + int(batch.lens[r])
-                        i0 = int(np.searchsorted(run_ends, o, side="right"))
-                        i1 = int(np.searchsorted(run_starts, e, side="left"))
+                    # row-bound run windows for ALL survivors in two
+                    # vectorized searchsorteds; the remaining per-row work
+                    # is the quirk-preserving O(runs) scoring itself
+                    rs = np.unique(rids)
+                    offs = batch.offsets[rs]
+                    ends = offs + batch.lens[rs]
+                    i0s = np.searchsorted(run_ends, offs, side="right")
+                    i1s = np.searchsorted(run_starts, ends, side="left")
+                    for r, o, e, i0, i1 in zip(
+                        rs.tolist(), offs.tolist(), ends.tolist(),
+                        i0s.tolist(), i1s.tolist(),
+                    ):
                         rl = np.minimum(run_ends[i0:i1], e) - np.maximum(
                             run_starts[i0:i1], o
                         )

@@ -139,3 +139,35 @@ def fingerprint_winnow(
                 )
 
     return pre.mapInPandas(kernel, schema=schema)
+
+
+# PII patterns kept deliberately simple and ANSI-regex portable: the SAME
+# pattern strings run in Spark's regexp_replace and DuckDB's (oracle), so
+# the scrub is hash-checkable end-to-end. Order matters: emails first
+# (an email contains digit runs a phone pattern could bite).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed tags and
+    count replacements per doc — the standard curation scrub before
+    training. Pure built-in expressions (regexp_replace / regexp_count),
+    whole-stage codegen, no shuffle: columnar-scan cost only at any scale.
+
+    Returns (doc_id, clean_text, n_email, n_ipv4, n_phone).
+    """
+    cleaned = F.col(text_col)
+    counts = {}
+    for name, pat in PII_PATTERNS:
+        counts[name] = F.regexp_count(cleaned, F.lit(pat))
+        cleaned = F.regexp_replace(cleaned, pat, f"<{name.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        *[counts[n].cast("long").alias(f"n_{n}") for n, _ in PII_PATTERNS],
+    )

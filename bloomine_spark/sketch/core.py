@@ -137,7 +137,7 @@ def sketch_partials(
     if not group_cols:
         import pyarrow as pa
 
-        from bloomine_spark.functions.kgrams import token_batch_from_arrow
+        from bloomine_spark.functions.kgrams import raw_list_values
 
         is_array = isinstance(df.schema[value_col].dataType, T.ArrayType)
 
@@ -147,7 +147,11 @@ def sketch_partials(
                 if rb.num_rows == 0:
                     continue
                 if is_array:
-                    sk.update_values(token_batch_from_arrow(rb, value_col).flat)
+                    # native-dtype zero-copy: the update kernels widen
+                    # per cache-sized chunk in their scratch buffers, so
+                    # a full-batch int32→u64 pass here would only add
+                    # memory traffic
+                    sk.update_values(raw_list_values(rb, value_col))
                 else:
                     sk.update_values(
                         rb.column(rb.schema.get_field_index(value_col))

@@ -50,45 +50,86 @@ class HyperLogLog:
     def m(self) -> int:
         return 1 << self.b
 
-    # cache-blocking chunk: every update pass allocates several full-length
-    # temporaries; at 2^16 values each stays ~512 KB — inside L2 — so the
-    # kernel's ~10 array passes hit cache instead of streaming to DRAM.
-    # (The round-1 scaling analysis showed the co-located workers saturate
-    # the single VM's memory bus; this cuts per-token DRAM traffic.)
-    _CHUNK = 1 << 16
+    # cache-blocking chunk: the whole update pipeline runs over ≤2^15-value
+    # slices so every working buffer stays ~256 KB (measured equal to 2^16
+    # single-process, and half the cache footprint when 16 workers share
+    # the box). The round-1 scaling analysis showed the co-located workers
+    # saturate the single VM's memory bus; this cuts per-token DRAM traffic.
+    _CHUNK = 1 << 15
+
+    # Persistent per-instance scratch (lazily allocated, never serialized):
+    # steady-state updates do ZERO allocation — transient chunk-sized
+    # mallocs cost kernel page-zeroing, which serializes the 16-32
+    # co-located Python workers of a local-mode executor.
+    def _scratch(self):
+        s = getattr(self, "_buf", None)
+        if s is None:
+            n = self._CHUNK
+            s = self._buf = (
+                np.empty(n, np.uint64),  # hash / rest pipeline
+                np.empty(n, np.uint64),  # register index
+                np.empty(n, np.float64),  # float view for exponent extract
+                np.empty(n, np.uint8),  # rank
+            )
+        return s
 
     def update_hashes(self, h: np.ndarray) -> None:
         if len(h) == 0:
             return
-        h = h.astype(np.uint64, copy=False)
+        h = np.asarray(h)
         for i in range(0, len(h), self._CHUNK):
-            self._update_chunk(h[i : i + self._CHUNK])
+            c = h[i : i + self._CHUNK]
+            hb = self._scratch()[0][: len(c)]
+            np.copyto(hb, c, casting="unsafe")
+            self._fold_chunk(hb)
 
-    def _update_chunk(self, h: np.ndarray) -> None:
-        idx = (h >> np.uint64(64 - self.b)).astype(np.int64)
-        rest = (h << np.uint64(self.b)) | (np.uint64(1) << np.uint64(self.b - 1))
-        # rank = clz(rest)+1, via the float64 exponent (frexp): ~6x faster
-        # than a branchy binary search. Clearing the low 11 bits prevents
-        # round-to-nearest from crossing a power of two (float64 mantissa is
-        # 53 bits); values < 2^11 are exactly representable, so fall back to
-        # the raw value when the cleared form is zero.
-        high = rest & ~np.uint64(0x7FF)
-        xf = np.where(high == 0, rest, high).astype(np.float64)
-        exponent = np.frexp(xf)[1]  # bit_length of rest
-        rank = (65 - exponent).astype(np.uint8)
-        np.maximum.at(self.registers, idx, rank)
+    def _fold_chunk(self, hb: np.ndarray) -> None:
+        """Route one hashed chunk into the registers. ``hb`` is the scratch
+        hash buffer and is consumed in place."""
+        n = len(hb)
+        _, ib, fb, rb = self._scratch()
+        idx, xf, rank = ib[:n], fb[:n], rb[:n]
+        np.right_shift(hb, np.uint64(64 - self.b), out=idx)
+        # rest = low bits shifted up, sentinel bit keeps it nonzero
+        np.left_shift(hb, np.uint64(self.b), out=hb)
+        np.bitwise_or(hb, np.uint64(1) << np.uint64(self.b - 1), out=hb)
+        # rank = clz(rest)+1 = 65 - bit_length(rest), read off the float64
+        # exponent bits (≈6x faster than branchy binary search; frexp is
+        # avoided — its mantissa output is a wasted full-chunk write).
+        # Clearing the low 11 bits first prevents round-to-nearest from
+        # crossing a power of two (float64 has a 53-bit mantissa).
+        if self.b >= 12:
+            # the sentinel bit (b-1 ≥ 11) guarantees rest ≥ 2^11, so the
+            # cleared value is never zero — no fallback select needed
+            np.bitwise_and(hb, ~np.uint64(0x7FF), out=hb)
+            np.copyto(xf, hb, casting="unsafe")  # exact u64 -> f64
+        else:
+            high = hb & ~np.uint64(0x7FF)
+            np.copyto(xf, np.where(high == 0, hb, high), casting="unsafe")
+        e = xf.view(np.uint64)
+        np.right_shift(e, np.uint64(52), out=e)  # IEEE biased exponent
+        # bit_length = e - 1022, so rank = 65 - bit_length = 1087 - e
+        np.subtract(np.uint64(1087), e, out=e)
+        np.copyto(rank, e, casting="unsafe")
+        np.maximum.at(self.registers, idx.view(np.int64), rank)
 
     def update_values(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
         v = np.asarray(values)
         if self.hashed_input:
-            self.update_hashes(v.astype(np.uint64, copy=False))
+            self.update_hashes(v)
             return
-        # hash per cache-sized chunk too, so the hash temporaries and the
-        # rank pipeline share the same resident working set
+        # hash per cache-sized chunk too, in the same scratch buffer, so
+        # the hash and rank pipelines share one resident working set
+        from bloomine_spark.functions.hashing import splitmix64
+
         for i in range(0, len(v), self._CHUNK):
-            self._update_chunk(hash_u64(v[i : i + self._CHUNK]))
+            c = v[i : i + self._CHUNK]
+            hb = self._scratch()[0][: len(c)]
+            np.copyto(hb, c, casting="unsafe")
+            splitmix64(hb, inplace=True)
+            self._fold_chunk(hb)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if self.b != other.b:

@@ -50,3 +50,26 @@ def test_three_oracle_queries_at_sf0001(spark):
         want = con.sql(oracles[name]).df()
         assert len(got) == len(want), name
         assert value_hash(got) == value_hash(want), name
+
+
+def test_scrub_pii_crafted(spark):
+    import pandas as pd
+
+    from bloomine_spark.operators.textops import scrub_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "mail a.b+c@x-y.co and 10.0.0.1 call 555-123-4567 ok",
+                    "clean text only",
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[1]["clean_text"] == "mail <EMAIL> and <IPV4> call <PHONE> ok"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[2]["clean_text"] == "clean text only"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
