@@ -844,6 +844,16 @@ def _q_scrub_pii(spark, sf_dir):
     return scrub_pii(docs.withColumn("text", planted))
 
 
+def _q_repetition_scores(spark, sf_dir):
+    """Gopher-style intra-doc repetition metrics (top 2-gram fraction,
+    distinct 2-gram ratio) — a curation filter input; one narrow
+    (doc_id, gram) shuffle, oracle-exact."""
+    from bloomine_spark.operators.textops import repetition_scores
+    from bloomine_spark.sources.tables import load_table
+
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
 def _ann_queries(spark, sf_dir, n=5):
     from bloomine_spark.sources.tables import load_table
 
@@ -956,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint_md5": _q_doc_fingerprint_md5,
         "scrub_pii": _q_scrub_pii,
+        "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "polyfamily_assign_docs": _q_polyfamily_assign_docs,
         "regional_revenue": _q_regional_revenue,
@@ -1309,6 +1320,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                md5(lower(trim(text))) AS fingerprint
         FROM documents
+    """
+
+    sql["repetition_scores"] = """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ), g AS (
+          SELECT doc_id, array_to_string(ws[i + 1 : i + 2], ' ') AS gram
+          FROM w, unnest(range(0, len(ws) - 1)) AS u(i)
+        ), pg AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_2grams,
+               CAST(MAX(c) AS BIGINT) AS top_2gram_count,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top2_frac,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_frac
+        FROM pg GROUP BY doc_id
     """
 
     from bloomine_spark.operators.textops import PII_PATTERNS as _PII

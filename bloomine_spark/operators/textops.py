@@ -171,3 +171,42 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
         cleaned.alias("clean_text"),
         *[counts[n].cast("long").alias(f"n_{n}") for n, _ in PII_PATTERNS],
     )
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition metrics (Gopher-style quality rules,
+    Rae et al. 2021 §A1.1): the fraction of all word 2-grams taken by the
+    single most frequent 2-gram, plus the distinct/total 2-gram ratio.
+    High top-fraction == boilerplate/looping text a curation pass drops.
+    Pure built-in expressions over an exploded 2-gram view — one narrow
+    (doc_id, gram) shuffle, exactly SQL-mirrorable for the oracle.
+
+    Returns (doc_id, n_2grams, top_2gram_count, top2_frac, distinct_frac).
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(grams).alias("gram"))
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_2grams"),
+            F.max("c").cast("long").alias("top_2gram_count"),
+            F.count("*").cast("long").alias("n_distinct_2grams"),
+        )
+        .select(
+            "doc_id", "n_2grams", "top_2gram_count",
+            F.round(F.col("top_2gram_count") / F.col("n_2grams"), 6)
+            .alias("top2_frac"),
+            F.round(F.col("n_distinct_2grams") / F.col("n_2grams"), 6)
+            .alias("distinct_frac"),
+        )
+    )

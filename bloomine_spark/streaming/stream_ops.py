@@ -59,6 +59,27 @@ def hits_per_window_stream(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for ingestion: fingerprint the content and
+    keep the first occurrence within the watermark horizon.
+
+    Uses Spark's built-in stateful ``dropDuplicatesWithinWatermark``, so
+    state is bounded by the watermark window instead of growing with the
+    stream — the unbounded-ingest form of ``operators/dedup.py``'s exact
+    batch dedup (same md5-content fingerprint).
+    """
+    return (
+        stream_df.withColumn("fingerprint", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 _HLL_OUT_SCHEMA = T.StructType(
     [
         T.StructField("source", T.StringType()),

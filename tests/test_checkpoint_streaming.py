@@ -178,3 +178,48 @@ def test_streaming_hll_stateful(spark, seq_parquet, tmp_path):
         assert row["est"] == pytest.approx(batch[row["source"]])
     # all rows were seen
     assert out["nr"].sum() == batch_df.count()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream keeps the FIRST occurrence per content fingerprint;
+    duplicates arriving later in the stream are dropped (bounded state via
+    dropDuplicatesWithinWatermark)."""
+    import datetime
+
+    import pandas as pd
+
+    from bloomine_spark.streaming.stream_ops import dedup_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # 6 docs, 2 distinct texts; duplicates arrive within the watermark
+    for i in range(6):
+        rows.append(
+            {
+                "doc_id": i,
+                "text": "alpha beta" if i % 2 == 0 else "gamma delta",
+                "ts": t0 + datetime.timedelta(seconds=i),
+            }
+        )
+    src = str(tmp_path / "dsrc")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT text FROM dedup_out").toPandas()
+    assert sorted(got["text"]) == ["alpha beta", "gamma delta"]
