@@ -1,0 +1,141 @@
+"""spark-submit entry for the end-to-end training-data curation pipeline.
+
+The full pre-training document pass, composed from this engine's curation
+operators, with per-stage resumable parquet (the same _SUCCESS +
+_PARAMS.json protocol as the screen cascade):
+
+  scrubbed  — PII scrub (emails/IPv4s/phones → typed tags, counts kept)
+  scored    — quality + repetition + token-count features joined on doc_id
+  filtered  — threshold pass (quality ≥ --quality-min, top-2-gram
+              fraction ≤ --top2-max, n_ws_tokens ≥ --min-tokens)
+  deduped   — exact content dedup, canonical = min doc_id per fingerprint
+              (+ optional MinHash-LSH near-dup drop with --near-dup)
+  curated/  — final docs, partitioned by source
+
+Every stage is a narrow or grouped op: no driver collects, no cross
+joins; near-dup is the banded LSH (bucket equi-join, no n² stage).
+
+    spark-submit --py-files bloomine_spark.zip jobs/run_curate.py \
+        --input /path/documents_parquet --output /path/out \
+        --run-id c0 [--quality-min 0.5] [--top2-max 0.2]
+        [--min-tokens 5] [--near-dup] [--force]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="c0")
+    ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument("--top2-max", type=float, default=0.2)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also drop MinHash-LSH near-duplicates (keeps the "
+                    "min doc_id of each near-dup pair's cluster side)")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.operators.textops import (
+        quality_scores,
+        repetition_scores,
+        scrub_pii,
+        token_counts,
+    )
+    from bloomine_spark.sources.stages import StageRunner
+
+    spark = SparkSession.builder.appName("bloomine-curate").getOrCreate()
+    run_dir = f"{args.output}/{args.run_id}"
+    runner = StageRunner(spark, run_dir, force=args.force)
+    manifest = {
+        "quality_min": args.quality_min, "top2_max": args.top2_max,
+        "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
+    }
+
+    docs = spark.read.parquet(args.input)
+
+    def _scrub():
+        s = scrub_pii(docs)
+        keep = [c for c in docs.columns if c != "text"]
+        return (
+            docs.select(*keep)
+            .join(s.withColumnRenamed("doc_id", "_sid"),
+                  F.col("doc_id").cast("string") == F.col("_sid").cast("string"))
+            .select(*keep, F.col("clean_text").alias("text"),
+                    "n_email", "n_ipv4", "n_phone")
+        )
+
+    scrubbed = runner.stage("scrubbed", _scrub,
+                            manifest=dict(manifest, stage="scrubbed"))
+
+    def _score():
+        ids = F.col("doc_id").cast("string")
+        q = quality_scores(scrubbed).select(
+            F.col("doc_id").alias("qid"), "quality")
+        r = repetition_scores(scrubbed).select(
+            F.col("doc_id").cast("string").alias("rid"), "top2_frac")
+        t = token_counts(scrubbed).select(
+            F.col("doc_id").alias("tid"), "n_ws_tokens")
+        return (
+            scrubbed.join(q, ids == F.col("qid"))
+            .join(r, ids == F.col("rid"), "left")  # <2-word docs have no grams
+            .join(t, ids == F.col("tid"))
+            .drop("qid", "rid", "tid")
+        )
+
+    scored = runner.stage("scored", _score,
+                          manifest=dict(manifest, stage="scored"))
+
+    def _filter():
+        return scored.filter(
+            (F.col("quality") >= args.quality_min)
+            & (F.coalesce(F.col("top2_frac"), F.lit(0.0)) <= args.top2_max)
+            & (F.col("n_ws_tokens") >= args.min_tokens)
+        )
+
+    filtered = runner.stage("filtered", _filter,
+                            manifest=dict(manifest, stage="filtered"))
+
+    def _dedup():
+        canon = Window.partitionBy(F.md5("text"))
+        out = (
+            filtered.withColumn("_canon", F.min("doc_id").over(canon))
+            .filter(F.col("doc_id") == F.col("_canon"))
+            .drop("_canon")
+        )
+        if args.near_dup:
+            from bloomine_spark.operators.dedup import minhash_lsh_duplicates
+
+            pairs = minhash_lsh_duplicates(out, text_col="text")
+            # pairs are emitted with id_a < id_b: drop every id_b
+            # (canonical = the pair's min id)
+            losers = pairs.select(
+                F.col("id_b").cast("string").alias("_loser")
+            ).distinct()
+            out = out.join(
+                losers, F.col("doc_id").cast("string") == F.col("_loser"),
+                "left_anti",
+            )
+        return out
+
+    deduped = runner.stage("deduped", _dedup,
+                           manifest=dict(manifest, stage="deduped"))
+
+    deduped.write.mode("overwrite").partitionBy("source").parquet(
+        f"{run_dir}/curated"
+    )
+    n = spark.read.parquet(f"{run_dir}/curated").count()
+    print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
+    print(f"curated docs: {n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""End-to-end curation pipeline CLI (jobs/run_curate.py) driven as a real
+subprocess: scrub → score → filter → dedup → curated parquet, resumable."""
+
+import os
+import subprocess
+import sys
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GOOD = ("the quick brown fox jumps over a lazy dog and then the fox "
+        "runs far away of the meadow and keeps going past the old barn "
+        "until the night comes and a quiet wind settles of the hills")
+
+
+def _write_docs(spark, tmp_path):
+    rows = [
+        # two good docs (distinct), one carrying PII
+        {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s0"},
+        {"doc_id": 2, "text": GOOD.replace("fox", "hare")
+         + " write to me at someone@example.org now",
+         "lang": "en", "source": "s0"},
+        # exact duplicate of doc 1 -> dropped (canonical = min id)
+        {"doc_id": 3, "text": GOOD, "lang": "en", "source": "s1"},
+        # too short
+        {"doc_id": 4, "text": "tiny doc", "lang": "en", "source": "s1"},
+        # highly repetitive -> top2_frac near 1
+        {"doc_id": 5, "text": "spam ham " * 40, "lang": "en", "source": "s1"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(path)
+    return path
+
+
+def test_run_curate_cli(spark, tmp_path):
+    inp = _write_docs(spark, tmp_path)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "c0",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "5",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "stages ran: ['scrubbed', 'scored', 'filtered', 'deduped']" in r.stdout
+
+    cur = spark.read.parquet(f"{out}/c0/curated").toPandas()
+    ids = set(cur["doc_id"])
+    assert 1 in ids and 2 in ids          # good docs survive
+    assert 3 not in ids                   # exact dup dropped (canonical=1)
+    assert 4 not in ids                   # too short
+    assert 5 not in ids                   # repetitive
+    # PII scrubbed in the surviving text, count recorded
+    d2 = cur[cur["doc_id"] == 2].iloc[0]
+    assert "<EMAIL>" in d2["text"] and "@" not in d2["text"]
+    assert d2["n_email"] == 1
+
+    # rerun: all stages skipped
+    r2 = subprocess.run(argv, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "stages ran: []" in r2.stdout
