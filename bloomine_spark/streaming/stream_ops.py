@@ -12,6 +12,9 @@ extensions a training-data ingest pipeline needs:
    ``applyInPandasWithState``: per-key HyperLogLog state merged across
    triggers, emitting the running distinct estimate (the streaming form of
    the mergeable-sketch UDAF).
+ * ``sessions_stream`` — gap-based session windows per key via the native
+   ``session_window`` aggregation (the streaming twin of the batch
+   gaps-and-islands ``events_sessionize`` query).
 """
 
 from __future__ import annotations
@@ -77,6 +80,64 @@ def dedup_stream(
         stream_df.withColumn("fingerprint", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def sessions_stream(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization on a stream: events of one key separated by
+    less than ``gap`` merge into one session; per-session event counts and
+    value sums are emitted.
+
+    Uses Spark's NATIVE ``session_window`` aggregation (merging session
+    state handled by the engine, watermark bounds the state) rather than a
+    hand-rolled stateful UDF — the streaming counterpart of the batch
+    ``events_sessionize`` gaps-and-islands query (lag + conditional cumsum),
+    which cannot run on a stream because unbounded window functions are not
+    supported there.
+
+    Boundary note: an event arriving EXACTLY ``gap`` after the previous one
+    extends the session in the batch query (strict ``>`` on the gap) but
+    starts a new session under ``session_window`` (window end is exclusive).
+    Real event-time data never sits on the microsecond boundary; documented
+    for the equivalence test.
+
+    ``sum_value`` aggregates as DECIMAL(18,6) then rounds, matching the
+    batch query's order-independent exact summation.
+
+    Watermarks require TIMESTAMP (with timezone) event time; a
+    TIMESTAMP_NTZ column (what parquet timestamps load as) is cast,
+    interpreting the wall-clock in the session timezone — gap arithmetic
+    is unaffected.
+    """
+    if isinstance(stream_df.schema[ts_col].dataType, T.TimestampNTZType):
+        stream_df = stream_df.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), key_col
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 

@@ -223,3 +223,124 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     got = spark.sql("SELECT text FROM dedup_out").toPandas()
     assert sorted(got["text"]) == ["alpha beta", "gamma delta"]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """sessions_stream (native session_window, state merged across
+    triggers) produces the same sessions as the batch gaps-and-islands
+    events_sessionize query over the same events."""
+    import __spark_entry__ as em
+
+    from bloomine_spark.streaming.stream_ops import sessions_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    # batch oracle: (user, first-event ts, n_events, sum_value) per session
+    batch = em.queries()["events_sessionize"](spark, sf_dir).toPandas()
+    want = sorted(
+        zip(
+            batch["user_id"],
+            batch["session_start"].astype(str),
+            batch["n_events"],
+            batch["sum_value"],
+        )
+    )
+
+    # split events over several files so sessions span triggers
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        # files arrive in random time order, so the watermark must cover
+        # the whole event-time span or out-of-order events are dropped as
+        # late (that dropping is exercised separately below)
+        sessions_stream(stream, gap="30 minutes", watermark="90 days")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_pdf = spark.sql("SELECT * FROM sess_out").toPandas()
+    got = sorted(
+        zip(
+            got_pdf["user_id"],
+            got_pdf["session_start"].astype(str),
+            got_pdf["n_events"],
+            got_pdf["sum_value"],
+        )
+    )
+    assert len(want) > 20
+    assert got == want
+
+
+def test_streaming_sessionize_drops_late_events(spark, tmp_path):
+    """An event arriving later than the watermark allows is dropped: its
+    session never appears (bounded state is the point of the watermark)."""
+    import datetime
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from bloomine_spark.streaming.stream_ops import sessions_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _one_file(rows, name):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, str(tmp_path / "src" / (name + ".parquet")))
+
+    (tmp_path / "src").mkdir()
+    # batch 1: two events 6 hours in -> watermark advances to 5h
+    _one_file(
+        [
+            {"user_id": 1, "ts": t0 + datetime.timedelta(hours=6), "value": 1.0},
+            {"user_id": 1, "ts": t0 + datetime.timedelta(hours=6, minutes=5),
+             "value": 1.0},
+        ],
+        "a",
+    )
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        sessions_stream(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "lck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one more on-time event — the watermark is computed from
+        # the PREVIOUS batch's max event time, so this batch both runs under
+        # an advanced watermark and advances it further (to 6h)
+        _one_file(
+            [{"user_id": 1, "ts": t0 + datetime.timedelta(hours=7),
+              "value": 1.0}],
+            "b",
+        )
+        q.processAllAvailable()
+        # batch 3: an event at t0 — 6 hours behind the watermark — dropped
+        _one_file([{"user_id": 1, "ts": t0, "value": 99.0}], "c")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM late_sess").toPandas()
+    assert sorted(got["sum_value"]) == [1.0, 2.0]  # the 99.0 never lands
+    assert int(got["n_events"].sum()) == 3
