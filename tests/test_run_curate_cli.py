@@ -27,6 +27,10 @@ def _write_docs(spark, tmp_path):
         {"doc_id": 4, "text": "tiny doc", "lang": "en", "source": "s1"},
         # highly repetitive -> top2_frac near 1
         {"doc_id": 5, "text": "spam ham " * 40, "lang": "en", "source": "s1"},
+        # near-duplicate of doc 1 (tail appended, shingle Jaccard ~0.9):
+        # survives exact dedup, dropped only under --near-dup
+        {"doc_id": 6, "text": GOOD + " and nothing else happens there",
+         "lang": "en", "source": "s1"},
     ]
     pdf = pd.DataFrame(rows)
     pdf["n_chars"] = pdf["text"].str.len()
@@ -60,8 +64,21 @@ def test_run_curate_cli(spark, tmp_path):
     assert "<EMAIL>" in d2["text"] and "@" not in d2["text"]
     assert d2["n_email"] == 1
 
+    assert 6 in ids                       # near-dup NOT dropped by default
+
     # rerun: all stages skipped
     r2 = subprocess.run(argv, capture_output=True, text=True, env=env,
                         timeout=600)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "stages ran: []" in r2.stdout
+
+    # --near-dup: MinHash-LSH drops the near-duplicate (canonical = min id)
+    argv_nd = argv[:]
+    argv_nd[argv_nd.index("c0")] = "c1"
+    argv_nd.append("--near-dup")
+    r3 = subprocess.run(argv_nd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    nd = spark.read.parquet(f"{out}/c1/curated").toPandas()
+    nd_ids = set(nd["doc_id"])
+    assert 1 in nd_ids and 6 not in nd_ids
