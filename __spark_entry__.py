@@ -768,6 +768,25 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=100)
 
 
+def _q_contamination_screen(spark, sf_dir):
+    """Train/test decontamination: train docs (source != 'src0') sharing
+    any word 3-gram with the eval corpus (source == 'src0'), with the
+    distinct shared-shingle count. Bloom built from the eval shingles
+    prefilters train shingles inside the scan stage before the only wide
+    exchange (GPT-3 appendix-C style; n=3 instead of 13 because the
+    synthetic docs are short — the machinery is n-independent)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import contamination_screen
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_screen(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    ).withColumn("doc_id", F.col("doc_id").cast("string"))
+
+
 def _q_minhash_lsh_dups(spark, sf_dir):
     """MinHash+LSH near-dup pairs (hash-dependent → no SQL oracle;
     planted-duplicate recall is gated in tests/test_dedup_similarity.py)."""
@@ -955,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_counts": _q_salted_source_counts,
         "exact_dup_docs": _q_exact_dup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "contamination_screen": _q_contamination_screen,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_dups": _q_simhash_dups,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
@@ -1216,6 +1236,24 @@ def oracle_sql() -> dict[str, str]:
                ROUND(inter * 1.0 / (x.sz + y.sz - inter), 6) AS jaccard
         FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
         WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    """
+
+    sql["contamination_screen"] = """
+        WITH d AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ), s AS (
+          SELECT DISTINCT doc_id, source,
+                 array_to_string(toks[i + 1 : i + 3], ' ') AS g
+          FROM d, unnest(range(0, len(toks) - 2)) AS u(i)
+        ), te AS (
+          SELECT DISTINCT g FROM s WHERE source = 'src0'
+        )
+        SELECT CAST(s.doc_id AS VARCHAR) AS doc_id,
+               COUNT(*) AS n_shared_ngrams
+        FROM s JOIN te USING (g)
+        WHERE s.source <> 'src0'
+        GROUP BY s.doc_id
     """
 
     sql["embedding_near_dup_exact"] = """

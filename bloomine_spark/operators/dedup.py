@@ -580,3 +580,72 @@ def embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination screening (decontamination)
+# ---------------------------------------------------------------------------
+
+def contamination_screen(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    fp: float = 1e-4,
+) -> DataFrame:
+    """Training docs that share at least one word ``n``-gram with an
+    evaluation corpus — the GPT-3-style decontamination check (Brown et
+    al. 2020, appendix C: 13-gram overlap), the cross-corpus sibling of
+    ``ngram_jaccard_pairs``'s within-corpus near-dup.
+
+    Returns ``(doc_id, n_shared_ngrams)`` for contaminated train docs,
+    where ``n_shared_ngrams`` counts the doc's DISTINCT shingles found in
+    the test set.
+
+    Plan (scale path): the test side collapses to its distinct shingle set
+    (small — eval corpora are orders of magnitude smaller than training
+    corpora), a Bloom filter built from it prefilters the exploded train
+    shingles INSIDE the scan stage (``bloom_semi_join``), so the only
+    wide exchange carries the ~0 fraction of train shingles that collide;
+    the exact semi-join then removes Bloom false positives. No train-side
+    shingle ever shuffles unless it (probably) appears in the test set.
+    """
+    tr = (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            # _word_shingles_expr is array_distinct, so per-doc shingles
+            # are already unique and the final count(*) is a distinct count
+            F.explode(_word_shingles_expr(text_col, n)).alias("g"),
+        )
+        .filter(F.col("g") != "")
+    )
+    te = (
+        test.select(F.explode(_word_shingles_expr(text_col, n)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    from bloomine_spark.operators.bloomjoin import bloom_semi_join
+
+    shared = bloom_semi_join(tr, te, "g", fp=fp)
+    return shared.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shared_ngrams")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    fp: float = 1e-4,
+) -> DataFrame:
+    """Drop contaminated docs from ``train``: anti-join against
+    ``contamination_screen`` on ``id_col`` (all train columns kept)."""
+    hits = contamination_screen(train, test, text_col, id_col, n, fp)
+    return train.join(
+        hits.withColumnRenamed("doc_id", "_cid"),
+        F.col(id_col).cast("string") == F.col("_cid").cast("string"),
+        "left_anti",
+    )

@@ -298,3 +298,33 @@ def test_winnow_min_fp_consistent(spark):
         assert r["min_fp"] == min(r["fingerprints"])
     # at least one doc exercises the wrap (hashes are uniform over uint64)
     assert (got["min_fp"] < 0).any()
+
+
+def test_contamination_screen_planted(spark):
+    """A train doc that embeds an 8-gram from the eval set is flagged with
+    the exact distinct-shared-shingle count; clean docs are untouched and
+    decontaminate() drops exactly the flagged doc."""
+    from bloomine_spark.operators.dedup import (
+        contamination_screen,
+        decontaminate,
+    )
+
+    eval_text = "the sly red panda climbs over the mossy stone wall at dawn"
+    train_rows = [
+        # embeds words 0..9 of eval_text (10 words -> 3 distinct 8-grams)
+        (1, "prefix words then " + " ".join(eval_text.split()[:10])
+         + " and an unrelated tail follows here"),
+        (2, "completely different content about parquet files and shuffles "
+            "with nothing in common at all"),
+        (3, "another clean document that goes on about bloom filters and "
+            "sketches for a while longer"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test_set = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+
+    hits = contamination_screen(train, test_set, n=8).toPandas()
+    assert list(hits["doc_id"]) == [1]
+    assert int(hits["n_shared_ngrams"].iloc[0]) == 3  # 10 words, n=8
+
+    clean = decontaminate(train, test_set, n=8).toPandas()
+    assert sorted(clean["doc_id"]) == [2, 3]
