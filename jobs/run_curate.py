@@ -10,6 +10,8 @@ _PARAMS.json protocol as the screen cascade):
               fraction ≤ --top2-max, n_ws_tokens ≥ --min-tokens)
   deduped   — exact content dedup, canonical = min doc_id per fingerprint
               (+ optional MinHash-LSH near-dup drop with --near-dup)
+  decontam  — (only with --eval-set PATH) drop docs sharing any word
+              n-gram with the eval corpus (Bloom-prefiltered overlap)
   curated/  — final docs, partitioned by source
 
 Every stage is a narrow or grouped op: no driver collects, no cross
@@ -18,7 +20,8 @@ joins; near-dup is the banded LSH (bucket equi-join, no n² stage).
     spark-submit --py-files bloomine_spark.zip jobs/run_curate.py \
         --input /path/documents_parquet --output /path/out \
         --run-id c0 [--quality-min 0.5] [--top2-max 0.2]
-        [--min-tokens 5] [--near-dup] [--force]
+        [--min-tokens 5] [--near-dup] [--eval-set /path/eval_parquet]
+        [--decontam-n 8] [--force]
 """
 
 from __future__ import annotations
@@ -37,6 +40,11 @@ def main() -> None:
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop MinHash-LSH near-duplicates (keeps the "
                     "min doc_id of each near-dup pair's cluster side)")
+    ap.add_argument("--eval-set", default=None, metavar="PATH",
+                    help="parquet of eval docs (doc_id, text): drop curated "
+                    "docs sharing any word n-gram with it (decontamination)")
+    ap.add_argument("--decontam-n", type=int, default=8,
+                    help="n-gram size for --eval-set overlap (default 8)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -57,6 +65,7 @@ def main() -> None:
     manifest = {
         "quality_min": args.quality_min, "top2_max": args.top2_max,
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
+        "eval_set": args.eval_set, "decontam_n": args.decontam_n,
     }
 
     docs = spark.read.parquet(args.input)
@@ -127,6 +136,16 @@ def main() -> None:
 
     deduped = runner.stage("deduped", _dedup,
                            manifest=dict(manifest, stage="deduped"))
+
+    if args.eval_set:
+        from bloomine_spark.operators.dedup import decontaminate
+
+        def _decontam():
+            ev = spark.read.parquet(args.eval_set)
+            return decontaminate(deduped, ev, n=args.decontam_n)
+
+        deduped = runner.stage("decontam", _decontam,
+                               manifest=dict(manifest, stage="decontam"))
 
     deduped.write.mode("overwrite").partitionBy("source").parquet(
         f"{run_dir}/curated"

@@ -82,3 +82,22 @@ def test_run_curate_cli(spark, tmp_path):
     nd = spark.read.parquet(f"{out}/c1/curated").toPandas()
     nd_ids = set(nd["doc_id"])
     assert 1 in nd_ids and 6 not in nd_ids
+
+    # --eval-set: decontamination drops docs sharing an 8-gram with the
+    # eval corpus. The eval doc embeds GOOD's opening 10 words, so docs 1
+    # and 6 (which contain them verbatim) are dropped; doc 2 differs
+    # inside every opening 8-gram (fox->hare) and survives.
+    ev_path = str(tmp_path / "evalset")
+    spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 900,
+                       "text": " ".join(GOOD.split()[:10])}])
+    ).write.parquet(ev_path)
+    argv_ev = argv[:]
+    argv_ev[argv_ev.index("c0")] = "c2"
+    argv_ev += ["--eval-set", ev_path]
+    r4 = subprocess.run(argv_ev, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    assert "'decontam'" in r4.stdout  # stage actually ran
+    dc = spark.read.parquet(f"{out}/c2/curated").toPandas()
+    assert set(dc["doc_id"]) == {2}
