@@ -107,3 +107,25 @@ def test_setops_exact_is_one_scan(spark):
     q = em.queries()["distinct_tokens_setops_exact"](spark, SF)
     facts = plan_facts(q)
     assert facts.text.count("Scan parquet") == 1, facts.text
+
+
+@needs_data
+def test_contamination_screen_plan(spark):
+    """The decontamination screen's Bloom probe (MapInArrow) must prune
+    the exploded train shingles BEFORE the exchange that feeds the exact
+    semi-join — at 100 TB the unpruned shingle stream is the whole corpus
+    re-keyed, and the probe existing below the join is what keeps that
+    off the wire. Also: no cartesian anywhere."""
+    import __spark_entry__ as em
+
+    q = em.queries()["contamination_screen"](spark, SF)
+    assert_no_cartesian(q)
+    facts = plan_facts(q)
+    text = facts.text
+    assert "MapInArrow" in text
+    assert "LeftSemi" in text or "left_semi" in text.lower()
+    # the probe sits below (after, in plan text order = above in tree) the
+    # exchange: the MapInArrow node must appear deeper than the last
+    # Exchange that feeds the semi-join
+    probe_at = text.index("MapInArrow")
+    assert "Exchange" in text[:probe_at], text
