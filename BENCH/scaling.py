@@ -273,6 +273,14 @@ def main():
             "   vmstat, ~2x sustained-load throttling drift within a",
             "   session) — hence interleaved configs and dual best/median",
             "   estimators over the full run history.",
+            "4. The ceiling is reproducible outside Spark: BENCH/bus_probe.py",
+            "   runs ONE numpy kernel at two working-set sizes, 1 vs 16",
+            "   processes. Cache-resident (1.6 MB): 1.2x per-process",
+            "   inflation — 16 real, idle cores. Bus-streaming (48 MB):",
+            "   14.8x inflation — the single DRAM bus divided 16 ways.",
+            "   The sketch folds live in the second regime; the screen",
+            "   kernel in the first. Identical code, opposite scaling —",
+            "   the box, not the engine, sets the bandwidth-bound number.",
         ]
     lines += [
         "",
