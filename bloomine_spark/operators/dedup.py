@@ -610,6 +610,14 @@ def contamination_screen(
     wide exchange carries the ~0 fraction of train shingles that collide;
     the exact semi-join then removes Bloom false positives. No train-side
     shingle ever shuffles unless it (probably) appears in the test set.
+
+    Skew note: a high-frequency eval shingle (a stopword n-gram) is a hot
+    join key. The LEFT SEMI join cannot multiply rows (each train shingle
+    emits at most once), so the exposure is one oversized shuffle
+    partition, which AQE's skew-join split handles
+    (spark.sql.adaptive.skewJoin.enabled, on by default) — unlike
+    ``ngram_jaccard_pairs`` there is no f² pair blow-up to cap, and a hot
+    shingle is semantically a real contamination signal, not noise.
     """
     tr = (
         train.select(
