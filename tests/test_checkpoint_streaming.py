@@ -344,3 +344,65 @@ def test_streaming_sessionize_drops_late_events(spark, tmp_path):
     got = spark.sql("SELECT * FROM late_sess").toPandas()
     assert sorted(got["sum_value"]) == [1.0, 2.0]  # the 99.0 never lands
     assert int(got["n_events"].sum()) == 3
+
+
+def test_streaming_sessionize_append_mode_emits_finalized(spark, tmp_path):
+    """Append mode (the production sink path) emits a session exactly once,
+    only after the watermark passes its end — earlier triggers emit
+    nothing for a still-open session."""
+    import datetime
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from bloomine_spark.streaming.stream_ops import sessions_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _one_file(rows, name):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, str(tmp_path / "src" / (name + ".parquet")))
+
+    (tmp_path / "src").mkdir()
+    _one_file(
+        [{"user_id": 1, "ts": t0, "value": 1.0},
+         {"user_id": 1, "ts": t0 + datetime.timedelta(minutes=5),
+          "value": 1.0}],
+        "a",
+    )
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        sessions_stream(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("ap_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ack"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # session [00:00, 00:35) is still open relative to the watermark:
+        # nothing emitted yet
+        assert spark.sql("SELECT * FROM ap_sess").count() == 0
+        # an event far ahead pushes the watermark past the session end
+        _one_file(
+            [{"user_id": 1, "ts": t0 + datetime.timedelta(hours=6),
+              "value": 1.0}],
+            "b",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ap_sess").toPandas()
+    # exactly the finalized first session; the 6h session is still open
+    assert len(got) == 1
+    assert int(got["n_events"].iloc[0]) == 2
+    assert str(got["session_start"].iloc[0]) == "2024-01-01 00:00:00"
