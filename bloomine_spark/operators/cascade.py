@@ -217,6 +217,60 @@ def _batch_flank_anchors(batch, kascade, flank_flag: str, len_flank: int):
     return pos_out, dir_out
 
 
+def _extract_regions(batch, kas_head, kas_tail, len_head, len_tail):
+    """Batched isolate_target core shared by ``extract_targets`` and
+    ``extract_targets_multi``: anchor both flanks, resolve orientation and
+    slice bounds with Python-slice semantics, and gather the inter-flank
+    regions from the flat token buffer.
+
+    Returns ``(rows, offs, vals, raw_h, raw_t, o_rev)`` — row indices into
+    ``batch`` with both flanks found, list offsets (len(rows)+1, int32),
+    gathered int32 token values, raw anchor positions and the
+    reverse-orientation mask — or ``None`` when no row resolves.
+    """
+    hp, hd = _batch_flank_anchors(batch, kas_head, "head", len_head)
+    tp, td = _batch_flank_anchors(batch, kas_tail, "tail", len_tail)
+    ok = (hd != 0) & (td != 0) & (hd == td)
+    rows = np.flatnonzero(ok)
+    if len(rows) == 0:
+        return None
+    n = batch.lens[rows]
+    raw_h, raw_t = hp[rows], tp[rows]
+    o_rev = hd[rows] == 2
+    # flanks found in swapped order → mirror both anchors (moi.py:56-59)
+    flip = raw_h > raw_t
+    hp2 = np.where(flip, n - raw_h + len_head + 1, raw_h)
+    tp2 = np.where(flip, n - raw_t - len_tail, raw_t)
+    slice_rev = hp2 > tp2
+    a = np.where(slice_rev, tp2 + 1, hp2 + 1)
+    b = np.where(slice_rev, hp2, tp2)
+    # Python slice resolution (reference read_seq[start:end], moi.py:66-73):
+    # partial flank matches at read edges produce anchors outside [0, n) — a
+    # negative index wraps once from the end, then both bounds clamp to
+    # [0, n], exactly like a Python slice. Without this the flat-buffer
+    # gather below reads other rows' tokens (or runs off the buffer).
+    a = np.clip(np.where(a < 0, a + n, a), 0, n)
+    b = np.clip(np.where(b < 0, b + n, b), 0, n)
+    out_len = np.maximum(b - a, 0)
+    total = int(out_len.sum())
+    # vectorized variable-length gather: element j of row r maps to a
+    # flat-buffer index via (slice order, row orientation)
+    rep = np.repeat(np.arange(len(rows)), out_len)
+    csum = np.zeros(len(rows), dtype=np.int64)
+    np.cumsum(out_len[:-1], out=csum[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(csum, out_len)
+    j = np.where(slice_rev[rep], b[rep] - 1 - within, a[rep] + within)
+    j = np.where(o_rev[rep], n[rep] - 1 - j, j)
+    vals = (
+        batch.flat[batch.offsets[rows][rep] + j]
+        .view(np.int64)
+        .astype(np.int32)
+    )
+    offs = np.zeros(len(rows) + 1, dtype=np.int32)
+    np.cumsum(out_len, out=offs[1:])
+    return rows, offs, vals, raw_h, raw_t, o_rev
+
+
 def extract_targets(
     hits: DataFrame,
     head_flank: Sequence[int],
@@ -259,47 +313,11 @@ def extract_targets(
             if rb.num_rows == 0:
                 continue
             batch = token_batch_from_arrow(rb, tokens_col)
-            hp, hd = _batch_flank_anchors(batch, kas_head, "head", len_head)
-            tp, td = _batch_flank_anchors(batch, kas_tail, "tail", len_tail)
-            ok = (hd != 0) & (td != 0) & (hd == td)
-            rows = np.flatnonzero(ok)
-            if len(rows) == 0:
+            res = _extract_regions(batch, kas_head, kas_tail,
+                                   len_head, len_tail)
+            if res is None:
                 continue
-            n = batch.lens[rows]
-            raw_h, raw_t = hp[rows], tp[rows]
-            o_rev = hd[rows] == 2
-            # flanks found in swapped order → mirror both anchors (moi.py:56-59)
-            flip = raw_h > raw_t
-            hp2 = np.where(flip, n - raw_h + len_head + 1, raw_h)
-            tp2 = np.where(flip, n - raw_t - len_tail, raw_t)
-            slice_rev = hp2 > tp2
-            a = np.where(slice_rev, tp2 + 1, hp2 + 1)
-            b = np.where(slice_rev, hp2, tp2)
-            # Python slice resolution (reference read_seq[start:end],
-            # moi.py:66-73): partial flank matches at read edges produce
-            # anchors outside [0, n) — a negative index wraps once from the
-            # end, then both bounds clamp to [0, n], exactly like a Python
-            # slice. Without this the flat-buffer gather below reads other
-            # rows' tokens (or runs off the buffer).
-            a = np.clip(np.where(a < 0, a + n, a), 0, n)
-            b = np.clip(np.where(b < 0, b + n, b), 0, n)
-            out_len = np.maximum(b - a, 0)
-            total = int(out_len.sum())
-            # vectorized variable-length gather: element j of row r maps to
-            # a flat-buffer index via (slice order, row orientation)
-            rep = np.repeat(np.arange(len(rows)), out_len)
-            csum = np.zeros(len(rows), dtype=np.int64)
-            np.cumsum(out_len[:-1], out=csum[1:])
-            within = np.arange(total, dtype=np.int64) - np.repeat(csum, out_len)
-            j = np.where(slice_rev[rep], b[rep] - 1 - within, a[rep] + within)
-            j = np.where(o_rev[rep], n[rep] - 1 - j, j)
-            vals = (
-                batch.flat[batch.offsets[rows][rep] + j]
-                .view(np.int64)
-                .astype(np.int32)
-            )
-            offs = np.zeros(len(rows) + 1, dtype=np.int32)
-            np.cumsum(out_len, out=offs[1:])
+            rows, offs, vals, raw_h, raw_t, o_rev = res
             ext = pa.ListArray.from_arrays(pa.array(offs), pa.array(vals))
             doc = pc.cast(
                 rb.column(rb.schema.get_field_index("doc_id")).take(
@@ -317,6 +335,104 @@ def extract_targets(
                 ],
                 ["doc_id", "extracted", "head_pos", "tail_pos", "orientation"],
             )
+
+    return hits.mapInArrow(kernel, schema=schema)
+
+
+def extract_targets_multi(
+    hits: DataFrame,
+    probes: dict[str, tuple],
+    min_kmer: int = 11,
+    tokens_col: str = "tokens",
+    target_col: str = "target_id",
+    sample_col: str = "source",
+) -> DataFrame:
+    """Isolate inter-flank regions for MANY probes in ONE data pass.
+
+    The reference RunManager (/root/reference/bloomine/run.py:26-61) loops
+    samples × probes, re-running isolate_target per cell; at a realistic
+    100-sample × 50-probe grid that is thousands of driver-serialized jobs
+    over the same hits table. Here ``hits`` carries its probe assignment in
+    ``target_col``, and each Arrow batch is sub-batched by probe so every
+    probe's rows still go through the vectorized ``_extract_regions`` core —
+    one Spark job for the whole grid.
+
+    ``probes``: {probe_id: (head_flank_tokens, tail_flank_tokens)}.
+    Output: (sample_col, doc_id, target_id, extracted, head_pos, tail_pos,
+    orientation).
+    """
+    prepared = {}
+    for tid, (head_flank, tail_flank) in probes.items():
+        head = np.asarray(list(head_flank), dtype=np.int64)
+        tail = np.asarray(list(tail_flank), dtype=np.int64)
+        prepared[tid] = (
+            _kascade_hashes(head, min_kmer),
+            _kascade_hashes(tail, min_kmer),
+            len(head),
+            len(tail),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(sample_col, T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(target_col, T.StringType()),
+            T.StructField("extracted", T.ArrayType(T.IntegerType())),
+            T.StructField("head_pos", T.IntegerType()),
+            T.StructField("tail_pos", T.IntegerType()),
+            T.StructField("orientation", T.StringType()),
+        ]
+    )
+
+    def kernel(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bloomine_spark.functions.kgrams import token_batch_from_arrow
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tcol = np.asarray(
+                rb.column(rb.schema.get_field_index(target_col))
+                .to_pylist(), dtype=object,
+            )
+            for tid in sorted(set(tcol.tolist())):
+                if tid not in prepared:
+                    continue  # unknown assignment: no flanks to anchor
+                kas_head, kas_tail, len_head, len_tail = prepared[tid]
+                sub = rb.take(pa.array(np.flatnonzero(tcol == tid)))
+                batch = token_batch_from_arrow(sub, tokens_col)
+                res = _extract_regions(batch, kas_head, kas_tail,
+                                       len_head, len_tail)
+                if res is None:
+                    continue
+                rows, offs, vals, raw_h, raw_t, o_rev = res
+                take = pa.array(rows)
+                ext = pa.ListArray.from_arrays(pa.array(offs), pa.array(vals))
+                doc = pc.cast(
+                    sub.column(sub.schema.get_field_index("doc_id"))
+                    .take(take),
+                    pa.string(),
+                )
+                src = pc.cast(
+                    sub.column(sub.schema.get_field_index(sample_col))
+                    .take(take),
+                    pa.string(),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        src,
+                        doc,
+                        pa.array([tid] * len(rows), type=pa.string()),
+                        ext,
+                        pa.array(raw_h.astype(np.int32)),
+                        pa.array(raw_t.astype(np.int32)),
+                        pa.array(np.where(o_rev, "-", "+")),
+                    ],
+                    [sample_col, "doc_id", target_col, "extracted",
+                     "head_pos", "tail_pos", "orientation"],
+                )
 
     return hits.mapInArrow(kernel, schema=schema)
 

@@ -110,6 +110,27 @@ def write_flank_scores_tsv(combined: DataFrame, path: str) -> None:
             fh.write(line + "\n")
 
 
+def polyfamily_summary_from_counts(
+    counts,
+    detokenize: Callable[[Sequence[int]], str] = _default_detok,
+) -> str:
+    """Same JSON layout as ``polyfamily_summary_json`` but from already
+    collected ``(probe_id, extracted, count)`` triples — lets a grid run
+    collect ONE grouped variant-count frame and render every per-sample /
+    per-probe blob driver-side without further Spark jobs."""
+    per_probe: dict[str, list] = {}
+    for probe_id, extracted, count in counts:
+        per_probe.setdefault(probe_id, []).append(
+            (detokenize(extracted), int(count))
+        )
+    out: dict[str, list] = {}
+    for probe_id in sorted(per_probe):
+        pairs = sorted(per_probe[probe_id], key=lambda x: (-x[1], x[0]))
+        if pairs:
+            out[probe_id] = [[s, c] for s, c in pairs]
+    return json.dumps(out, indent=2)
+
+
 def polyfamily_summary_json(
     per_probe_variants: Mapping[str, DataFrame],
     detokenize: Callable[[Sequence[int]], str] = _default_detok,

@@ -54,9 +54,9 @@ def main() -> None:
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
 
-    from bloomine_spark.operators.cascade import extract_targets, variant_counts
+    from bloomine_spark.operators.cascade import extract_targets_multi
     from bloomine_spark.operators.multiscreen import screen_multi_scores
-    from bloomine_spark.operators.report import polyfamily_summary_json
+    from bloomine_spark.operators.report import polyfamily_summary_from_counts
     from bloomine_spark.operators.screen import prepare_target
     from bloomine_spark.params import ScreenParams
     from bloomine_spark.sources.stages import StageRunner
@@ -153,57 +153,95 @@ def main() -> None:
     )
 
     # ---- stage 3: hydrate assigned reads with tokens (ONE join) ----------
+    # join on BOTH (source, doc_id): read ids are only unique per sample in
+    # FASTQ practice, so a doc_id-only join would cross-attach one sample's
+    # target to another sample's read
     hits = runner.stage(
         "hits",
-        lambda: df.join(assigned.select("doc_id", "target_id"), "doc_id"),
+        lambda: df.join(
+            assigned.select("source", "doc_id", "target_id"),
+            ["source", "doc_id"],
+        ),
         manifest=dict(manifest, stage="hits"),
     )
 
-    # ---- per-sample driver-side sinks (tiny, post-aggregation) -----------
-    samples = sorted(
-        r["source"] for r in combined.select("source").distinct().collect()
-    )
+    # ---- per-sample driver-side sinks ------------------------------------
+    # O(stages) Spark jobs total, NOT O(samples x probes): one sorted
+    # toLocalIterator streams every sample's flank log, and one grouped
+    # extraction + count pass feeds every polyfamily.json.
     print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
-    for sample in samples:
+    jobs_before_sinks = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup())
+
+    header = "\t".join(
+        ["probe_set", "read_id", "flank_1_score", "flank_1_RC_score",
+         "flank_2_score", "flank_2_RC_score", "threshold", "pass"])
+
+    def cell(v):
+        return "" if v is None else str(int(v))
+
+    def sample_dir(sample: str) -> str:
         sdir = os.path.join(args.output, "samples", sample)
         os.makedirs(sdir, exist_ok=True)
+        return sdir
 
-        # flank_scores.log — probe_set-prefixed merged TSV (run.py:139-177)
-        log_path = os.path.join(sdir, f"{sample}.flank_scores.log")
-        header = ["probe_set", "read_id", "flank_1_score", "flank_1_RC_score",
-                  "flank_2_score", "flank_2_RC_score", "threshold", "pass"]
+    # flank_scores.log — probe_set-prefixed merged TSV (run.py:139-177),
+    # ONE cluster-side sort, stream-split into per-sample files as the
+    # source changes (rows arrive source-major)
+    samples: list[str] = []
+    fh = None
+    try:
+        rows = (
+            combined.orderBy("source", "probe_id", "doc_id").toLocalIterator()
+        )
+        for r in rows:
+            if not samples or r["source"] != samples[-1]:
+                if fh is not None:
+                    fh.close()
+                samples.append(r["source"])
+                fh = open(os.path.join(
+                    sample_dir(r["source"]),
+                    f'{r["source"]}.flank_scores.log'), "w")
+                fh.write(header + "\n")
+            fh.write("\t".join([
+                str(r["probe_id"]), str(r["doc_id"]),
+                cell(r["f1_score"]), cell(r["f1_rc_score"]),
+                cell(r["f2_score"]), cell(r["f2_rc_score"]),
+                str(float(r["threshold"])), str(int(r["pass"])),
+            ]) + "\n")
+    finally:
+        if fh is not None:
+            fh.close()
 
-        def cell(v):
-            return "" if v is None else str(int(v))
-
-        with open(log_path, "w") as fh:
-            fh.write("\t".join(header) + "\n")
-            rows = (
-                combined.filter(F.col("source") == sample)
-                .orderBy("probe_id", "doc_id")
-                .toLocalIterator()
-            )
-            for r in rows:
-                fh.write("\t".join([
-                    str(r["probe_id"]), str(r["doc_id"]),
-                    cell(r["f1_score"]), cell(r["f1_rc_score"]),
-                    cell(r["f2_score"]), cell(r["f2_rc_score"]),
-                    str(float(r["threshold"])), str(int(r["pass"])),
-                ]) + "\n")
-
-        # polyfamily.json — per-probe variant counts of this sample's reads
-        per_probe = {}
-        sample_hits = hits.filter(F.col("source") == sample)
-        for tid, (head, tail) in sorted(targets.items()):
-            probe_docs = sample_hits.filter(F.col("target_id") == tid)
-            ex = extract_targets(probe_docs, head, tail,
-                                 min_kmer=args.min_kmer)
-            per_probe[tid] = variant_counts(ex)
-        blob = polyfamily_summary_json(per_probe)
+    # polyfamily.json — ONE multi-probe extraction over hits, grouped
+    # variant counts per (sample, probe), collected once (tiny) and
+    # rendered per sample driver-side
+    ex = extract_targets_multi(hits, targets, min_kmer=args.min_kmer)
+    vc = (
+        ex.groupBy("source", "target_id", "extracted")
+        .agg(F.count("*").alias("count"))
+        .collect()
+    )
+    by_sample: dict[str, list] = {}
+    for r in vc:
+        by_sample.setdefault(r["source"], []).append(
+            (r["target_id"], r["extracted"], r["count"])
+        )
+    for sample, counts in by_sample.items():
+        blob = polyfamily_summary_from_counts(counts)
         if json.loads(blob):
-            with open(os.path.join(sdir, f"{sample}.polyfamily.json"), "w") as fh:
-                fh.write(blob)
-        print(f"sample {sample}: wrote {log_path}")
+            with open(os.path.join(
+                    sample_dir(sample),
+                    f"{sample}.polyfamily.json"), "w") as jf:
+                jf.write(blob)
+    for sample in samples:
+        print(f"sample {sample}: wrote "
+              f"{os.path.join(args.output, 'samples', sample)}")
+    # evidence for the O(stages) claim: the sink phase issues a constant
+    # handful of jobs (one streamed sort, one grouped count collect)
+    # regardless of the samples x probes grid size
+    n_jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+    print(f"spark-jobs: total={n_jobs} sink={n_jobs - jobs_before_sinks}")
 
     spark.stop()
 

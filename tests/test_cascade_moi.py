@@ -144,3 +144,59 @@ def test_choose_best_probes_tiebreak(spark):
     )
     ms2 = max_sum_reads(df2).toPandas()
     assert list(zip(ms2["doc_id"], ms2["target_id"])) == [("d2", "pA")]
+
+
+def test_extract_targets_multi_matches_per_probe(spark):
+    """One-pass multi-probe extraction == per-probe extract_targets on the
+    same rows, including colliding doc_ids across samples and reversed
+    reads; unknown target_ids are dropped."""
+    from bloomine_spark.operators.cascade import extract_targets_multi
+
+    HEAD_B = [501, 502, 503, 504, 505, 506, 507, 508, 509, 510, 511, 512]
+    probes = {"pA": (HEAD, TAIL), "pB": (HEAD_B, TAIL)}
+    rows = []
+    for src, variants in (("s0", [[1, 2, 3], [1, 2, 3], [4, 5, 6]]),
+                          ("s1", [[7, 8], [9, 10, 11]])):
+        for i, v in enumerate(variants):
+            rows.append({"doc_id": f"a{i}", "source": src, "target_id": "pA",
+                         "tokens": np.array(_mk_read(v, reverse=(i == 1)),
+                                            np.int32)})
+    for src, n in (("s0", 2), ("s1", 1)):
+        for i in range(n):
+            read = [300] + HEAD_B + [12, 13] + TAIL + [400, 401]
+            rows.append({"doc_id": f"b{i}", "source": src, "target_id": "pB",
+                         "tokens": np.array(read, np.int32)})
+    rows.append({"doc_id": "x0", "source": "s0", "target_id": "unknown",
+                 "tokens": np.array(_mk_read([1]), np.int32)})
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf[["source", "doc_id", "target_id", "tokens"]])
+
+    multi = extract_targets_multi(df, probes, min_kmer=11).toPandas()
+    assert set(multi["target_id"]) == {"pA", "pB"}
+
+    def key(frame, cols=("source", "doc_id")):
+        return {
+            tuple(list(r[c] for c in cols) + [r.get("target_id", "")]):
+            (list(r["extracted"]), r["head_pos"], r["tail_pos"],
+             r["orientation"])
+            for _, r in frame.iterrows()
+        }
+
+    got = {}
+    for tid, (h, t) in probes.items():
+        for src in ("s0", "s1"):
+            # per-probe extract has no source column, so scope the trusted
+            # baseline per (probe, sample) to disambiguate colliding ids
+            sub = df.filter((F.col("target_id") == tid)
+                            & (F.col("source") == src))
+            ex = extract_targets(sub, h, t, min_kmer=11).toPandas()
+            for _, r in ex.iterrows():
+                got[(src, r["doc_id"], tid)] = (
+                    list(r["extracted"]), r["head_pos"], r["tail_pos"],
+                    r["orientation"])
+    want = {
+        (r["source"], r["doc_id"], r["target_id"]):
+        (list(r["extracted"]), r["head_pos"], r["tail_pos"], r["orientation"])
+        for _, r in multi.iterrows()
+    }
+    assert want == got and len(want) == 8

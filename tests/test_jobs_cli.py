@@ -82,16 +82,20 @@ def test_run_polyfamily_cli_writes_json(spark, tmp_path):
 
 
 def _write_grid_input(spark, tmp_path):
-    """Two samples (source column), each with probe-A and probe-B reads."""
+    """Two samples (source column) with COLLIDING read ids (a0, b0, ... in
+    both samples — FASTQ read ids are only scoped per sample) and a
+    different probe-A variant per sample, so any doc_id-only join between
+    samples corrupts per-sample variant counts detectably."""
     rows = []
-    for src, na, nb in (("s0", 3, 2), ("s1", 2, 1)):
+    for src, na, nb, variant in (("s0", 3, 2, [1, 2, 3]),
+                                 ("s1", 2, 1, [4, 5, 6, 7])):
         for i in range(na):
-            read = [301, 302] + HEAD + [1, 2, 3] + TAIL + [401]
-            rows.append({"doc_id": f"{src}_a{i}",
+            read = [301, 302] + HEAD + variant + TAIL + [401]
+            rows.append({"doc_id": f"a{i}",
                          "tokens": np.array(read, np.int32), "source": src})
         for i in range(nb):
             read = [301] + HEAD_B + [8, 9] + TAIL + [402, 403]
-            rows.append({"doc_id": f"{src}_b{i}",
+            rows.append({"doc_id": f"b{i}",
                          "tokens": np.array(read, np.int32), "source": src})
     pdf = pd.DataFrame(rows)
     pdf["n_tok"] = pdf["tokens"].apply(len).astype("int32")
@@ -104,7 +108,8 @@ def _write_grid_input(spark, tmp_path):
 
 def test_run_grid_cli_per_sample_outputs_and_resume(spark, tmp_path):
     """RunManager surface (run.py:26-61): samples x probes in ONE job —
-    per-sample flank_scores.log + polyfamily.json, resumable stages."""
+    per-sample flank_scores.log + polyfamily.json, resumable stages,
+    O(stages) Spark jobs (not O(samples x probes))."""
     inp = _write_grid_input(spark, tmp_path)
     out = str(tmp_path / "grid")
     targets = json.dumps({"probeA": [HEAD, TAIL], "probeB": [HEAD_B, TAIL]})
@@ -113,22 +118,37 @@ def test_run_grid_cli_per_sample_outputs_and_resume(spark, tmp_path):
     stdout = _run("run_grid.py", argv)
     assert "stages ran: ['multi_scores', 'assignments', 'hits']" in stdout
 
-    for sample, a_count, b_count in (("s0", 3, 2), ("s1", 2, 1)):
+    expected = {
+        # sample -> (reads, probeA variant, a_count, b_count)
+        "s0": ({"a0", "a1", "a2", "b0", "b1"}, "1 2 3", 3, 2),
+        "s1": ({"a0", "a1", "b0"}, "4 5 6 7", 2, 1),
+    }
+    for sample, (reads, variant, a_count, b_count) in expected.items():
         log = open(f"{out}/samples/{sample}/{sample}.flank_scores.log").read()
         lines = log.splitlines()
         assert lines[0].split("\t") == [
             "probe_set", "read_id", "flank_1_score", "flank_1_RC_score",
             "flank_2_score", "flank_2_RC_score", "threshold", "pass"]
-        # every body row belongs to this sample and has 8 fields
-        assert all(ln.split("\t")[1].startswith(sample) for ln in lines[1:])
+        # exactly this sample's reads, once per (probe, read) score row
+        assert {ln.split("\t")[1] for ln in lines[1:]} == reads
         blob = json.load(open(f"{out}/samples/{sample}/{sample}.polyfamily.json"))
-        assert ["1 2 3", a_count] in blob["probeA"]
+        # per-sample variants must NOT leak across the colliding read ids
+        assert blob["probeA"] == [[variant, a_count]]
         assert blob["probeB"] == [["8 9", b_count]]
 
     assigned = spark.read.parquet(f"{out}/g0/assignments").toPandas()
     assert set(assigned["source"]) == {"s0", "s1"}
-    assert (assigned[assigned["doc_id"].str.contains("_a")]["target_id"]
+    assert (assigned[assigned["doc_id"].str.startswith("a")]["target_id"]
             == "probeA").all()
+    # one assignment per (source, doc_id) despite colliding doc_ids
+    assert not assigned.duplicated(["source", "doc_id"]).any()
+
+    # O(stages) evidence: the sink phase (flank logs + polyfamily JSONs)
+    # issues a constant handful of jobs, not O(samples x probes) — the r3
+    # per-(sample, probe) loop issued 2 jobs per sample plus 2+ per grid
+    # cell on this same fixture
+    sink_jobs = int(stdout.split("sink=")[1].split()[0])
+    assert sink_jobs <= 8, f"sink phase issued {sink_jobs} jobs"
 
     # rerun: all stages skipped, sinks re-render identically
     log_before = open(f"{out}/samples/s0/s0.flank_scores.log").read()
