@@ -33,8 +33,14 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-JOBS = ["jvm_control_explode_sum", "hll_update_merge", "cms_update_merge",
-        "screen_scored"]
+JOBS = ["jvm_control_explode_sum", "jvm_hll_native", "hll_update_merge",
+        "cms_update_merge", "screen_scored"]
+# control rows — bound what the box can evidence, excluded from the gate:
+# jvm_control_explode_sum is Catalyst codegen (explode+sum);
+# jvm_hll_native is Spark's built-in Apache DataSketches HLL
+# (F.hll_sketch_agg, zero Python) on the IDENTICAL input — the strongest
+# like-for-like control for the numpy HLL fold's scaling number.
+CONTROLS = {"jvm_control_explode_sum", "jvm_hll_native"}
 
 WORKER = r"""
 import json, sys, time
@@ -72,6 +78,10 @@ from bloomine_spark.operators.screen import screen_hits
 FNS = {{
     "jvm_control_explode_sum":
         lambda: seqs.select(F.explode("tokens").alias("t")).agg(F.sum("t")).head(),
+    "jvm_hll_native":
+        lambda: seqs.select(F.explode("tokens").alias("t"))
+                    .agg(F.hll_sketch_estimate(F.hll_sketch_agg(F.col("t"), 12)))
+                    .head(),
     "hll_update_merge":
         lambda: sketch_agg_global(seqs, "tokens", lambda: HyperLogLog.empty(12)),
     "cms_update_merge":
@@ -205,10 +215,8 @@ def main():
         t_hi[j] = best_run["times_4x"][j]
 
     effs = {j: round(t_base[j] / t_hi[j] / 4.0, 3) for j in JOBS}
-    gate = min(effs[j] for j in JOBS if j != "jvm_control_explode_sum")
-    gate_median = min(
-        med_effs[j] for j in JOBS if j != "jvm_control_explode_sum"
-    )
+    gate = min(effs[j] for j in JOBS if j not in CONTROLS)
+    gate_median = min(med_effs[j] for j in JOBS if j not in CONTROLS)
 
     lines = [
         "# BENCH/BASELINE — measured numbers (this repo)",
@@ -247,10 +255,13 @@ def main():
         f"{'PASS' if gate >= 0.8 else 'SEE NOTES'}).",
         "",
         "Notes:",
-        f"1. The pure-JVM control row bounds what this shared VM can",
-        f"   evidence: {ctrl_eff:.2f}. Engine jobs scaling AT OR ABOVE the",
-        "   control means the Python-kernel pipeline adds no scaling",
-        "   penalty of its own.",
+        f"1. The pure-JVM control rows bound what this shared VM can",
+        f"   evidence: explode+sum {ctrl_eff:.2f}, native DataSketches HLL",
+        f"   (F.hll_sketch_agg, zero Python, identical input) "
+        f"{effs.get('jvm_hll_native', float('nan')):.2f} best / "
+        f"{med_effs.get('jvm_hll_native', float('nan')):.2f} median.",
+        "   Engine jobs scaling AT OR ABOVE the controls means the",
+        "   Python-kernel pipeline adds no scaling penalty of its own.",
     ]
     if intrinsic is not None:
         lines += [
@@ -293,6 +304,7 @@ def main():
     ctrl_effs = _pair_effs("jvm_control_explode_sum")
     ctrl_med = _median(ctrl_effs)
     scr_effs = _pair_effs("screen_scored")
+    nat_effs = _pair_effs("jvm_hll_native")
 
     def _fmt(xs):
         return ", ".join(f"{x:.2f}" for x in xs)
@@ -303,6 +315,20 @@ def main():
         "",
         f"- **Screen: {max(scr_effs):.2f} best / "
         f"{_median(scr_effs):.2f} median** (pairs: {_fmt(scr_effs)}).",
+        *(
+            [
+                f"- **Native DataSketches HLL control: "
+                f"{max(nat_effs):.2f} best / {_median(nat_effs):.2f} median "
+                f"(pairs: {_fmt(nat_effs)})** — the same distinct-count",
+                "  job as hll_update_merge, implemented entirely inside the",
+                "  JVM by Spark's own Apache DataSketches aggregate. If this",
+                "  row also lands below 0.8 on this box, no HLL",
+                "  implementation — ours or Spark's — can evidence the gate",
+                "  here, and the deficit is the box's memory bus, not the",
+                "  engine; if it clears the gate, the residual gap is ours.",
+            ]
+            if nat_effs else []
+        ),
         f"- **HLL and CMS medians ({med_effs['hll_update_merge']:.2f}, "
         f"{med_effs['cms_update_merge']:.2f}) vs the pure-JVM control "
         f"median {ctrl_med:.2f}** — when the sketch folds meet or beat the",

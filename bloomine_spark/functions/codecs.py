@@ -13,10 +13,16 @@ formats are fully decodable with the stdlib + numpy:
   frame count + per-frame length-prefixed PNG payloads) so video frame
   sampling has a real, parseable container format.
 
+- Baseline JPEG (SOF0: Huffman-coded sequential DCT, gray or YCbCr with
+  any 1/2-factor chroma subsampling, restart markers): a full stdlib
+  decoder (marker parse → Huffman entropy decode → dequant → IDCT →
+  upsample → color convert) and a 4:4:4 encoder so tests can round-trip
+  real JPEG bytes.
+
 Matching encoders exist for every decoder so tests can round-trip real
-encoded bytes. Formats that genuinely require external codecs (JPEG,
-MP4/H.264, MP3, ...) remain explicit NotImplementedError integration
-points in operators/multimodal.py.
+encoded bytes. Formats that genuinely require external codecs
+(progressive/arithmetic JPEG, MP4/H.264, MP3, ...) remain explicit
+NotImplementedError integration points in operators/multimodal.py.
 """
 
 from __future__ import annotations
@@ -261,6 +267,475 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError("only 8/16-bit PCM WAV supported")
     return arr.reshape(-1, ch), sr
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman entropy coding)
+# ---------------------------------------------------------------------------
+
+# zig-zag scan order: index i of the scan holds flattened 8x8 position
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K quantization tables (quality 50 reference)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K Huffman table specs: (bits[1..16] code counts, symbol values)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_HT_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+# orthonormal 8-point DCT-II basis: fwd = C @ X @ C.T, inv = C.T @ X @ C
+_DCT_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _DCT_C[_u, _x] = np.sqrt((1 if _u else 0.5) / 4.0) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16.0
+        )
+
+
+def _huff_codes(bits, values):
+    """Canonical Huffman: {symbol: (code, length)} from a DHT spec."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _scale_qt(qt: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (quality 1..100)."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((qt * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _fdct_quant(plane: np.ndarray, qt64: np.ndarray) -> np.ndarray:
+    """(H,W) float plane (level-shifted) -> (n_blocks_y, n_blocks_x, 64)
+    quantized zig-zag coefficients; H, W multiples of 8."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,byxv,wv->byuw", _DCT_C, blocks, _DCT_C,
+                     optimize=True)
+    flat = coef.reshape(h // 8, w // 8, 64)[:, :, _ZIGZAG]
+    return np.round(flat / qt64[np.newaxis, np.newaxis, :]).astype(np.int32)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF JPEG from (H,W) gray or (H,W,3) RGB uint8 (4:4:4, no
+    chroma subsampling — simple and exact enough for a round-trip gate)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("expected (H,W) or (H,W,3) uint8")
+    h, w = img.shape[:2]
+    n_comp = len(planes)
+    # tables held in zig-zag order throughout: _fdct_quant divides zig-zag
+    # coefficients and the DQT body is zig-zag per spec
+    qts = [_scale_qt(_QT_LUMA, quality)[_ZIGZAG]]
+    if n_comp == 3:
+        qts.append(_scale_qt(_QT_CHROMA, quality)[_ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")                                 # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)                       # APP0
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in qt
+        )
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
+                                     n_comp)
+    for c in range(n_comp):
+        out += struct.pack("BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    # DHT
+    specs = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if n_comp == 3:
+        specs += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc_id, (bits, values) in specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_id)
+        out += bytes(bits) + bytes(values)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
+    for c in range(n_comp):
+        out += struct.pack("BB", c + 1, 0x00 if c == 0 else 0x11)
+    out += b"\x00\x3f\x00"
+
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA)]
+    if n_comp == 3:
+        dc_tabs.append(_huff_codes(*_HT_DC_CHROMA))
+        ac_tabs.append(_huff_codes(*_HT_AC_CHROMA))
+
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    coefs = []
+    for c, plane in enumerate(planes):
+        padded = np.empty((ph, pw))
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[-1:, :]           # edge-replicate padding
+        padded[:, w:] = padded[:, w - 1 : w]
+        coefs.append(_fdct_quant(padded - 128.0, qts[min(c, len(qts) - 1)]))
+
+    bw = _BitWriter()
+    prev_dc = [0] * n_comp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for c in range(n_comp):
+                zz = coefs[c][by, bx]
+                t = min(c, 1)
+                s, bits_v = _magnitude(int(zz[0]) - prev_dc[c])
+                prev_dc[c] = int(zz[0])
+                code, ln = dc_tabs[t][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits_v, s)
+                run = 0
+                nz = np.flatnonzero(zz[1:])
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[t][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits_v = _magnitude(v)
+                    code, ln = ac_tabs[t][(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits_v, s)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_tabs[t][0x00]      # EOB
+                    bw.write(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"                               # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24 and self.marker is None:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:       # RST: handled by caller
+                    self.marker = nxt
+                    break
+                else:
+                    self.marker = nxt
+                    break
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        if self.nbits < n:  # at a marker / EOI: pad with zeros
+            self.acc <<= n - self.nbits
+            self.nbits = n
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def restart(self) -> None:
+        """Consume an RST marker and realign to a byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+
+
+def _huff_decoder(bits, values):
+    """Per-length (first_code, first_index) arrays for canonical decode."""
+    first_code = np.zeros(17, dtype=np.int64)
+    first_idx = np.zeros(17, dtype=np.int64)
+    code, k = 0, 0
+    for length in range(1, 17):
+        first_code[length] = code
+        first_idx[length] = k
+        code += bits[length - 1]
+        k += bits[length - 1]
+        code <<= 1
+    return first_code, first_idx, list(values), list(bits)
+
+
+def _read_symbol(br: _BitReader, tab) -> int:
+    first_code, first_idx, values, bits = tab
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        n = bits[length - 1]
+        if n and code - first_code[length] < n:
+            return values[first_idx[length] + (code - first_code[length])]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG to (H,W) gray or (H,W,3) RGB uint8.
+
+    Supports multi-table DQT (8-bit), any 1/2 sampling factors (4:4:4,
+    4:2:2, 4:2:0, ...), restart intervals, and skips APPn/COM. Progressive
+    (SOF2) and arithmetic coding raise NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    comps = None  # list of (id, h, v, qt_id)
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec:
+                    raise NotImplementedError("16-bit DQT not supported")
+                qts[tid] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int32)
+                b += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/extended/arithmetic) "
+                "not supported — baseline SOF0 only"
+            )
+        elif marker == 0xC0:  # SOF0
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, qid = struct.unpack(
+                    "BBB", body[6 + 3 * i : 9 + 3 * i]
+                )
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                values = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _huff_decoder(bits, values)
+                b += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            scan = []  # (comp_idx, dc_table, ac_table)
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                ci = next(
+                    j for j, c in enumerate(comps) if c[0] == cid
+                )
+                scan.append((ci, tabs >> 4, tabs & 0x0F))
+            pos = pos + 2 + seg_len
+            return _decode_scan(
+                data, pos, w, h, comps, scan, qts, huff, restart_interval
+            )
+        elif marker == 0xD9:  # EOI before SOS
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_scan(data, pos, w, h, comps, scan, qts, huff, restart_interval):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for _cid, ch, cv, _q in comps:
+        planes.append(
+            np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float32)
+        )
+    inv_zz = np.empty(64, dtype=np.int32)
+    inv_zz[_ZIGZAG] = np.arange(64)
+
+    br = _BitReader(data, pos)
+    prev_dc = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.restart()
+                prev_dc = [0] * len(comps)
+            n_mcu += 1
+            for ci, dct, act in scan:
+                _cid, ch, cv, qid = comps[ci]
+                qt = qts[qid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = _read_symbol(br, huff[(0, dct)])
+                        diff = _extend(br.read(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, huff[(1, act)])
+                            if rs == 0x00:     # EOB
+                                break
+                            if rs == 0xF0:     # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            sz = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(br.read(sz), sz)
+                            k += 1
+                        block = (zz * qt)[inv_zz].reshape(8, 8)
+                        pix = _DCT_C.T @ block @ _DCT_C + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    full = []
+    for p, (_cid, ch, cv, _q) in zip(planes, comps):
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch,
+                          axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -67,11 +67,16 @@ def bloom_semi_join(
     stage, (3) exact semi-join on the survivors removes Bloom FPs. The
     result equals the plain semi-join row-for-row.
     """
-    # one evaluation of the small side serves all three consumers (sizing
-    # count, Bloom build scan, exact semi-join) — without the cache the
-    # same input would be recomputed three times
+    # one evaluation of the distinct keys serves both EAGER consumers
+    # (sizing count, Bloom build scan); both complete inside this call, so
+    # the cache is released before returning — long-lived sessions calling
+    # this repeatedly (e.g. the curate pipeline) must not accumulate
+    # persisted frames
     keys = small.select(key_col).distinct().persist()
-    bloom = build_key_bloom(keys, key_col, fp=fp, n_expected=keys.count())
+    try:
+        bloom = build_key_bloom(keys, key_col, fp=fp, n_expected=keys.count())
+    finally:
+        keys.unpersist()
     bc = big.sparkSession.sparkContext.broadcast(bloom.to_bytes())
 
     # build and probe must share one hash family: both sides key on
@@ -96,5 +101,8 @@ def bloom_semi_join(
             yield rb.take(pa.array(np.flatnonzero(hit)))
 
     survivors = hashed_big.mapInArrow(probe, schema=out_schema).drop("_kh")
-    # exact phase: FPs die here; broadcast hint is Catalyst's call if small
-    return survivors.join(keys, on=key_col, how="left_semi")
+    # exact phase: FPs die here; broadcast hint is Catalyst's call if small.
+    # A semi-join ignores build-side duplicates, so the raw projection is
+    # used (not the now-unpersisted `keys`) — one fresh small-side scan at
+    # materialization instead of a leaked cache entry.
+    return survivors.join(small.select(key_col), on=key_col, how="left_semi")

@@ -3,11 +3,12 @@ typed metadata, processed by Arrow-batched kernels.
 
 Decode is REAL for formats the stdlib can handle (see
 ``bloomine_spark.functions.codecs``): PNG (zlib inflate + scanline
-unfiltering), 24-bit BMP, binary PPM, PCM WAV, and the RFV1 length-prefixed
-frame container for video sampling. Formats that genuinely require
-external codec libraries (JPEG, MP4/H.264, MP3 — none shipped in this
-container) remain explicit ``NotImplementedError`` integration points via
-``decoder="stub"``. The deterministic fake decoder from round 1 is kept so
+unfiltering), 24-bit BMP, binary PPM, PCM WAV, baseline JPEG (SOF0
+Huffman + IDCT, any 1/2-factor chroma subsampling), and the RFV1
+length-prefixed frame container for video sampling. Formats that genuinely
+require external codec libraries (MP4/H.264, MP3, progressive JPEG — none
+shipped in this container) remain explicit ``NotImplementedError``
+integration points via ``decoder="stub"``. The deterministic fake decoder from round 1 is kept so
 plumbing tests stay codec-independent.
 
 At 100 TB scale the payloads stay in executor-side Arrow batches end to
@@ -46,7 +47,7 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-_REAL_IMAGE_DECODERS = ("auto", "png", "bmp", "ppm")
+_REAL_IMAGE_DECODERS = ("auto", "png", "bmp", "ppm", "jpeg")
 
 
 def _synthetic_image(rid: int, seed: int) -> np.ndarray:
@@ -67,10 +68,10 @@ def synthetic_media(
     """Deterministic media table with REAL encoded payloads.
 
     codec='fake-raw' keeps the round-1 raw header format (plumbing tests);
-    'png' / 'bmp' / 'ppm' produce genuinely encoded bytes via the stdlib
-    codecs, so decode tests exercise real formats.
+    'png' / 'bmp' / 'ppm' / 'jpeg' produce genuinely encoded bytes via the
+    stdlib codecs, so decode tests exercise real formats.
     """
-    if codec not in ("fake-raw", "png", "bmp", "ppm"):
+    if codec not in ("fake-raw", "png", "bmp", "ppm", "jpeg"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,6 +86,8 @@ def synthetic_media(
                     payload = struct.pack("<II", w, ht) + img.tobytes()
                 elif codec == "png":
                     payload = codecs.encode_png(img)
+                elif codec == "jpeg":
+                    payload = codecs.encode_jpeg(img, quality=92)
                 elif codec == "bmp":
                     payload = codecs.encode_bmp(np.repeat(img[:, :, None], 3, axis=2))
                 else:  # ppm
@@ -122,16 +125,20 @@ def _decode_image(payload: bytes, decoder: str) -> np.ndarray:
             decoder = "bmp"
         elif payload[:2] == b"P6":
             decoder = "ppm"
+        elif payload[:2] == b"\xff\xd8":
+            decoder = "jpeg"
         else:
             raise NotImplementedError(
-                "unrecognized image payload — JPEG/WEBP/... require external "
+                "unrecognized image payload — WEBP/HEIC/... require external "
                 "codec libraries (PIL/opencv) not shipped in this container; "
-                "supported stdlib formats: PNG, BMP(24-bit), PPM(P6)"
+                "supported stdlib formats: PNG, BMP(24-bit), PPM(P6), "
+                "baseline JPEG"
             )
     img = {
         "png": codecs.decode_png,
         "bmp": codecs.decode_bmp,
         "ppm": codecs.decode_ppm,
+        "jpeg": codecs.decode_jpeg,
     }[decoder](payload)
     return codecs.to_gray(img)
 
@@ -143,9 +150,10 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode images and extract a grid-pooled feature vector per image.
 
-    decoder: 'auto' (sniff PNG/BMP/PPM magic), explicit 'png'/'bmp'/'ppm',
-    'fake' (round-1 synthetic raw format), or 'stub' — the marked
-    integration point that raises for formats needing PIL/opencv (JPEG...).
+    decoder: 'auto' (sniff PNG/BMP/PPM/JPEG magic), explicit
+    'png'/'bmp'/'ppm'/'jpeg', 'fake' (round-1 synthetic raw format), or
+    'stub' — the marked integration point that raises for formats needing
+    external codecs (WEBP/HEIC/progressive JPEG...).
     """
     if decoder not in _REAL_IMAGE_DECODERS + ("fake", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -159,8 +167,9 @@ def decode_image_features(
                 if decoder == "stub":
                     raise NotImplementedError(
                         "this decoder slot is for formats that need external "
-                        "codecs (JPEG/WEBP via PIL, not in this container); "
-                        "PNG/BMP/PPM decode natively via decoder='auto'"
+                        "codecs (WEBP/HEIC via PIL, not in this container); "
+                        "PNG/BMP/PPM/baseline-JPEG decode natively via "
+                        "decoder='auto'"
                     )
                 img = _decode_image(bytes(payload), decoder)
                 h, w = img.shape

@@ -100,19 +100,20 @@ def train_ivf_centroids(
     at 100 TB that is one file's worth of possibly sorted/skewed data, and
     centroids trained on it misroute everything else. ``df.sample`` draws
     from every partition; the fraction derives from the table's row count
-    (metadata-only for parquet), so the driver-side budget (``sample``
-    rows, configurable) holds at any scale.
+    (metadata-only for parquet — ONE pass over data total: the count is
+    metadata, the sampled scan is the only full read), so the driver-side
+    budget (``sample`` rows, configurable) holds at any scale. The ~20%
+    oversample is trimmed DRIVER-side with the seeded rng — a cluster-side
+    ``limit`` would take the first partitions' rows and re-introduce
+    exactly the prefix bias the sample exists to avoid.
     """
     n = emb.count()
     frac = min(1.0, (sample * 1.2) / max(n, 1))
-    pdf = (
-        emb.select(vec_col)
-        .sample(fraction=frac, seed=seed)
-        .limit(sample)
-        .toPandas()
-    )
+    pdf = emb.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
     x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
     rng = np.random.default_rng(seed)
+    if len(x) > sample:
+        x = x[rng.choice(len(x), size=sample, replace=False)]
     cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)

@@ -110,7 +110,11 @@ class CompositeSketch:
             off += ln
             (lb,) = struct.unpack_from("<Q", blob, off)
             off += 8
-            member_cls = getattr(importlib.import_module(mod), qual)
+            # walk dotted qualnames so nested classes (qualname
+            # "Outer.Inner") deserialize on executors too
+            member_cls = importlib.import_module(mod)
+            for part in qual.split("."):
+                member_cls = getattr(member_cls, part)
             members.append(member_cls.from_bytes(blob[off : off + lb]))
             off += lb
         return cls(members)

@@ -406,3 +406,182 @@ def test_streaming_sessionize_append_mode_emits_finalized(spark, tmp_path):
     assert len(got) == 1
     assert int(got["n_events"].iloc[0]) == 2
     assert str(got["session_start"].iloc[0]) == "2024-01-01 00:00:00"
+
+
+def test_streaming_hll_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume for the stateful HLL: stop the query, add data,
+    restart a NEW query from the SAME checkpointLocation — per-key state
+    (the serialized sketch and row counter) must survive the restart, so
+    post-restart emissions continue from the pre-restart counts instead of
+    starting over. Uses foreachBatch→parquet (the memory sink refuses
+    checkpoint recovery; foreachBatch is the fault-tolerant update-mode
+    sink a production run would use)."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from bloomine_spark.streaming.stream_ops import hll_distinct_by_key_stream
+
+    def _one_file(rows, name):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            pd.DataFrame(rows), "doc_id string, source string, tokens array<long>"
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, str(tmp_path / "src" / (name + ".parquet")))
+
+    (tmp_path / "src").mkdir()
+    _one_file(
+        [{"doc_id": f"a{i}", "source": "sA",
+          "tokens": list(range(100 * i, 100 * i + 80))} for i in range(4)],
+        "a",
+    )
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    ck = str(tmp_path / "hllck")
+    sink = str(tmp_path / "hll_out")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "src"))
+        )
+
+        def _write(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(sink)
+
+        return (
+            hll_distinct_by_key_stream(stream, "source", "tokens")
+            .writeStream.foreachBatch(_write)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    p1 = spark.read.parquet(sink).toPandas()
+    assert p1["n_rows_seen"].max() == 4
+
+    # new data while the query is DOWN: overlapping tokens for sA plus a
+    # brand-new key
+    _one_file(
+        [{"doc_id": "a9", "source": "sA", "tokens": list(range(150, 500))},
+         {"doc_id": "b0", "source": "sB", "tokens": list(range(50))}],
+        "b",
+    )
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = spark.read.parquet(sink).toPandas()
+    final = (
+        out.sort_values("n_rows_seen").groupby("source").last()
+    )
+    # state survived: sA's counter CONTINUES (4 pre-restart + 1 new), and
+    # its estimate covers the union of both phases' tokens
+    assert int(final.loc["sA", "n_rows_seen"]) == 5
+    from bloomine_spark.sketch.hll import HyperLogLog
+
+    ref = HyperLogLog.empty(12)
+    all_sa = np.concatenate(
+        [np.arange(100 * i, 100 * i + 80) for i in range(4)]
+        + [np.arange(150, 500)]
+    )
+    ref.update_values(all_sa)
+    assert final.loc["sA", "est_distinct"] == pytest.approx(ref.estimate())
+    assert int(final.loc["sB", "n_rows_seen"]) == 1
+
+
+def test_streaming_sessionize_restart_no_double_emit(spark, tmp_path):
+    """Kill-and-resume for append-mode sessionize via the (fault-tolerant)
+    parquet file sink: sessions already finalized+emitted before the stop
+    must NOT re-emit after restart, and a session SPANNING the restart
+    must merge events from both phases into one row."""
+    import datetime
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from bloomine_spark.streaming.stream_ops import sessions_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _one_file(rows, name):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, str(tmp_path / "src" / (name + ".parquet")))
+
+    (tmp_path / "src").mkdir()
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    # file a: u1's session (2 events) + u3's session start
+    _one_file(
+        [{"user_id": 1, "ts": mins(0), "value": 1.0},
+         {"user_id": 1, "ts": mins(5), "value": 1.0},
+         {"user_id": 3, "ts": mins(20), "value": 5.0}],
+        "a",
+    )
+    # files b/b2 advance the watermark to 01:38-1h = 00:38 — past u1's
+    # session end (00:35) so u1 finalizes pre-restart, but BEFORE u3's
+    # (00:50, stays open state) and before the 00:40 spanning event that
+    # arrives post-restart (must not be late-dropped)
+    _one_file([{"user_id": 2, "ts": mins(45), "value": 1.0}], "b")
+    _one_file([{"user_id": 2, "ts": mins(98), "value": 1.0}], "b2")
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    ck = str(tmp_path / "sessck")
+    sink = str(tmp_path / "sess_out")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "src"))
+        )
+        return (
+            sessions_stream(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    p1 = spark.read.parquet(sink).toPandas()
+    # u1's session [00:00, 00:35) finalized pre-restart; u2/u3 still open
+    assert sorted(p1["user_id"]) == [1]
+    assert int(p1.loc[p1["user_id"] == 1, "n_events"].iloc[0]) == 2
+
+    # while DOWN: u3 gets a second event within the gap (session spans the
+    # restart), and a far-future event to flush everything
+    _one_file([{"user_id": 3, "ts": mins(40), "value": 7.0}], "c")
+    _one_file([{"user_id": 2, "ts": mins(600), "value": 1.0}], "d")
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = spark.read.parquet(sink).toPandas()
+    # no double-emit: u1's session appears EXACTLY once across both phases
+    assert len(out[out["user_id"] == 1]) == 1
+    # u3's spanning session merged events from BOTH phases into one row
+    u3 = out[out["user_id"] == 3]
+    assert len(u3) == 1
+    assert int(u3["n_events"].iloc[0]) == 2
+    assert float(u3["sum_value"].iloc[0]) == 12.0
+    assert str(u3["session_start"].iloc[0]) == "2024-01-01 00:20:00"
+    # u2's two pre-restart sessions were open state at the stop; the
+    # post-restart watermark sweep finalizes them (once each)
+    assert len(out[out["user_id"] == 2]) == 2

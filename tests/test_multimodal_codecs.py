@@ -164,3 +164,62 @@ def test_video_frame_sampling_pipeline(spark):
     feats = decode_image_features(as_media, decoder="auto").toPandas()
     assert len(feats) == 15
     assert (feats["width"] >= 16).all()
+
+
+# ----------------------------------------------------------- JPEG
+
+def _smooth_image(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+        + 40 * (xx + yy) / (h + w - 2)
+    ).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(40, 56), (41, 53), (8, 8), (17, 9)])
+def test_jpeg_roundtrip_gray(shape):
+    img = _smooth_image(*shape)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 8, err.max()   # q=90 on a smooth image
+
+
+def test_jpeg_roundtrip_rgb():
+    base = _smooth_image(40, 56)
+    rgb = np.stack([base, np.roll(base, 5, 1), 255 - base], axis=2)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=92))
+    assert dec.shape == rgb.shape
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 16 and err.mean() < 3.0, (err.max(), err.mean())
+
+
+def test_jpeg_decodes_jdk_420_fixture():
+    """Interop with an independent codec: a 4:2:0-subsampled JPEG written
+    by the JDK's javax.imageio (tests/data/jdk_420.jpg) must decode to the
+    stored source pixels within lossy bounds — exercises multi-table DHT,
+    chroma subsampling and the upsample path, none of which our own 4:4:4
+    encoder produces."""
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+    dec = codecs.decode_jpeg(open(os.path.join(d, "jdk_420.jpg"), "rb").read())
+    lines = open(os.path.join(d, "jdk_420_source.txt")).read().split()
+    w, h = int(lines[0]), int(lines[1])
+    src = np.array(lines[2:], dtype=int).reshape(h, w, 3)
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - src)
+    # lossy 4:2:0 with nearest-neighbor chroma upsampling: chroma edges
+    # carry the max error
+    assert err.mean() < 5.0 and err.max() <= 40, (err.mean(), err.max())
+
+
+def test_jpeg_progressive_rejected():
+    # SOI + minimal SOF2 (progressive) header must raise, not misdecode
+    import struct as _s
+
+    sof2 = b"\xff\xc2" + _s.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"notajpeg")

@@ -101,3 +101,26 @@ def test_partials_row_count_bounded(spark, seq_df):
     n_parts = seq_df.rdd.getNumPartitions()
     n_groups = seq_df.select("source").distinct().count()
     assert n <= n_parts * n_groups
+
+
+def test_hll_matches_native_datasketches(spark, seq_df, seq_pdf):
+    """Independent cross-check: the numpy HLL estimate must agree with
+    Spark's built-in Apache DataSketches HLL (F.hll_sketch_agg, pure JVM)
+    on the same data — two unrelated implementations, each within the
+    1.04/sqrt(m) relative-error bound of the exact distinct count, at the
+    same lgConfigK."""
+    from pyspark.sql import functions as F
+
+    factory = lambda: HyperLogLog.empty(12)  # noqa: E731
+    ours = sketch_agg_global(seq_df, "tokens", factory).estimate()
+    native = (
+        seq_df.select(F.explode("tokens").alias("t"))
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("t"), 12)).alias("est"))
+        .head()["est"]
+    )
+    exact = len(np.unique(np.concatenate(seq_pdf["tokens"].to_list())))
+    bound = 3 * 1.04 / 64  # 3 sigma at m = 2^12
+    assert abs(ours - exact) / exact < bound, (ours, exact)
+    assert abs(native - exact) / exact < bound, (native, exact)
+    assert abs(ours - native) / exact < 2 * bound

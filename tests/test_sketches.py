@@ -225,3 +225,23 @@ def test_composite_sketch_arity_mismatch_raises():
     b = CompositeSketch([MisraGries(8), MisraGries(8)])
     with _pytest.raises(ValueError):
         a.merge(b)
+
+
+class _Outer:
+    """Module-level host for a NESTED sketch class (qualname contains a
+    dot) — CompositeSketch serde must resolve dotted qualnames on
+    deserialize (executors import by name, not by pickle)."""
+
+    class InnerHLL(HyperLogLog):
+        pass
+
+
+def test_composite_serde_nested_class_member():
+    from bloomine_spark.sketch.core import CompositeSketch
+
+    inner = _Outer.InnerHLL.empty(8)
+    inner.update_values(np.arange(500, dtype=np.int64))
+    comp = CompositeSketch([inner])
+    back = CompositeSketch.from_bytes(comp.to_bytes())
+    assert type(back.sketches[0]) is _Outer.InnerHLL
+    assert back.sketches[0].estimate() == inner.estimate()
