@@ -891,12 +891,15 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-10 (scale path; recall gated in pytest)."""
+    """IVF approximate top-10 (scale path; recall gated in pytest and
+    reported per round by bench.py). nprobe=4 of nlist=8 prunes half the
+    cells while holding recall@10 ≈ 0.76 on this fixture (0.6 at nprobe=3,
+    0.82 at nprobe=5 — the standard IVF cost/recall dial)."""
     _ship_pkg(spark)
     from bloomine_spark.operators.similarity import ivf_topk
 
     emb, queries = _ann_queries(spark, sf_dir)
-    return ivf_topk(emb, queries, k=10, nlist=8, nprobe=3).select(
+    return ivf_topk(emb, queries, k=10, nlist=8, nprobe=4).select(
         "query_id", "neighbor_id"
     )
 
@@ -944,6 +947,29 @@ def _q_doc_fingerprint_winnow(spark, sf_dir):
     )
 
 
+def _q_media_jpeg_features(spark, sf_dir):
+    """Multimodal column path, end to end on REAL encoded bytes: a
+    deterministic synthetic image per row is stdlib-JPEG-encoded at
+    generation, then the full baseline decoder (Huffman entropy decode +
+    dequant + IDCT) and grid-pooled feature extraction run inside
+    mapInPandas. Binary decode is not SQL-expressible → rows-only gate;
+    correctness is pytest-gated (round-trip bounds + javax.imageio
+    interop fixture in tests/test_multimodal_codecs.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.multimodal import (
+        decode_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 200, codec="jpeg")
+    return decode_image_features(media, decoder="auto", grid=4).select(
+        "media_id", "width", "height",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 1
+        ).alias("feat_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -988,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
+        "media_jpeg_features": _q_media_jpeg_features,
         "polyfamily_assign_docs": _q_polyfamily_assign_docs,
         "regional_revenue": _q_regional_revenue,
         "mg_token_topk": _q_mg_token_topk,

@@ -174,14 +174,6 @@ def test_extract_targets_multi_matches_per_probe(spark):
     multi = extract_targets_multi(df, probes, min_kmer=11).toPandas()
     assert set(multi["target_id"]) == {"pA", "pB"}
 
-    def key(frame, cols=("source", "doc_id")):
-        return {
-            tuple(list(r[c] for c in cols) + [r.get("target_id", "")]):
-            (list(r["extracted"]), r["head_pos"], r["tail_pos"],
-             r["orientation"])
-            for _, r in frame.iterrows()
-        }
-
     got = {}
     for tid, (h, t) in probes.items():
         for src in ("s0", "s1"):
