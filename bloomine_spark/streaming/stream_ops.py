@@ -162,12 +162,22 @@ def hll_distinct_by_key_stream(
     key_col: str = "source",
     value_col: str = "tokens",
     b: int = 12,
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Running distinct-token estimate per key via applyInPandasWithState.
 
     State = serialized HyperLogLog per key; each trigger folds the new
     Arrow batches into the state (update) and re-emits the estimate —
     update+merge exactly as the batch UDAF, lifted to streaming state.
+
+    ``idle_ttl_ms`` (processing-time milliseconds) bounds state at scale:
+    a key
+    that receives no data for the TTL is finalized (its last estimate re-emits)
+    and its state evicted, so an unbounded key universe — the norm for a
+    100 TB stream keyed by source/tenant — cannot grow executor state
+    forever. A key seen again later starts a FRESH sketch (the trade
+    bounded state makes; keep the default ``None`` for exact
+    running-forever semantics on bounded key sets).
     """
 
     def fn(
@@ -178,6 +188,19 @@ def hll_distinct_by_key_stream(
         from bloomine_spark.sketch.core import _values_of
         from bloomine_spark.sketch.hll import HyperLogLog
 
+        if idle_ttl_ms is not None and state.hasTimedOut:
+            # idle eviction: re-emit the final estimate, drop the state
+            blob, n_rows = state.get
+            hll = HyperLogLog.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]],
+                    "est_distinct": [hll.estimate()],
+                    "n_rows_seen": [n_rows],
+                }
+            )
+            return
         if state.exists:
             blob, n_rows = state.get
             hll = HyperLogLog.from_bytes(bytes(blob))
@@ -190,6 +213,8 @@ def hll_distinct_by_key_stream(
             hll.update_values(_values_of(pdf[value_col]))
             n_rows += len(pdf)
         state.update((hll.to_bytes(), n_rows))
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(int(idle_ttl_ms))
         yield pd.DataFrame(
             {
                 "source": [key[0]],
@@ -203,5 +228,9 @@ def hll_distinct_by_key_stream(
         outputStructType=_HLL_OUT_SCHEMA,
         stateStructType=_HLL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -585,3 +585,88 @@ def test_streaming_sessionize_restart_no_double_emit(spark, tmp_path):
     # u2's two pre-restart sessions were open state at the stop; the
     # post-restart watermark sweep finalizes them (once each)
     assert len(out[out["user_id"] == 2]) == 2
+
+
+def test_streaming_hll_idle_ttl_evicts_state(spark, tmp_path):
+    """idle_ttl_ms bounds keyed state: a key idle past the TTL is finalized
+    (one last emission) and evicted; data for it arriving later starts a
+    FRESH sketch. Bounded state is what makes an unbounded key universe
+    survivable on a long-running stream.
+
+    With ProcessingTimeTimeout armed the engine keeps running empty
+    micro-batches to fire timeouts, so the query never goes idle and
+    ``processAllAvailable`` would block forever — the test polls the sink
+    instead (that is also how a production monitor would observe it)."""
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from bloomine_spark.streaming.stream_ops import hll_distinct_by_key_stream
+
+    def _one_file(rows, name):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            pd.DataFrame(rows), "doc_id string, source string, tokens array<long>"
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, str(tmp_path / "src" / (name + ".parquet")))
+
+    def _wait_for(pred, what, timeout=90):
+        t0 = _time.time()
+        while _time.time() - t0 < timeout:
+            if pred():
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    (tmp_path / "src").mkdir()
+    _one_file(
+        [{"doc_id": "a0", "source": "sA", "tokens": list(range(100))},
+         {"doc_id": "a1", "source": "sA", "tokens": list(range(50, 150))}],
+        "a",
+    )
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        hll_distinct_by_key_stream(stream, "source", "tokens",
+                                   idle_ttl_ms=2000)
+        .writeStream.format("memory")
+        .queryName("ttl_hll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def rows():
+        return spark.sql(
+            "SELECT est_distinct, n_rows_seen FROM ttl_hll "
+            "WHERE source = 'sA'"
+        ).toPandas()
+
+    try:
+        # running state reaches both batch-a rows
+        _wait_for(lambda: (rows()["n_rows_seen"] == 2).any(),
+                  "sA running estimate (n=2)")
+        # idle eviction: the TTL fires on an empty micro-batch and
+        # RE-emits the final n=2 row (so two identical n=2 emissions)
+        _wait_for(lambda: (rows()["n_rows_seen"] == 2).sum() >= 2,
+                  "sA idle-eviction re-emission")
+        # new data for sA AFTER eviction: state restarted from empty
+        _one_file([{"doc_id": "a9", "source": "sA",
+                    "tokens": list(range(30))}], "b")
+        _wait_for(lambda: (rows()["n_rows_seen"] == 1).any(),
+                  "fresh sA state after eviction")
+    finally:
+        q.stop()
+    fresh = rows()
+    fresh = fresh[fresh["n_rows_seen"] == 1]
+    # the fresh sketch covers only the 30 post-eviction tokens, not the
+    # 150 distinct tokens the evicted state had seen
+    assert fresh.iloc[0]["est_distinct"] == pytest.approx(30, rel=0.2)

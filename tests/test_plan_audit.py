@@ -129,3 +129,45 @@ def test_contamination_screen_plan(spark):
     # Exchange that feeds the semi-join
     probe_at = text.index("MapInArrow")
     assert "Exchange" in text[:probe_at], text
+
+
+def test_bucketed_hydration_join_has_zero_exchanges(spark, tmp_path):
+    """Bucketed co-located join: corpus and hits written bucketed on the
+    same (source, doc_id) keys join with NO Exchange and NO Sort on
+    either side — the write-once shuffle that makes 100 TB hydration
+    (and every later re-join on the same keys) scan-local."""
+    import numpy as np
+    import pandas as pd
+
+    from bloomine_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    rows = [
+        {"doc_id": f"d{i}", "source": f"s{i % 3}",
+         "tokens": np.arange(i, i + 5, dtype=np.int32)}
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(pd.DataFrame(rows))
+    hits = corpus.select("source", "doc_id").limit(50).withColumn(
+        "target_id", F.lit("pA")
+    )
+    write_bucketed(corpus, "ba_corpus", keys=["source", "doc_id"], buckets=8)
+    write_bucketed(hits, "ba_hits", keys=["source", "doc_id"], buckets=8)
+    # forbid broadcast so the test proves the bucketed SMJ path, not a
+    # broadcast fallback
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "ba_corpus", "ba_hits",
+                               keys=["source", "doc_id"])
+        assert_max_exchanges(joined, 0)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 50
+        # the unbucketed control DOES exchange both sides
+        control = corpus.join(hits, ["source", "doc_id"])
+        with pytest.raises(AssertionError):
+            assert_max_exchanges(control, 0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ba_corpus")
+        spark.sql("DROP TABLE IF EXISTS ba_hits")
