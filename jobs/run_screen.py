@@ -20,7 +20,16 @@ import argparse
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--target", required=True, help="comma-joined token ids")
+    ap.add_argument(
+        "--format", choices=["parquet", "fastq", "fasta"], default="parquet",
+        help="input layout: parquet sequences table (default) or raw "
+        "FASTQ/FASTA(.gz) files — the reference's native file surface, "
+        "scanned one task per file with in-kernel decompress+tokenize",
+    )
+    ap.add_argument("--target", required=True,
+                    help="comma-joined token ids, or a base string "
+                    "(ACGT...) / path to a FASTA file when --format is "
+                    "fastq/fasta")
     ap.add_argument("--k", type=int, default=7)
     ap.add_argument("--fp", type=float, default=1e-4)
     ap.add_argument("--fp-sim", type=float, default=50.0)
@@ -54,13 +63,33 @@ def main() -> None:
     from bloomine_spark.params import ScreenParams
 
     spark = SparkSession.builder.appName("bloomine-screen").getOrCreate()
-    target = [int(t) for t in args.target.split(",")]
     params = ScreenParams(
         k=args.k, false_positive=args.fp, fp_sim=args.fp_sim,
         sp_error=args.sp_error,
     )
 
-    df = spark.read.parquet(args.input)
+    complement_map = None
+    if args.format == "parquet":
+        target = [int(t) for t in args.target.split(",")]
+        df = spark.read.parquet(args.input)
+    else:
+        import os
+
+        from bloomine_spark.sources.fastq import (
+            DNA_COMPLEMENT_MAP,
+            load_fasta_targets,
+            read_sequence_files,
+            tokenize_bases,
+        )
+
+        complement_map = DNA_COMPLEMENT_MAP
+        if os.path.isfile(args.target):
+            target = next(iter(load_fasta_targets(args.target).values()))
+        elif set(args.target.upper()) <= set("ACGTN"):
+            target = tokenize_bases(args.target).tolist()
+        else:
+            target = [int(t) for t in args.target.split(",")]
+        df = read_sequence_files(spark, args.input, fmt=args.format).drop("mate")
     if args.flank2:
         from bloomine_spark.sources.stages import resumable_cascade
 
@@ -87,7 +116,8 @@ def main() -> None:
             write_flank_scores_tsv(combined, args.tsv)
             print(f"combined flank-scores TSV: {args.tsv}")
     else:
-        scores = screen_scores(df, target, params, mode=args.mode).cache()
+        scores = screen_scores(df, target, params, mode=args.mode,
+                               complement_map=complement_map).cache()
         scores.write.mode("overwrite").parquet(f"{args.output}/scores")
         scores.filter(F.col("sp_pass")).write.mode("overwrite").parquet(
             f"{args.output}/hits"

@@ -1,0 +1,109 @@
+"""Real FASTQ/FASTA file scan driven end-to-end: gzip decode, record
+framing, base tokenization, sample/mate naming, and a planted DNA target
+screened (forward + reverse-complement) straight off the files —
+the reference's file surface (S1/S3/S5/S6/S7) on real bytes."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from bloomine_spark.sources.fastq import (
+    DNA_COMPLEMENT_MAP,
+    load_fasta_targets,
+    read_fasta,
+    read_fastq,
+    tokenize_bases,
+)
+
+TARGET = "ACGGTTACCAGTTGACCA" * 2  # 36-base high-complexity target
+
+
+def _revcomp(s: str) -> str:
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def _fastq_bytes(reads):
+    out = []
+    for rid, seq in reads:
+        out += [f"@{rid} extra meta", seq, "+", "I" * len(seq)]
+    return ("\n".join(out) + "\n").encode()
+
+
+@pytest.fixture()
+def fastq_dir(tmp_path):
+    pad5, pad3 = "TTTTTGGGGGAAAAA", "CCCCCAAAAATTTTT"
+    s0 = [
+        ("r0", pad5 + TARGET + pad3),              # forward hit
+        ("r1", pad5 + _revcomp(TARGET) + pad3),    # reverse-complement hit
+        ("r2", "ACGT" * 20),                       # miss
+    ]
+    s1 = [
+        ("r0", "TGCA" * 18),                       # colliding read id, miss
+        ("q1", pad3 + TARGET + pad5),              # forward hit
+    ]
+    d = tmp_path / "seqs"
+    d.mkdir()
+    (d / "sampleA_R1.fastq.gz").write_bytes(gzip.compress(_fastq_bytes(s0)))
+    (d / "sampleB_R2.fastq").write_bytes(_fastq_bytes(s1))
+    return str(d)
+
+
+def test_tokenize_and_complement_roundtrip():
+    toks = tokenize_bases("ACGTNacgtn")
+    assert toks.tolist() == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+    # complement map matches string reverse-complement
+    rc = DNA_COMPLEMENT_MAP[tokenize_bases(TARGET)][::-1]
+    assert rc.tolist() == tokenize_bases(_revcomp(TARGET)).tolist()
+
+
+def test_read_fastq_schema_naming_and_framing(spark, fastq_dir):
+    df = read_fastq(spark, fastq_dir + "/*").toPandas()
+    assert len(df) == 5
+    got = df.set_index(["source", "doc_id"])
+    assert set(got.index) == {("sampleA", "r0"), ("sampleA", "r1"),
+                              ("sampleA", "r2"), ("sampleB", "r0"),
+                              ("sampleB", "q1")}
+    # mate parsed from the _R1/_R2 suffix; stripped from the sample name
+    assert set(df[df["source"] == "sampleA"]["mate"]) == {1}
+    assert set(df[df["source"] == "sampleB"]["mate"]) == {2}
+    # tokens really are the read bases (gz and plain files agree)
+    a0 = got.loc[("sampleA", "r0")]
+    assert a0["n_tok"] == len(a0["tokens"]) == 15 + len(TARGET) + 15
+
+
+def test_screen_planted_target_from_fastq_files(spark, fastq_dir):
+    """File bytes → tokens → two-phase screen: planted forward and RC
+    occurrences hit, misses do not — the whole reference read path on one
+    Spark plan."""
+    from bloomine_spark.operators.screen import screen_scores
+    from bloomine_spark.params import ScreenParams
+
+    seqs = read_fastq(spark, fastq_dir + "/*")
+    scores = screen_scores(
+        seqs.drop("mate"),
+        tokenize_bases(TARGET).tolist(),
+        ScreenParams(k=7),
+        complement_map=DNA_COMPLEMENT_MAP,
+    ).toPandas()
+    hits = {(r["source"], r["doc_id"]) for _, r in
+            scores[scores["sp_pass"]].iterrows()}
+    assert hits == {("sampleA", "r0"), ("sampleA", "r1"), ("sampleB", "q1")}
+    # the RC read really took the reverse path
+    rc_row = scores[(scores["doc_id"] == "r1") & scores["sp_pass"]]
+    assert bool(rc_row["rc"].iloc[0])
+
+
+def test_fasta_targets_and_distributed_fasta(spark, tmp_path):
+    fa = tmp_path / "targets.fasta"
+    fa.write_bytes(
+        b">probeA some description\nACGGTTAC\nCAGTTGACCA\n>probeB\nTTTTCCCCGGGG\n"
+    )
+    targets = load_fasta_targets(str(fa))
+    assert list(targets) == ["probeA", "probeB"]
+    # multi-line sequence concatenated before tokenizing
+    assert targets["probeA"] == tokenize_bases("ACGGTTACCAGTTGACCA").tolist()
+
+    df = read_fasta(spark, str(fa)).toPandas()
+    assert sorted(df["doc_id"]) == ["probeA", "probeB"]
+    assert df[df["doc_id"] == "probeB"]["n_tok"].iloc[0] == 12

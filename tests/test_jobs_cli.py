@@ -155,3 +155,30 @@ def test_run_grid_cli_per_sample_outputs_and_resume(spark, tmp_path):
     stdout2 = _run("run_grid.py", argv)
     assert "stages ran: []" in stdout2
     assert open(f"{out}/samples/s0/s0.flank_scores.log").read() == log_before
+
+
+def test_run_screen_cli_fastq_format(spark, tmp_path):
+    """--format fastq: the CLI screens raw FASTQ.gz files with a base-string
+    target (reference surface: FASTQ in, hits out) — RC retry included."""
+    import gzip
+
+    target = "ACGGTTACCAGTTGACCA" * 2
+    rc = target[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    pad5, pad3 = "TTTTTGGGGGAAAAA", "CCCCCAAAAATTTTT"
+    reads = [("r0", pad5 + target + pad3), ("r1", pad5 + rc + pad3),
+             ("r2", "ACGT" * 20)]
+    body = "\n".join(
+        ln for rid, seq in reads
+        for ln in (f"@{rid}", seq, "+", "I" * len(seq))
+    ) + "\n"
+    d = tmp_path / "fq"
+    d.mkdir()
+    (d / "samp_R1.fastq.gz").write_bytes(gzip.compress(body.encode()))
+    out = str(tmp_path / "out")
+    _run("run_screen.py", [
+        "--input", str(d) + "/*", "--format", "fastq", "--target", target,
+        "--k", "7", "--output", out, "--run-id", "fq0",
+    ])
+    hits = spark.read.parquet(f"{out}/hits").toPandas()
+    assert sorted(hits["doc_id"]) == ["r0", "r1"]
+    assert set(hits["source"]) == {"samp"}
