@@ -141,7 +141,18 @@ def _kmer_hit(
     return None, None
 
 
-def _batch_flank_anchors(batch, kascade, flank_flag: str, len_flank: int):
+def _sorted_kmer_index(fh, fmat):
+    """(uh, umin_i, fmat_u64): min flank index per unique hash (stable sort
+    → first = min i; equal hashes verify against the same token row)."""
+    order = np.argsort(fh, kind="stable")
+    fh_sorted = fh[order]
+    first = np.ones(len(fh_sorted), dtype=bool)
+    first[1:] = fh_sorted[1:] != fh_sorted[:-1]
+    return fh_sorted[first], order[first], fmat.astype(np.uint64)
+
+
+def _batch_flank_anchors(batch, kascade, flank_flag: str, len_flank: int,
+                         kascade_rev=None):
     """Vectorized kmer_hit (/root/reference/bloomine/moi.py:80-128) over a
     whole TokenBatch: for k descending, every still-unresolved row's fwd and
     reversed window hashes are matched against the flank's k-kmers at once;
@@ -149,32 +160,38 @@ def _batch_flank_anchors(batch, kascade, flank_flag: str, len_flank: int):
     first position) — exactly the reference's loop order. Token equality is
     verified on hash candidates (no collision trust).
 
+    ``kascade_rev`` carries the flank kmers the REVERSED read windows are
+    matched against. Default: the same kmers (token domain, where reverse
+    orientation is plain reversal). For DNA pass the COMPLEMENTED flank's
+    kascade: ``kmer ∈ windows(revcomp(read))`` ⟺ ``complement(kmer) ∈
+    windows(reverse(read))`` — the reference matches against
+    ``read.reverse_complement()`` (moi.py:103).
+
     Returns (pos int64[n] with -1 = no hit, dir int8[n] with 1='+', 2='-').
     """
     from bloomine_spark.functions.kgrams import kgram_windows
 
+    if kascade_rev is None:
+        kascade_rev = kascade
     n = batch.n_rows
     pos_out = np.full(n, -1, dtype=np.int64)
     dir_out = np.zeros(n, dtype=np.int8)
     unresolved = np.ones(n, dtype=bool)
     k_arange_cache: dict[int, np.ndarray] = {}
 
-    for k, fh, fmat in kascade:  # k descends, like make_kascade
+    for lvl_f, lvl_r in zip(kascade, kascade_rev):  # k descends
         if not unresolved.any():
             break
-        # min flank index per unique hash (stable sort → first = min i;
-        # equal hashes verify against the same token row)
-        order = np.argsort(fh, kind="stable")
-        fh_sorted = fh[order]
-        first = np.ones(len(fh_sorted), dtype=bool)
-        first[1:] = fh_sorted[1:] != fh_sorted[:-1]
-        uh = fh_sorted[first]
-        umin_i = order[first]
-        fmat_u64 = fmat.astype(np.uint64)
+        k = lvl_f[0]
+        by_dir = {
+            1: _sorted_kmer_index(lvl_f[1], lvl_f[2]),
+            2: _sorted_kmer_index(lvl_r[1], lvl_r[2]),
+        }
 
         ar = k_arange_cache.setdefault(k, np.arange(k, dtype=np.int64))
         cr, ci, cd, cp = [], [], [], []
         for d, rev in ((1, False), (2, True)):
+            uh, umin_i, fmat_u64 = by_dir[d]
             ws = kgram_windows(batch, k, reverse=rev)
             if ws.n_windows == 0:
                 continue
@@ -217,19 +234,26 @@ def _batch_flank_anchors(batch, kascade, flank_flag: str, len_flank: int):
     return pos_out, dir_out
 
 
-def _extract_regions(batch, kas_head, kas_tail, len_head, len_tail):
+def _extract_regions(batch, kas_head, kas_tail, len_head, len_tail,
+                     kas_head_rev=None, kas_tail_rev=None, comp=None):
     """Batched isolate_target core shared by ``extract_targets`` and
     ``extract_targets_multi``: anchor both flanks, resolve orientation and
     slice bounds with Python-slice semantics, and gather the inter-flank
     regions from the flat token buffer.
+
+    ``kas_*_rev``/``comp`` carry complement awareness for DNA-style
+    vocabularies (see ``extract_targets``); both default to the token
+    domain where reverse orientation is plain reversal.
 
     Returns ``(rows, offs, vals, raw_h, raw_t, o_rev)`` — row indices into
     ``batch`` with both flanks found, list offsets (len(rows)+1, int32),
     gathered int32 token values, raw anchor positions and the
     reverse-orientation mask — or ``None`` when no row resolves.
     """
-    hp, hd = _batch_flank_anchors(batch, kas_head, "head", len_head)
-    tp, td = _batch_flank_anchors(batch, kas_tail, "tail", len_tail)
+    hp, hd = _batch_flank_anchors(batch, kas_head, "head", len_head,
+                                  kascade_rev=kas_head_rev)
+    tp, td = _batch_flank_anchors(batch, kas_tail, "tail", len_tail,
+                                  kascade_rev=kas_tail_rev)
     ok = (hd != 0) & (td != 0) & (hd == td)
     rows = np.flatnonzero(ok)
     if len(rows) == 0:
@@ -261,11 +285,14 @@ def _extract_regions(batch, kas_head, kas_tail, len_head, len_tail):
     within = np.arange(total, dtype=np.int64) - np.repeat(csum, out_len)
     j = np.where(slice_rev[rep], b[rep] - 1 - within, a[rep] + within)
     j = np.where(o_rev[rep], n[rep] - 1 - j, j)
-    vals = (
-        batch.flat[batch.offsets[rows][rep] + j]
-        .view(np.int64)
-        .astype(np.int32)
-    )
+    vals = batch.flat[batch.offsets[rows][rep] + j].view(np.int64)
+    if comp is not None and len(vals):
+        # reference value semantics (moi.py:64-74): '-' reads are worked on
+        # as revcomp(read) (one complement) and swapped-flank slices are
+        # reverse-complemented again — net complement iff exactly one holds
+        flip = np.logical_xor(o_rev[rep], slice_rev[rep])
+        vals = np.where(flip, comp[vals], vals)
+    vals = vals.astype(np.int32)
     offs = np.zeros(len(rows) + 1, dtype=np.int32)
     np.cumsum(out_len, out=offs[1:])
     return rows, offs, vals, raw_h, raw_t, o_rev
@@ -277,9 +304,16 @@ def extract_targets(
     tail_flank: Sequence[int],
     min_kmer: int = 11,
     tokens_col: str = "tokens",
+    complement_map: np.ndarray | None = None,
 ) -> DataFrame:
     """Isolate the inter-flank region per hit read — isolate_target
-    (/root/reference/bloomine/moi.py:17-77), token domain (RC = reversal).
+    (/root/reference/bloomine/moi.py:17-77).
+
+    Default is the token domain (reverse orientation = plain reversal).
+    With ``complement_map`` (a vocab permutation, e.g. DNA_COMPLEMENT_MAP)
+    the reverse orientation is true reverse-COMPLEMENT, matching the
+    reference's ``read.reverse_complement()`` anchor search and its
+    revcomp normalization of '-' reads and swapped-flank slices.
 
     Output: doc_id, extracted (array<int>), raw anchor positions and
     orientation. Arrow-native: anchor search is the batched
@@ -291,6 +325,12 @@ def extract_targets(
     tail = np.asarray(list(tail_flank), dtype=np.int64)
     kas_head = _kascade_hashes(head, min_kmer)
     kas_tail = _kascade_hashes(tail, min_kmer)
+    comp = (np.asarray(complement_map, dtype=np.int64)
+            if complement_map is not None else None)
+    kas_head_rev = (_kascade_hashes(comp[head], min_kmer)
+                    if comp is not None else None)
+    kas_tail_rev = (_kascade_hashes(comp[tail], min_kmer)
+                    if comp is not None else None)
     len_head, len_tail = len(head), len(tail)
 
     schema = T.StructType(
@@ -314,7 +354,8 @@ def extract_targets(
                 continue
             batch = token_batch_from_arrow(rb, tokens_col)
             res = _extract_regions(batch, kas_head, kas_tail,
-                                   len_head, len_tail)
+                                   len_head, len_tail,
+                                   kas_head_rev, kas_tail_rev, comp)
             if res is None:
                 continue
             rows, offs, vals, raw_h, raw_t, o_rev = res
@@ -346,6 +387,7 @@ def extract_targets_multi(
     tokens_col: str = "tokens",
     target_col: str = "target_id",
     sample_col: str = "source",
+    complement_map: np.ndarray | None = None,
 ) -> DataFrame:
     """Isolate inter-flank regions for MANY probes in ONE data pass.
 
@@ -361,6 +403,8 @@ def extract_targets_multi(
     Output: (sample_col, doc_id, target_id, extracted, head_pos, tail_pos,
     orientation).
     """
+    comp = (np.asarray(complement_map, dtype=np.int64)
+            if complement_map is not None else None)
     prepared = {}
     for tid, (head_flank, tail_flank) in probes.items():
         head = np.asarray(list(head_flank), dtype=np.int64)
@@ -370,6 +414,10 @@ def extract_targets_multi(
             _kascade_hashes(tail, min_kmer),
             len(head),
             len(tail),
+            _kascade_hashes(comp[head], min_kmer) if comp is not None
+            else None,
+            _kascade_hashes(comp[tail], min_kmer) if comp is not None
+            else None,
         )
 
     schema = T.StructType(
@@ -400,11 +448,13 @@ def extract_targets_multi(
             for tid in sorted(set(tcol.tolist())):
                 if tid not in prepared:
                     continue  # unknown assignment: no flanks to anchor
-                kas_head, kas_tail, len_head, len_tail = prepared[tid]
+                (kas_head, kas_tail, len_head, len_tail,
+                 kas_head_rev, kas_tail_rev) = prepared[tid]
                 sub = rb.take(pa.array(np.flatnonzero(tcol == tid)))
                 batch = token_batch_from_arrow(sub, tokens_col)
                 res = _extract_regions(batch, kas_head, kas_tail,
-                                       len_head, len_tail)
+                                       len_head, len_tail,
+                                       kas_head_rev, kas_tail_rev, comp)
                 if res is None:
                     continue
                 rows, offs, vals, raw_h, raw_t, o_rev = res

@@ -176,6 +176,27 @@ def read_fasta(spark: SparkSession, path_glob: str) -> DataFrame:
     return read_sequence_files(spark, path_glob, fmt="fasta")
 
 
+def load_fasta_flank_pairs(path: str) -> dict[str, tuple[list[int], list[int]]]:
+    """Reference multifasta probe format → {target_id: (flank1, flank2)}.
+
+    The reference pairs flanks by REPEATED record id — two records named
+    ``>target_1`` are that target's flank1 and flank2 in file order, and
+    any other count is a hard error
+    (/root/reference/bloomine/utilities.py:62-96)."""
+    with open(path, "rb") as fh:
+        data = _maybe_gunzip(path, fh.read())
+    grouped: dict[str, list] = {}
+    for name, seq in iter_fasta_records(data):
+        grouped.setdefault(name, []).append(tokenize_bases(seq).tolist())
+    bad = {n: len(fl) for n, fl in grouped.items() if len(fl) != 2}
+    if bad:
+        raise ValueError(
+            f"flank headers malformed — each target id must appear exactly "
+            f"twice (flank1 then flank2): {bad}"
+        )
+    return {n: (fl[0], fl[1]) for n, fl in grouped.items()}
+
+
 def load_fasta_targets(path: str) -> dict[str, list[int]]:
     """Driver-side FASTA → {target_name: token_list} (S4/S5 — target and
     probe files are tiny; they become broadcast TargetContexts, so a

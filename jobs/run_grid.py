@@ -40,8 +40,20 @@ SEP = "\t"  # composite target-id separator (matches operators.multiscreen)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--targets", required=True,
+    ap.add_argument(
+        "--format", choices=["parquet", "fastq"], default="parquet",
+        help="input layout: parquet sequences table (default) or raw "
+        "per-sample FASTQ(.gz) files — the reference RunManager's native "
+        "surface (sample = file stem)",
+    )
+    ap.add_argument("--targets", default=None,
                     help='JSON {probe_id: [head_tokens, tail_tokens]}')
+    ap.add_argument(
+        "--targets-fasta", default=None,
+        help="probes as the reference multifasta flank-pair format "
+        "(each target id appears twice: flank1 then flank2, "
+        "utilities.py:62-96); implies DNA tokenization",
+    )
     ap.add_argument("--samples", default=None,
                     help="comma-joined source ids (default: all distinct)")
     ap.add_argument("--k", type=int, default=7)
@@ -62,10 +74,22 @@ def main() -> None:
     from bloomine_spark.sources.stages import StageRunner
 
     spark = SparkSession.builder.appName("bloomine-grid").getOrCreate()
-    targets = {
-        tid: (list(map(int, pair[0])), list(map(int, pair[1])))
-        for tid, pair in json.loads(args.targets).items()
-    }
+    complement_map = None
+    if args.targets_fasta:
+        from bloomine_spark.sources.fastq import (
+            DNA_COMPLEMENT_MAP,
+            load_fasta_flank_pairs,
+        )
+
+        targets = load_fasta_flank_pairs(args.targets_fasta)
+        complement_map = DNA_COMPLEMENT_MAP
+    elif args.targets:
+        targets = {
+            tid: (list(map(int, pair[0])), list(map(int, pair[1])))
+            for tid, pair in json.loads(args.targets).items()
+        }
+    else:
+        ap.error("one of --targets / --targets-fasta is required")
     params = ScreenParams(k=args.k)
     run_dir = f"{args.output}/{args.run_id}"
     runner = StageRunner(spark, run_dir, force=args.force)
@@ -74,7 +98,16 @@ def main() -> None:
         "k": args.k, "min_kmer": args.min_kmer,
     }
 
-    df = spark.read.parquet(args.input)
+    if args.format == "fastq":
+        from bloomine_spark.sources.fastq import (
+            DNA_COMPLEMENT_MAP,
+            read_fastq,
+        )
+
+        complement_map = DNA_COMPLEMENT_MAP
+        df = read_fastq(spark, args.input).drop("mate")
+    else:
+        df = spark.read.parquet(args.input)
     if args.samples:
         df = df.filter(F.col("source").isin(args.samples.split(",")))
 
@@ -85,7 +118,8 @@ def main() -> None:
         flat_targets[tid + SEP + "2"] = f2
     scores = runner.stage(
         "multi_scores",
-        lambda: screen_multi_scores(df, flat_targets, params),
+        lambda: screen_multi_scores(df, flat_targets, params,
+                                    complement_map=complement_map),
         manifest=dict(manifest, stage="multi_scores"),
     )
 
@@ -216,7 +250,8 @@ def main() -> None:
     # polyfamily.json — ONE multi-probe extraction over hits, grouped
     # variant counts per (sample, probe), collected once (tiny) and
     # rendered per sample driver-side
-    ex = extract_targets_multi(hits, targets, min_kmer=args.min_kmer)
+    ex = extract_targets_multi(hits, targets, min_kmer=args.min_kmer,
+                               complement_map=complement_map)
     vc = (
         ex.groupBy("source", "target_id", "extracted")
         .agg(F.count("*").alias("count"))

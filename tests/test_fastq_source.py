@@ -107,3 +107,103 @@ def test_fasta_targets_and_distributed_fasta(spark, tmp_path):
     df = read_fasta(spark, str(fa)).toPandas()
     assert sorted(df["doc_id"]) == ["probeA", "probeB"]
     assert df[df["doc_id"] == "probeB"]["n_tok"].iloc[0] == 12
+
+
+# ------------------------------------------------- DNA extraction (revcomp)
+
+_TR = str.maketrans("ACGT", "TGCA")
+
+
+def _rc_str(s):
+    return s[::-1].translate(_TR)
+
+
+def _oracle_isolate(read, head, tail, min_kmer):
+    """Independent string-domain port of the reference isolate_target /
+    kmer_hit semantics (moi.py:17-128): kascade anchor search with
+    reverse-COMPLEMENT fallback, swapped-flank mirroring, revcomp
+    normalization of '-' reads and swapped slices."""
+
+    def kascade(flank):
+        return [
+            [flank[i:i + k] for i in range(len(flank) - k + 1)]
+            for k in range(len(flank), min_kmer - 1, -1)
+        ]
+
+    def kmer_hit(kas, flag, len_flank):
+        for k_array in kas:
+            k = len(k_array[0])
+            fwd = [read[i:i + k] for i in range(len(read) - k + 1)]
+            comp = [_rc_str(read)[i:i + k]
+                    for i in range(len(read) - k + 1)]
+            for i, kmer in enumerate(k_array):
+                for arr, orient in ((fwd, "+"), (comp, "-")):
+                    if kmer in arr:
+                        pos = arr.index(kmer)
+                        if flag == "head":
+                            return pos + len_flank - i - 1, orient
+                        return pos - i, orient
+        return None, None
+
+    hp, ho = kmer_hit(kascade(head), "head", len(head))
+    tp, to = kmer_hit(kascade(tail), "tail", len(tail))
+    if hp is None or tp is None or ho != to:
+        return None
+    if hp > tp:
+        hp2 = len(read) - hp + len(head) + 1
+        tp2 = len(read) - tp - len(tail)
+    else:
+        hp2, tp2 = hp, tp
+    work = read if ho == "+" else _rc_str(read)
+    if hp2 <= tp2:
+        return work[hp2 + 1:tp2]
+    ext = work[tp2 + 1:hp2]
+    return _rc_str(ext)
+
+
+def test_extract_targets_dna_revcomp_matches_reference_semantics(spark):
+    """extract_targets with DNA_COMPLEMENT_MAP == the reference's
+    string/Seq logic on reverse-complemented and rearranged reads — the
+    case plain token-domain reversal cannot handle."""
+    import pandas as pd
+
+    from bloomine_spark.operators.cascade import extract_targets
+
+    head = "ACGGTCATTGGACC"
+    tail = "TTGCAGACCTGGTA"
+    v1, v2 = "GGGAAACCC", "TGTGTGCATCA"
+    base = "TTGGAACCTTGGAA"
+    reads = {
+        "fwd": base + head + v1 + tail + base,
+        "rcread": _rc_str(base + head + v1 + tail + base),
+        "fwd2": base + head + v2 + tail,
+        "rcread2": _rc_str(head + v2 + tail + base),
+        "swapped": base + tail + v1 + head + base,
+        "rc_swapped": _rc_str(base + tail + v2 + head + base),
+        "headonly": base + head + v1 + base,
+        "miss": "ACGT" * 15,
+    }
+    pdf = pd.DataFrame(
+        [{"doc_id": rid, "tokens": tokenize_bases(s).astype(np.int32)}
+         for rid, s in reads.items()]
+    )
+    df = spark.createDataFrame(pdf)
+    got = extract_targets(
+        df, tokenize_bases(head).tolist(), tokenize_bases(tail).tolist(),
+        min_kmer=11, complement_map=DNA_COMPLEMENT_MAP,
+    ).toPandas().set_index("doc_id")
+
+    want = {
+        rid: _oracle_isolate(s, head, tail, 11) for rid, s in reads.items()
+    }
+    want = {rid: ext for rid, ext in want.items() if ext is not None}
+    assert set(got.index) == set(want)
+    for rid, ext in want.items():
+        assert list(got.loc[rid]["extracted"]) == tokenize_bases(ext).tolist(), rid
+    # sanity on the oracle itself: planted variants recovered on the flank
+    # strand for normal-orientation reads. (Swapped-flank reads go through
+    # the reference's mirror arithmetic, which clips the variant — a
+    # reference quirk reproduced bit-for-bit above, not re-asserted here.)
+    assert want["fwd"] == v1 and want["rcread"] == v1
+    assert want["fwd2"] == v2 and want["rcread2"] == v2
+    assert "swapped" in want and "rc_swapped" in want

@@ -182,3 +182,61 @@ def test_run_screen_cli_fastq_format(spark, tmp_path):
     hits = spark.read.parquet(f"{out}/hits").toPandas()
     assert sorted(hits["doc_id"]) == ["r0", "r1"]
     assert set(hits["source"]) == {"samp"}
+
+
+def test_run_grid_cli_fastq_and_fasta_probes(spark, tmp_path):
+    """The reference RunManager's literal inputs — a directory of
+    per-sample FASTQ.gz files plus a multifasta probe file (two records
+    per target id) — drive the grid end-to-end with DNA reverse-complement
+    semantics throughout."""
+    import gzip
+
+    TR = str.maketrans("ACGT", "TGCA")
+    rc = lambda s: s[::-1].translate(TR)  # noqa: E731
+    headA, tailA = "ACGGTCATTGGACCTT", "TTGCAGACCTGGTAAC"
+    headB, tailB = "GGTACCAGTCAATGCC", "CCATGGTCAGATTGGA"
+    pad = "TTGGAACCTTGGAA"
+
+    def fq(reads):
+        return gzip.compress(("\n".join(
+            ln for rid, seq in reads
+            for ln in (f"@{rid}", seq, "+", "I" * len(seq))
+        ) + "\n").encode())
+
+    d = tmp_path / "samples"
+    d.mkdir()
+    # sampleX: 2 probeA reads (variant GGAATT, one RC) + 1 probeB read
+    (d / "sampleX.fastq.gz").write_bytes(fq([
+        ("r0", pad + headA + "GGAATT" + tailA + pad),
+        ("r1", rc(pad + headA + "GGAATT" + tailA + pad)),
+        ("r2", pad + headB + "CCTTGG" + tailB + pad),
+    ]))
+    # sampleY: 1 probeA read with a different variant
+    (d / "sampleY.fastq.gz").write_bytes(fq([
+        ("r0", pad + headA + "AATTCCGG" + tailA + pad),
+    ]))
+    probes = tmp_path / "probes.fasta"
+    probes.write_text(
+        f">probeA | flank1\n{headA}\n>probeA | flank2\n{tailA}\n"
+        f">probeB | flank1\n{headB}\n>probeB | flank2\n{tailB}\n"
+    )
+    out = str(tmp_path / "out")
+    stdout = _run("run_grid.py", [
+        "--input", str(d) + "/*", "--format", "fastq",
+        "--targets-fasta", str(probes), "--k", "7", "--min-kmer", "11",
+        "--output", out, "--run-id", "g1",
+    ])
+    assert "stages ran: ['multi_scores', 'assignments', 'hits']" in stdout
+
+    from bloomine_spark.sources.fastq import tokenize_bases
+
+    def detok(seq):
+        return " ".join(str(t) for t in tokenize_bases(seq))
+
+    bx = json.load(open(f"{out}/samples/sampleX/sampleX.polyfamily.json"))
+    # the RC read's variant normalizes to the flank strand → ONE variant x2
+    assert bx["probeA"] == [[detok("GGAATT"), 2]]
+    assert bx["probeB"] == [[detok("CCTTGG"), 1]]
+    by = json.load(open(f"{out}/samples/sampleY/sampleY.polyfamily.json"))
+    assert by["probeA"] == [[detok("AATTCCGG"), 1]]
+    assert "probeB" not in by
