@@ -139,6 +139,7 @@ def resumable_cascade(
     params: ScreenParams = ScreenParams(),
     extract_min_kmer: int | None = None,
     force: bool = False,
+    complement_map=None,
     _fail_before: str | None = None,
 ) -> tuple[dict[str, DataFrame], StageRunner]:
     """Two-flank cascade with per-stage persist + skip-on-rerun.
@@ -170,6 +171,10 @@ def resumable_cascade(
     # each stage's manifest holds ONLY the inputs that define it — adding
     # extract_min_kmer on a resumed run must not invalidate the screens
     f1_manifest = {"flank1": [int(t) for t in flank1], "params": asdict(params)}
+    if complement_map is not None:
+        # a different RC vocabulary means different screen/extract results:
+        # it must invalidate resumed stages
+        f1_manifest["complement_map"] = [int(t) for t in complement_map]
     f2_manifest = dict(f1_manifest, flank2=[int(t) for t in flank2])
     var_manifest = dict(f2_manifest, extract_min_kmer=extract_min_kmer)
 
@@ -182,7 +187,8 @@ def resumable_cascade(
     _check_fail("flank1_scores")
     s1 = runner.stage(
         "flank1_scores",
-        lambda: screen_scores(df, flank1, params, keep_tokens=True),
+        lambda: screen_scores(df, flank1, params, keep_tokens=True,
+                              complement_map=complement_map),
         manifest=dict(f1_manifest, stage="flank1_scores"),
     )
     out["flank1_scores"] = s1
@@ -196,6 +202,7 @@ def resumable_cascade(
             flank2,
             params,
             keep_tokens=True,
+            complement_map=complement_map,
         ),
         manifest=dict(f2_manifest, stage="flank2_scores"),
     )
@@ -211,7 +218,9 @@ def resumable_cascade(
 
     if extract_min_kmer is not None:
         _check_fail("variants")
-        extracted = extract_targets(hits, flank1, flank2, min_kmer=extract_min_kmer)
+        extracted = extract_targets(hits, flank1, flank2,
+                                    min_kmer=extract_min_kmer,
+                                    complement_map=complement_map)
         out["variants"] = runner.stage(
             "variants",
             lambda: variant_counts(extracted),

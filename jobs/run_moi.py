@@ -20,8 +20,16 @@ import os
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--head", required=True, help="comma-joined token ids")
-    ap.add_argument("--tail", required=True, help="comma-joined token ids")
+    ap.add_argument(
+        "--format", choices=["parquet", "fastq"], default="parquet",
+        help="parquet sequences table (default) or raw FASTQ(.gz) files "
+        "(DNA tokenization + reverse-complement semantics)",
+    )
+    ap.add_argument("--head", required=True,
+                    help="comma-joined token ids, or a base string (ACGT...) "
+                    "with --format fastq")
+    ap.add_argument("--tail", required=True,
+                    help="comma-joined token ids, or a base string")
     ap.add_argument("--k", type=int, default=7)
     ap.add_argument("--min-kmer", type=int, default=11)
     ap.add_argument("--output", required=True)
@@ -36,14 +44,33 @@ def main() -> None:
     from bloomine_spark.sources.stages import resumable_cascade
 
     spark = SparkSession.builder.appName("bloomine-moi").getOrCreate()
-    head = [int(t) for t in args.head.split(",")]
-    tail = [int(t) for t in args.tail.split(",")]
 
-    df = spark.read.parquet(args.input)
+    def _flank(v):
+        if set(v.upper()) <= set("ACGTN"):
+            from bloomine_spark.sources.fastq import tokenize_bases
+
+            return tokenize_bases(v).tolist()
+        return [int(t) for t in v.split(",")]
+
+    complement_map = None
+    if args.format == "fastq":
+        from bloomine_spark.sources.fastq import (
+            DNA_COMPLEMENT_MAP,
+            read_fastq,
+        )
+
+        complement_map = DNA_COMPLEMENT_MAP
+        head, tail = _flank(args.head), _flank(args.tail)
+        df = read_fastq(spark, args.input).drop("mate")
+    else:
+        head = [int(t) for t in args.head.split(",")]
+        tail = [int(t) for t in args.tail.split(",")]
+        df = spark.read.parquet(args.input)
     run_dir = os.path.join(args.output, args.run_id)
     out, runner = resumable_cascade(
         df, head, tail, run_dir, ScreenParams(k=args.k),
         extract_min_kmer=args.min_kmer, force=args.force,
+        complement_map=complement_map,
     )
     print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
 

@@ -240,3 +240,41 @@ def test_run_grid_cli_fastq_and_fasta_probes(spark, tmp_path):
     by = json.load(open(f"{out}/samples/sampleY/sampleY.polyfamily.json"))
     assert by["probeA"] == [[detok("AATTCCGG"), 1]]
     assert "probeB" not in by
+
+
+def test_run_moi_cli_fastq_dna(spark, tmp_path):
+    """MOI pipeline (the reference moi.py headline) on raw FASTQ with DNA
+    base-string flanks: RC reads' variants normalize onto the flank strand
+    and count together in the subpop report."""
+    import gzip
+
+    TR = str.maketrans("ACGT", "TGCA")
+    rc = lambda s: s[::-1].translate(TR)  # noqa: E731
+    head, tail = "ACGGTCATTGGACCTT", "TTGCAGACCTGGTAAC"
+    pad = "TTGGAACCTTGGAA"
+    reads = [
+        ("r0", pad + head + "GGAATT" + tail + pad),
+        ("r1", rc(pad + head + "GGAATT" + tail + pad)),   # same variant, RC
+        ("r2", pad + head + "TTAACCGG" + tail + pad),
+        ("r3", "ACGT" * 20),                              # miss
+    ]
+    body = "\n".join(ln for rid, seq in reads
+                     for ln in (f"@{rid}", seq, "+", "I" * len(seq))) + "\n"
+    d = tmp_path / "moifq"
+    d.mkdir()
+    (d / "m1.fastq.gz").write_bytes(gzip.compress(body.encode()))
+    out = str(tmp_path / "out")
+    _run("run_moi.py", [
+        "--input", str(d) + "/*", "--format", "fastq",
+        "--head", head, "--tail", tail, "--k", "7", "--min-kmer", "11",
+        "--output", out, "--run-id", "mfq",
+    ])
+    report = open(f"{out}/mfq/subpop_report.txt").read()
+    from bloomine_spark.sources.fastq import tokenize_bases
+
+    def detok(seq):
+        return " ".join(str(t) for t in tokenize_bases(seq))
+
+    assert f"{detok('GGAATT')}\t2" in report      # fwd + RC counted together
+    assert f"{detok('TTAACCGG')}\t1" in report
+    assert "6\t2" in report and "8\t1" in report  # length variants
