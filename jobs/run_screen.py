@@ -93,10 +93,15 @@ def main() -> None:
     if args.flank2:
         from bloomine_spark.sources.stages import resumable_cascade
 
-        flank2 = [int(t) for t in args.flank2.split(",")]
+        if args.format != "parquet" and set(args.flank2.upper()) <= set("ACGTN"):
+            from bloomine_spark.sources.fastq import tokenize_bases
+
+            flank2 = tokenize_bases(args.flank2).tolist()
+        else:
+            flank2 = [int(t) for t in args.flank2.split(",")]
         stages, runner = resumable_cascade(
             df, target, flank2, f"{args.output}/{args.run_id}", params,
-            force=args.force,
+            force=args.force, complement_map=complement_map,
         )
         print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
         if args.tsv:
