@@ -278,3 +278,31 @@ def test_run_moi_cli_fastq_dna(spark, tmp_path):
     assert f"{detok('GGAATT')}\t2" in report      # fwd + RC counted together
     assert f"{detok('TTAACCGG')}\t1" in report
     assert "6\t2" in report and "8\t1" in report  # length variants
+
+
+def test_run_screen_cli_fastq_cascade_flank2(spark, tmp_path):
+    """--format fastq + --flank2 as a base string: the two-flank cascade
+    runs with DNA RC semantics (RC read passes both screens)."""
+    import gzip
+
+    TR = str.maketrans("ACGT", "TGCA")
+    rc = lambda s: s[::-1].translate(TR)  # noqa: E731
+    head, tail = "ACGGTCATTGGACCTT", "TTGCAGACCTGGTAAC"
+    pad = "TTGGAACCTTGGAA"
+    body = "\n".join(
+        ln for rid, seq in [
+            ("r0", pad + head + "GGAATT" + tail + pad),
+            ("r1", rc(pad + head + "GGAATT" + tail + pad)),
+            ("r2", "ACGT" * 20),
+        ] for ln in (f"@{rid}", seq, "+", "I" * len(seq))
+    ) + "\n"
+    d = tmp_path / "cfq"
+    d.mkdir()
+    (d / "c.fastq.gz").write_bytes(gzip.compress(body.encode()))
+    out = str(tmp_path / "out")
+    _run("run_screen.py", [
+        "--input", str(d) + "/*", "--format", "fastq", "--target", head,
+        "--flank2", tail, "--k", "7", "--output", out, "--run-id", "c0",
+    ])
+    hits = spark.read.parquet(f"{out}/c0/hits").toPandas()
+    assert sorted(hits["doc_id"]) == ["r0", "r1"]
