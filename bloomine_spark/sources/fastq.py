@@ -62,6 +62,19 @@ SEQ_SCHEMA = T.StructType(
     ]
 )
 
+_QUAL_FIELD = T.StructField("qual", T.StringType(), True)
+
+TOKEN_BASES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def detokenize_bases(tokens) -> str:
+    """Token array → base string (inverse of ``tokenize_bases``; every
+    non-ACGT input byte round-trips as N)."""
+    arr = np.asarray(tokens, dtype=np.int64)
+    if len(arr) and (arr.min() < 0 or arr.max() >= len(TOKEN_BASES)):
+        raise ValueError("tokens outside the DNA vocabulary 0..4")
+    return TOKEN_BASES[arr].tobytes().decode("ascii")
+
 
 def tokenize_bases(seq: str | bytes) -> np.ndarray:
     """Vectorized base→token mapping (no per-char Python)."""
@@ -87,8 +100,8 @@ def _maybe_gunzip(path: str, content: bytes) -> bytes:
 
 
 def iter_fastq_records(data: bytes):
-    """Yield (read_id, seq_bytes) from FASTQ bytes — the S3 record framing
-    (4-line records, '+' separator line, quality line skipped)."""
+    """Yield (read_id, seq_bytes, qual_bytes) from FASTQ bytes — the S3
+    record framing (4-line records, '+' separator line)."""
     lines = io.BytesIO(data)
     while True:
         header = lines.readline()
@@ -103,12 +116,13 @@ def iter_fastq_records(data: bytes):
         plus = lines.readline()
         if not plus.startswith(b"+"):
             raise ValueError("bad FASTQ record: missing '+' line")
-        lines.readline()  # quality — not tokenized
-        yield header[1:].split(b" ")[0].decode(), seq
+        qual = lines.readline().strip()
+        yield header[1:].split(b" ")[0].decode(), seq, qual
 
 
 def iter_fasta_records(data: bytes):
-    """Yield (name, seq_bytes) from (multi-line) FASTA bytes."""
+    """Yield (name, seq_bytes, None) from (multi-line) FASTA bytes (the
+    trailing None aligns the shape with iter_fastq_records' quality)."""
     name = None
     chunks: list[bytes] = []
     for line in io.BytesIO(data):
@@ -117,13 +131,13 @@ def iter_fasta_records(data: bytes):
             continue
         if line.startswith(b">"):
             if name is not None:
-                yield name, b"".join(chunks)
+                yield name, b"".join(chunks), None
             name = line[1:].split(b" ")[0].decode()
             chunks = []
         else:
             chunks.append(line)
     if name is not None:
-        yield name, b"".join(chunks)
+        yield name, b"".join(chunks), None
 
 
 def _reader(fmt: str):
@@ -131,12 +145,15 @@ def _reader(fmt: str):
 
 
 def read_sequence_files(
-    spark: SparkSession, path_glob: str, fmt: str = "fastq"
+    spark: SparkSession, path_glob: str, fmt: str = "fastq",
+    keep_quality: bool = False,
 ) -> DataFrame:
     """Distributed FASTQ/FASTA scan → canonical sequences DataFrame.
 
     One task per file (binaryFile source); decompress + frame + tokenize
     inside the kernel, so raw bytes never leave the executor.
+    ``keep_quality`` adds the FASTQ quality string as a ``qual`` column so
+    a hits sink can reproduce original records (reference _BMfiltered.fq).
     """
     import pandas as pd
     import pyarrow  # noqa: F401 — arrow batching required
@@ -144,32 +161,84 @@ def read_sequence_files(
     files = spark.read.format("binaryFile").load(path_glob).select(
         "path", "content"
     )
+    schema = SEQ_SCHEMA
+    if keep_quality:
+        schema = T.StructType(list(SEQ_SCHEMA.fields) + [_QUAL_FIELD])
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         records = _reader(fmt)
         for pdf in batches:
             rows = {"doc_id": [], "tokens": [], "n_tok": [], "source": [],
                     "mate": []}
+            if keep_quality:
+                rows["qual"] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 local = path[len("file:"):] if str(path).startswith("file:") \
                     else str(path)
                 sample, mate = _sample_of(local)
                 data = _maybe_gunzip(local, bytes(content))
-                for rid, seq in records(data):
+                for rid, seq, qual in records(data):
                     toks = tokenize_bases(seq)
                     rows["doc_id"].append(rid)
                     rows["tokens"].append(toks)
                     rows["n_tok"].append(len(toks))
                     rows["source"].append(sample)
                     rows["mate"].append(mate)
+                    if keep_quality:
+                        rows["qual"].append(
+                            qual.decode("ascii") if qual is not None else None
+                        )
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
 
-    return files.mapInPandas(kernel, schema=SEQ_SCHEMA)
+    return files.mapInPandas(kernel, schema=schema)
 
 
-def read_fastq(spark: SparkSession, path_glob: str) -> DataFrame:
-    return read_sequence_files(spark, path_glob, fmt="fastq")
+def read_fastq(spark: SparkSession, path_glob: str,
+               keep_quality: bool = False) -> DataFrame:
+    return read_sequence_files(spark, path_glob, fmt="fastq",
+                               keep_quality=keep_quality)
+
+
+def write_fastq(df: DataFrame, path: str, partition_by_source: bool = True,
+                tokens_col: str = "tokens") -> None:
+    """Distributed FASTQ hits sink — the reference's ``_BMfiltered.fq``
+    (/root/reference/src/BlooMineUtils.cpp:270-284) at cluster scale:
+    each partition writes its records (detokenized bases, original
+    quality string when a ``qual`` column is present, else 'I'-filled)
+    through Spark's text writer, partitioned by sample so every sample
+    gets its own directory of .fq shards.
+    """
+    import pandas as pd
+
+    has_qual = "qual" in df.columns
+    cols = ["doc_id", tokens_col] + (["qual"] if has_qual else []) \
+        + (["source"] if partition_by_source else [])
+
+    out_schema = T.StructType(
+        ([T.StructField("source", T.StringType())] if partition_by_source
+         else []) + [T.StructField("value", T.StringType())]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            recs = []
+            for _, r in pdf.iterrows():
+                seq = detokenize_bases(r[tokens_col])
+                qual = r["qual"] if has_qual and r.get("qual") else None
+                rec = f"@{r['doc_id']}\n{seq}\n+\n{qual or 'I' * len(seq)}"
+                if partition_by_source:
+                    recs.append({"source": r["source"], "value": rec})
+                else:
+                    recs.append({"value": rec})
+            if recs:
+                yield pd.DataFrame(recs)
+
+    lines = df.select(*cols).mapInPandas(kernel, schema=out_schema)
+    writer = lines.write.mode("overwrite")
+    if partition_by_source:
+        writer = writer.partitionBy("source")
+    writer.text(path)
 
 
 def read_fasta(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -186,7 +255,7 @@ def load_fasta_flank_pairs(path: str) -> dict[str, tuple[list[int], list[int]]]:
     with open(path, "rb") as fh:
         data = _maybe_gunzip(path, fh.read())
     grouped: dict[str, list] = {}
-    for name, seq in iter_fasta_records(data):
+    for name, seq, _ in iter_fasta_records(data):
         grouped.setdefault(name, []).append(tokenize_bases(seq).tolist())
     bad = {n: len(fl) for n, fl in grouped.items() if len(fl) != 2}
     if bad:
@@ -205,5 +274,5 @@ def load_fasta_targets(path: str) -> dict[str, list[int]]:
         data = _maybe_gunzip(path, fh.read())
     return {
         name: tokenize_bases(seq).tolist()
-        for name, seq in iter_fasta_records(data)
+        for name, seq, _ in iter_fasta_records(data)
     }

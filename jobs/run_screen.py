@@ -48,6 +48,12 @@ def main() -> None:
     )
     ap.add_argument("--force", action="store_true", help="ignore completed stages")
     ap.add_argument(
+        "--hits-fastq", action="store_true",
+        help="with --format fastq: also write hits as per-sample FASTQ "
+        "shards (<output>/<run-id>/hits_fq/, the reference _BMfiltered.fq "
+        "surface, original quality strings preserved)",
+    )
+    ap.add_argument(
         "--tsv",
         default=None,
         help="with --flank2: also write the combined flank-scores TSV to "
@@ -89,7 +95,10 @@ def main() -> None:
             target = tokenize_bases(args.target).tolist()
         else:
             target = [int(t) for t in args.target.split(",")]
-        df = read_sequence_files(spark, args.input, fmt=args.format).drop("mate")
+        df = read_sequence_files(
+            spark, args.input, fmt=args.format,
+            keep_quality=args.hits_fastq,
+        ).drop("mate")
     if args.flank2:
         from bloomine_spark.sources.stages import resumable_cascade
 
@@ -122,11 +131,18 @@ def main() -> None:
             print(f"combined flank-scores TSV: {args.tsv}")
     else:
         scores = screen_scores(df, target, params, mode=args.mode,
-                               complement_map=complement_map).cache()
+                               complement_map=complement_map,
+                               keep_tokens=args.hits_fastq).cache()
         scores.write.mode("overwrite").parquet(f"{args.output}/scores")
         scores.filter(F.col("sp_pass")).write.mode("overwrite").parquet(
             f"{args.output}/hits"
         )
+        if args.hits_fastq:
+            from bloomine_spark.sources.fastq import write_fastq
+
+            write_fastq(scores.filter(F.col("sp_pass")),
+                        f"{args.output}/hits_fq")
+            print(f"hits FASTQ: {args.output}/hits_fq")
 
     if args.checkpoint_dir:
         from bloomine_spark.sketch.hll import HyperLogLog

@@ -207,3 +207,40 @@ def test_extract_targets_dna_revcomp_matches_reference_semantics(spark):
     assert want["fwd"] == v1 and want["rcread"] == v1
     assert want["fwd2"] == v2 and want["rcread2"] == v2
     assert "swapped" in want and "rc_swapped" in want
+
+
+def test_fastq_hits_sink_roundtrip(spark, tmp_path, fastq_dir):
+    """write_fastq reproduces hit records (reference _BMfiltered.fq
+    surface): screen hits written as per-sample FASTQ shards re-read to
+    the same (sample, read, bases, quality)."""
+    from bloomine_spark.operators.screen import screen_hits
+    from bloomine_spark.params import ScreenParams
+    from bloomine_spark.sources.fastq import write_fastq
+
+    seqs = read_fastq(spark, fastq_dir + "/*", keep_quality=True)
+    hits = screen_hits(
+        seqs.drop("mate"), tokenize_bases(TARGET).tolist(), ScreenParams(k=7),
+        complement_map=DNA_COMPLEMENT_MAP, keep_tokens=True,
+    )
+    out = str(tmp_path / "hits_fq")
+    write_fastq(hits, out)
+
+    # re-read the sink with the engine's own reader; partitioned layout
+    # puts each sample under source=<name>/
+    import glob
+
+    shards = glob.glob(out + "/source=*/part-*.txt")
+    assert shards
+    back = {}
+    for sh in shards:
+        sample = sh.split("source=")[1].split("/")[0]
+        lines = open(sh).read().splitlines()
+        for i in range(0, len(lines), 4):
+            back[(sample, lines[i][1:])] = (lines[i + 1], lines[i + 3])
+
+    want = {
+        (r["source"], r["doc_id"]):
+        ("".join("ACGTN"[t] for t in r["tokens"]), r["qual"])
+        for r in hits.collect()
+    }
+    assert back == want and len(want) == 3

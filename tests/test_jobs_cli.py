@@ -306,3 +306,35 @@ def test_run_screen_cli_fastq_cascade_flank2(spark, tmp_path):
     ])
     hits = spark.read.parquet(f"{out}/c0/hits").toPandas()
     assert sorted(hits["doc_id"]) == ["r0", "r1"]
+
+
+def test_run_screen_cli_hits_fastq_sink(spark, tmp_path):
+    """--hits-fastq writes the reference _BMfiltered.fq surface: hit reads
+    re-emitted as per-sample FASTQ shards with their ORIGINAL quality
+    strings."""
+    import glob as _glob
+    import gzip
+
+    target = "ACGGTTACCAGTTGACCA" * 2
+    pad = "TTTTTGGGGGAAAAA"
+    quals = {"r0": "ABCDE" * 14, "r1": "!" * 80}
+    reads = [("r0", pad + target + pad + "CCCCC"),   # hit (len 71 -> qual 70)
+             ("r1", "ACGT" * 20)]                    # miss
+    quals["r0"] = quals["r0"][:len(reads[0][1])]
+    body = "\n".join(ln for rid, seq in reads
+                     for ln in (f"@{rid}", seq, "+", quals[rid])) + "\n"
+    d = tmp_path / "hfq"
+    d.mkdir()
+    (d / "sampQ.fastq.gz").write_bytes(gzip.compress(body.encode()))
+    out = str(tmp_path / "out")
+    _run("run_screen.py", [
+        "--input", str(d) + "/*", "--format", "fastq", "--target", target,
+        "--k", "7", "--output", out, "--run-id", "h0", "--hits-fastq",
+    ])
+    shards = _glob.glob(out + "/hits_fq/source=sampQ/part-*.txt")
+    assert shards
+    lines = [ln for sh in shards for ln in open(sh).read().splitlines()]
+    assert lines[0] == "@r0"
+    assert lines[1] == reads[0][1]          # bases round-tripped
+    assert lines[3] == quals["r0"]          # ORIGINAL quality preserved
+    assert len(lines) == 4                  # the miss did not leak
