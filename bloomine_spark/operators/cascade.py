@@ -403,6 +403,10 @@ def extract_targets_multi(
     Output: (sample_col, doc_id, target_id, extracted, head_pos, tail_pos,
     orientation).
     """
+    if sample_col not in hits.columns:
+        # single-sample pipelines (reference run.py:64-130 operates per
+        # sample) may not carry a sample column; emit it as empty
+        hits = hits.withColumn(sample_col, F.lit(""))
     comp = (np.asarray(complement_map, dtype=np.int64)
             if complement_map is not None else None)
     prepared = {}

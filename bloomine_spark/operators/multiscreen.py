@@ -207,6 +207,7 @@ def polyfamily_onepass(
     df: DataFrame,
     probes: dict[str, tuple],
     params: ScreenParams = ScreenParams(),
+    complement_map: np.ndarray | None = None,
 ) -> DataFrame:
     """Polyfamily (J2 flank intersection → W1 argmax) with ONE corpus scan.
 
@@ -221,7 +222,8 @@ def polyfamily_onepass(
         flat_targets[tid + _SEP + "1"] = f1
         flat_targets[tid + _SEP + "2"] = f2
 
-    scores = screen_multi_scores(df, flat_targets, params)
+    scores = screen_multi_scores(df, flat_targets, params,
+                                 complement_map=complement_map)
     parts = F.split(F.col("target_id"), _SEP)
     scored = (
         scores.filter(F.col("sp_pass"))

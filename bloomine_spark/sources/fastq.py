@@ -201,7 +201,8 @@ def read_fastq(spark: SparkSession, path_glob: str,
 
 
 def write_fastq(df: DataFrame, path: str, partition_by_source: bool = True,
-                tokens_col: str = "tokens") -> None:
+                tokens_col: str = "tokens",
+                compression: str | None = None) -> None:
     """Distributed FASTQ hits sink — the reference's ``_BMfiltered.fq``
     (/root/reference/src/BlooMineUtils.cpp:270-284) at cluster scale:
     each partition writes its records (detokenized bases, original
@@ -236,6 +237,8 @@ def write_fastq(df: DataFrame, path: str, partition_by_source: bool = True,
 
     lines = df.select(*cols).mapInPandas(kernel, schema=out_schema)
     writer = lines.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)  # e.g. "gzip"
     if partition_by_source:
         writer = writer.partitionBy("source")
     writer.text(path)

@@ -23,8 +23,18 @@ import os
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--targets", required=True,
+    ap.add_argument(
+        "--format", choices=["parquet", "fastq"], default="parquet",
+        help="parquet sequences table (default) or raw FASTQ(.gz) files "
+        "(DNA tokenization + reverse-complement semantics)",
+    )
+    ap.add_argument("--targets", default=None,
                     help='JSON {probe_id: [head_tokens, tail_tokens]}')
+    ap.add_argument(
+        "--targets-fasta", default=None,
+        help="probes as the reference multifasta flank-pair format "
+        "(two records per target id)",
+    )
     ap.add_argument("--k", type=int, default=7)
     ap.add_argument("--min-kmer", type=int, default=11)
     ap.add_argument("--output", required=True)
@@ -33,35 +43,58 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from bloomine_spark.operators.cascade import extract_targets, variant_counts
+    from bloomine_spark.operators.cascade import extract_targets_multi
     from bloomine_spark.operators.multiscreen import polyfamily_onepass
-    from bloomine_spark.operators.report import polyfamily_summary_json
+    from bloomine_spark.operators.report import polyfamily_summary_from_counts
     from bloomine_spark.params import ScreenParams
 
     spark = SparkSession.builder.appName("bloomine-polyfamily").getOrCreate()
-    targets = {
-        tid: (list(map(int, pair[0])), list(map(int, pair[1])))
-        for tid, pair in json.loads(args.targets).items()
-    }
+    complement_map = None
+    if args.targets_fasta:
+        from bloomine_spark.sources.fastq import (
+            DNA_COMPLEMENT_MAP,
+            load_fasta_flank_pairs,
+        )
+
+        targets = load_fasta_flank_pairs(args.targets_fasta)
+        complement_map = DNA_COMPLEMENT_MAP
+    elif args.targets:
+        targets = {
+            tid: (list(map(int, pair[0])), list(map(int, pair[1])))
+            for tid, pair in json.loads(args.targets).items()
+        }
+    else:
+        ap.error("one of --targets / --targets-fasta is required")
     params = ScreenParams(k=args.k)
 
-    df = spark.read.parquet(args.input)
+    if args.format == "fastq":
+        from bloomine_spark.sources.fastq import (
+            DNA_COMPLEMENT_MAP,
+            read_fastq,
+        )
+
+        complement_map = DNA_COMPLEMENT_MAP
+        df = read_fastq(spark, args.input).drop("mate")
+    else:
+        df = spark.read.parquet(args.input)
     # polyfamily_onepass already argmax-bins docs to probes (W1)
-    assigned = polyfamily_onepass(df, targets, params).cache()
+    assigned = polyfamily_onepass(df, targets, params,
+                                  complement_map=complement_map).cache()
     assigned.write.mode("overwrite").parquet(f"{args.output}/assignments")
 
-    # per-probe MOI: extract inter-flank variants of each probe's docs
-    per_probe_variants = {}
-    for tid, (head, tail) in sorted(targets.items()):
-        docs = df.join(
-            assigned.filter(F.col("target_id") == tid).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
-        ex = extract_targets(docs, head, tail, min_kmer=args.min_kmer)
-        per_probe_variants[tid] = variant_counts(ex)
-
-    blob = polyfamily_summary_json(per_probe_variants)
+    # per-probe MOI in ONE extraction pass (sub-batched by probe inside the
+    # kernel) + one collected count frame — O(stages) jobs, not O(probes)
+    hits = df.join(assigned.select("doc_id", "target_id"), "doc_id")
+    ex = extract_targets_multi(hits, targets, min_kmer=args.min_kmer,
+                               complement_map=complement_map)
+    vc = (
+        ex.groupBy("target_id", "extracted")
+        .agg(F.count("*").alias("count"))
+        .collect()
+    )
+    blob = polyfamily_summary_from_counts(
+        (r["target_id"], r["extracted"], r["count"]) for r in vc
+    )
     out_path = os.path.join(args.output, "polyfamily.json")
     with open(out_path, "w") as fh:
         fh.write(blob)
