@@ -295,19 +295,24 @@ def audio_features(media: DataFrame, decoder: str = "wav") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def synthetic_video(
-    spark: SparkSession, n: int, frames_per_clip: int = 12, seed: int = 42
+    spark: SparkSession, n: int, frames_per_clip: int = 12, seed: int = 42,
+    frame_codec: str = "png",
 ) -> DataFrame:
-    """Deterministic RFV1 clips: each frame is a REAL PNG, packed into the
-    length-prefixed RFV1 container."""
+    """Deterministic RFV1 clips: each frame is REALLY encoded (PNG or
+    baseline JPEG), packed into the length-prefixed RFV1 container."""
+    if frame_codec not in ("png", "jpeg"):
+        raise ValueError(f"unknown frame codec {frame_codec!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from bloomine_spark.functions import codecs
 
+        enc = (codecs.encode_png if frame_codec == "png"
+               else lambda img: codecs.encode_jpeg(img, quality=92))
         for pdf in batches:
             rows = []
             for rid in pdf["id"]:
                 frames = [
-                    codecs.encode_png(_synthetic_image(int(rid) * 1000 + i, seed))
+                    enc(_synthetic_image(int(rid) * 1000 + i, seed))
                     for i in range(frames_per_clip)
                 ]
                 rows.append(
@@ -315,7 +320,8 @@ def synthetic_video(
                         "media_id": f"v{int(rid):08d}",
                         "media_type": "video",
                         "payload": codecs.encode_frames(frames),
-                        "meta": {"codec": "rfv1-png", "frames": str(frames_per_clip)},
+                        "meta": {"codec": f"rfv1-{frame_codec}",
+                                 "frames": str(frames_per_clip)},
                     }
                 )
             yield pd.DataFrame(rows)

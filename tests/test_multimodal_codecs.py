@@ -223,3 +223,26 @@ def test_jpeg_progressive_rejected():
         codecs.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"notajpeg")
+
+
+def test_video_frame_sampling_jpeg_frames(spark):
+    """RFV1 clips with baseline-JPEG frames: sample → auto-sniff decode →
+    features, whole pipeline on really-encoded lossy frames."""
+    from bloomine_spark.operators.multimodal import (
+        decode_image_features,
+        sample_video_frames,
+        synthetic_video,
+    )
+
+    clips = synthetic_video(spark, 4, frames_per_clip=6, frame_codec="jpeg")
+    frames = sample_video_frames(clips, every_n=3)
+    feats = (
+        decode_image_features(
+            frames.selectExpr("concat(media_id, '#', frame_idx) AS media_id",
+                              "'image' AS media_type", "frame AS payload",
+                              "map() AS meta"),
+            decoder="auto",
+        ).toPandas()
+    )
+    assert len(feats) == 4 * 2  # frames 0 and 3 of each clip
+    assert (feats["width"] > 0).all() and feats["features"].map(len).eq(16).all()
