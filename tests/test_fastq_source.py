@@ -244,3 +244,30 @@ def test_fastq_hits_sink_roundtrip(spark, tmp_path, fastq_dir):
         for r in hits.collect()
     }
     assert back == want and len(want) == 3
+
+
+def test_parse_fastq_flat_matches_iter_records():
+    """The vectorized file parser == the per-record reference parser,
+    including CRLF line endings and headers with metadata."""
+    from bloomine_spark.sources.fastq import (
+        iter_fastq_records,
+        parse_fastq_flat,
+    )
+
+    body = ("@r0 some meta\r\nACGTNacgt\r\n+\r\nIIIIIIIII\r\n"
+            "@r1\nGGGG\n+r1\nABCD\n")
+    data = body.encode()
+    ids, flat, offsets, quals = parse_fastq_flat(data)
+    ref = list(iter_fastq_records(data.replace(b"\r\n", b"\n")))
+    assert ids == [r[0] for r in ref]
+    assert quals == [r[2].decode() for r in ref]
+    for i, (_, seq, _q) in enumerate(ref):
+        assert flat[offsets[i]:offsets[i + 1]].tolist() == \
+            tokenize_bases(seq).tolist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_fastq_flat(b"@r0\nACGT\n+\n")          # truncated record
+    with _pytest.raises(ValueError):
+        parse_fastq_flat(b"r0\nACGT\n+\nIIII\n")     # no '@'
