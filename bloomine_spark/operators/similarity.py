@@ -136,9 +136,10 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: scan only vectors whose coarse cell is among
-    the query's nprobe nearest centroids. At cluster scale the table is
-    written partitioned by cell so probing prunes file reads (partition
-    pruning), not just compute."""
+    the query's nprobe nearest centroids (in-kernel mask over an arbitrary
+    layout). At cluster scale use ``write_ivf_index`` +
+    ``ivf_topk_indexed`` instead: the cell-partitioned layout turns the
+    probe into REAL partition pruning, so unprobed cells are never read."""
     if centroids is None:
         centroids = train_ivf_centroids(emb, nlist=nlist, vec_col=vec_col)
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
@@ -183,4 +184,96 @@ def ivf_topk(
         partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index materialization: cell-partitioned layout → real partition pruning
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the IVF layout: assign every vector its coarse cell and
+    write the table PARTITIONED BY cell, persisting the centroids next to
+    the data (_IVF_CENTROIDS.json).
+
+    This is what turns ``nprobe`` from a compute filter into an I/O
+    filter: ``ivf_topk_indexed`` reads only the probed cells' partitions —
+    at 100 TB the other (nlist − nprobe)/nlist of the table is never
+    opened. The write is a one-time cost amortized over every query
+    batch, like any index build.
+    """
+    import json
+    import posixpath
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, nlist=nlist, vec_col=vec_col)
+    bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    cell_schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+            yield pdf
+
+    emb.mapInPandas(assign, schema=cell_schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    # centroids ride with the index (driver-side JSON; tiny)
+    sc = emb.sparkSession.sparkContext
+    jvm_path = posixpath.join(path, "_IVF_CENTROIDS.json")
+    # write through the local FS when possible, else Hadoop FS via spark
+    try:
+        with open(jvm_path, "w") as fh:
+            json.dump(centroids.tolist(), fh)
+    except OSError:
+        sc.parallelize([json.dumps(centroids.tolist())], 1).saveAsTextFile(
+            jvm_path + ".d"
+        )
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a materialized cell-partitioned index: only the
+    partitions of cells probed by SOME query are read (Catalyst partition
+    pruning on the ``cell`` directory column); the in-kernel per-query
+    cell mask then applies each query's own nprobe subset exactly as
+    ``ivf_topk`` does."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_IVF_CENTROIDS.json")) as fh:
+        centroids = np.array(json.load(fh), dtype=np.float64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted({int(c) for row in q_cells for c in row})
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .drop("cell")
+    )
+    return ivf_topk(
+        df, queries, k=k, nlist=len(centroids), nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
     )

@@ -171,3 +171,31 @@ def test_bucketed_hydration_join_has_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ba_corpus")
         spark.sql("DROP TABLE IF EXISTS ba_hits")
+
+
+def test_fastq_screen_is_shuffle_free(spark, tmp_path):
+    """The raw-file read path keeps the screen's zero-exchange property:
+    binaryFile scan → Arrow parse/tokenize → screen kernel, no Exchange
+    anywhere (the 100 TB corpus never shuffles to be screened)."""
+    import gzip
+
+    from bloomine_spark.operators.screen import screen_scores
+    from bloomine_spark.params import ScreenParams
+    from bloomine_spark.sources.fastq import (
+        DNA_COMPLEMENT_MAP,
+        read_fastq,
+        tokenize_bases,
+    )
+
+    t = "ACGGTTACCAGTTGACCA" * 2
+    body = f"@r0\nTTGGA{t}CCAAT\nplus\nquals\n".replace("plus", "+")
+    (tmp_path / "p.fastq.gz").write_bytes(gzip.compress(
+        body.replace("quals", "I" * (len(t) + 10)).encode()))
+    q = screen_scores(
+        read_fastq(spark, str(tmp_path) + "/*").drop("mate"),
+        tokenize_bases(t).tolist(), ScreenParams(k=7),
+        complement_map=DNA_COMPLEMENT_MAP,
+    )
+    assert_max_exchanges(q, 0)
+    facts = plan_facts(q)
+    assert facts.has_python_eval
