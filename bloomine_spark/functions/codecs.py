@@ -550,6 +550,20 @@ class _BitReader:
         self.nbits -= n
         return v
 
+    def peek16(self) -> int:
+        """Top 16 unconsumed bits (zero-padded at stream end)."""
+        if self.nbits < 16:
+            self._fill()
+        if self.nbits < 16:
+            return (self.acc << (16 - self.nbits)) & 0xFFFF
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        # clamp at stream end: peek16 zero-pads virtually, so a code that
+        # ran into the padding only happens on the final (already complete)
+        # records
+        self.nbits = max(0, self.nbits - n)
+
     def restart(self) -> None:
         """Consume an RST marker and realign to a byte boundary."""
         self.acc = 0
@@ -560,28 +574,32 @@ class _BitReader:
 
 
 def _huff_decoder(bits, values):
-    """Per-length (first_code, first_index) arrays for canonical decode."""
-    first_code = np.zeros(17, dtype=np.int64)
-    first_idx = np.zeros(17, dtype=np.int64)
+    """16-bit lookup-table canonical decode: lut_sym/lut_len indexed by the
+    next 16 bits of the stream give (symbol, code length) in ONE access —
+    ~15x fewer Python ops than walking the code bit by bit."""
+    lut_sym = np.full(1 << 16, -1, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.int8)
     code, k = 0, 0
     for length in range(1, 17):
-        first_code[length] = code
-        first_idx[length] = k
-        code += bits[length - 1]
-        k += bits[length - 1]
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut_sym[lo:hi] = values[k]
+            lut_len[lo:hi] = length
+            code += 1
+            k += 1
         code <<= 1
-    return first_code, first_idx, list(values), list(bits)
+    return lut_sym, lut_len
 
 
 def _read_symbol(br: _BitReader, tab) -> int:
-    first_code, first_idx, values, bits = tab
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        n = bits[length - 1]
-        if n and code - first_code[length] < n:
-            return values[first_idx[length] + (code - first_code[length])]
-    raise ValueError("invalid JPEG Huffman code")
+    lut_sym, lut_len = tab
+    idx = br.peek16()
+    sym = lut_sym[idx]
+    if sym < 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.skip(int(lut_len[idx]))
+    return int(sym)
 
 
 def _extend(v: int, s: int) -> int:
