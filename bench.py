@@ -58,6 +58,40 @@ def _sequences(spark, sf: float):
     return spark.read.parquet(path)
 
 
+def _fastq_fixture(spark, sf: float) -> tuple[str, int]:
+    """Deterministic per-sample FASTQ.gz fixture (~150bp DNA reads, planted
+    forward/RC targets), generated once under .data/ — benches the raw-file
+    scan surface (gzip + framing + tokenize + screen) per round."""
+    import gzip
+
+    import numpy as np
+
+    n_reads = max(int(2_000_000 * sf), 4000)
+    n_files = 16  # parallelism unit = files; keep ahead of local[N] cores
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".data", f"fastq_{n_reads}")
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        t = "ACGGTTACCAGTTGACCAACGGTTACCAGTTGACCA"
+        rc = t[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        per = n_reads // n_files
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for f in range(n_files):
+            rng = np.random.default_rng(1000 + f)
+            # one vectorized draw for the whole file, sliced per read
+            flat = rng.choice(bases, size=per * 150)
+            recs = []
+            for i in range(per):
+                seq = flat[i * 150:(i + 1) * 150].tobytes().decode()
+                if i % 1000 == 0:
+                    seq = seq[:40] + (t if i % 2000 == 0 else rc) + seq[40 + len(t):]
+                recs.append(f"@f{f}r{i}\n{seq}\n+\n{'I' * 150}")
+            with gzip.open(os.path.join(root, f"s{f}.fastq.gz"), "wb",
+                           compresslevel=1) as fh:
+                fh.write(("\n".join(recs) + "\n").encode())
+    return root, n_reads
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -148,6 +182,23 @@ def main():
         s2.unpersist()
 
     bench("cascade_two_flank", run_cascade)
+
+    # --- raw-file surface: FASTQ.gz scan + DNA screen ----------------------
+    from bloomine_spark.sources.fastq import (
+        DNA_COMPLEMENT_MAP,
+        read_fastq,
+        tokenize_bases,
+    )
+
+    fq_root, fq_reads = _fastq_fixture(spark, sf)
+    fq_target = tokenize_bases("ACGGTTACCAGTTGACCAACGGTTACCAGTTGACCA").tolist()
+    bench(
+        "fastq_scan_screen",
+        lambda: screen_hits(
+            read_fastq(spark, fq_root + "/*").drop("mate"),
+            fq_target, complement_map=DNA_COMPLEMENT_MAP,
+        ).count(),
+    )
 
     # --- pipeline + relational headliners over driver testdata -------------
     import __spark_entry__ as entrymod
