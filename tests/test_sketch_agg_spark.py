@@ -124,3 +124,34 @@ def test_hll_matches_native_datasketches(spark, seq_df, seq_pdf):
     assert abs(ours - exact) / exact < bound, (ours, exact)
     assert abs(native - exact) / exact < bound, (native, exact)
     assert abs(ours - native) / exact < 2 * bound
+
+
+def test_quantile_sketches_match_native_percentile_approx(spark, seq_df, seq_pdf):
+    """Independent cross-check for the quantile family: KLL and t-digest
+    quantiles vs Spark's built-in percentile_approx (JVM Greenwald-Khanna)
+    and the exact answer, all on n_tok. Exact is the strong oracle; the
+    native sketch pins that our error envelope is in the same class as
+    the engine Spark ships."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vals = np.sort(seq_pdf["n_tok"].to_numpy())
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+    kll = sketch_agg_global(seq_df, "n_tok", lambda: KLL(k=200))
+    td = sketch_agg_global(seq_df, "n_tok", lambda: TDigest(compression=100))
+    native = (
+        seq_df.agg(
+            F.percentile_approx("n_tok", qs, 10_000).alias("p")
+        ).head()["p"]
+    )
+
+    def rank_of(v):
+        return np.searchsorted(vals, v, side="right") / len(vals)
+
+    for q, nat in zip(qs, native):
+        for impl, got in (("kll", kll.quantile(q)),
+                          ("tdigest", td.quantile(q)),
+                          ("native", nat)):
+            # all three estimators must sit within 2% rank error of exact
+            assert abs(rank_of(got) - q) < 0.02, (impl, q, got, rank_of(got))
