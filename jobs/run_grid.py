@@ -108,6 +108,13 @@ def main() -> None:
         df = read_fastq(spark, args.input).drop("mate")
     else:
         df = spark.read.parquet(args.input)
+    # the RC vocabulary changes screen/extract results, so it must
+    # invalidate resumed stages (switching --format with identical targets
+    # would otherwise reuse stale parquet)
+    manifest["complement"] = (
+        [int(t) for t in complement_map] if complement_map is not None
+        else None
+    )
     if args.samples:
         df = df.filter(F.col("source").isin(args.samples.split(",")))
 
