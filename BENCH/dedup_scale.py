@@ -181,7 +181,11 @@ def measure(spark, docs, label: str) -> dict:
 
 
 def main():
-    base_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    # --no-report: skip writing DEDUP_SCALE.md (pytest gate runs at a small
+    # base and must not clobber the committed full-scale report)
+    write_report = "--no-report" not in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    base_rows = int(args[0]) if args else 5000
     from bloomine_spark.session import get_spark
 
     spark = get_spark(master="local[16]", shuffle_partitions=32,
@@ -294,8 +298,9 @@ def main():
         "oracle-identically at the correctness SFs (CORRECTNESS",
         "ngram_jaccard_pairs row).",
     ]
-    with open(os.path.join(REPO, "BENCH", "DEDUP_SCALE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if write_report:
+        with open(os.path.join(REPO, "BENCH", "DEDUP_SCALE.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
     result = {"points": points, "growth_exponents": exponents,
               "tail_exponent": tail,
               "tail_exponent_bound": TAIL_EXPONENT_BOUND,

@@ -372,3 +372,26 @@ def test_ivf_indexed_prunes_partitions_and_matches(spark, tmp_path):
                     centroids=centroids).collect()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
     assert len(want) == 20
+
+
+def test_dedup_candidate_growth_gates(tmp_path):
+    """Continuous gate on the dedup family's scale behavior: BENCH/
+    dedup_scale.py at a small base (800/8k/24k docs) must pass its three
+    gates — MinHash candidate exponent ~linear, jaccard analytic cap
+    bound, planted-clone recall (subprocess; --no-report keeps the
+    committed full-scale BENCH/DEDUP_SCALE.md intact)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "BENCH", "dedup_scale.py"),
+         "800", "--no-report"],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert d["pass"] is True
+    assert d["growth_exponents"]["minhash_candidates"][-1] <= 1.5
+    assert d["analytic_bound_holds"] is True
