@@ -193,8 +193,9 @@ def parse_fastq_flat(data: bytes):
 
 
 def read_sequence_files(
-    spark: SparkSession, path_glob: str, fmt: str = "fastq",
+    spark: SparkSession, path_glob, fmt: str = "fastq",
     keep_quality: bool = False,
+    sample_map: dict | None = None,
 ) -> DataFrame:
     """Distributed FASTQ/FASTA scan → canonical sequences DataFrame.
 
@@ -202,13 +203,17 @@ def read_sequence_files(
     inside the kernel, so raw bytes never leave the executor.
     ``keep_quality`` adds the FASTQ quality string as a ``qual`` column so
     a hits sink can reproduce original records (reference _BMfiltered.fq).
+    ``sample_map`` ({abspath: (sample, mate)}) overrides the filename
+    heuristic with explicit grouping (see ``read_fastq_grouped``).
     """
     import pandas as pd
     import pyarrow as pa
 
-    files = spark.read.format("binaryFile").load(path_glob).select(
-        "path", "content"
-    )
+    loader = spark.read.format("binaryFile")
+    files = (
+        loader.load(list(path_glob)) if isinstance(path_glob, (list, tuple))
+        else loader.load(path_glob)
+    ).select("path", "content")
     schema = SEQ_SCHEMA
     if keep_quality:
         schema = T.StructType(list(SEQ_SCHEMA.fields) + [_QUAL_FIELD])
@@ -216,6 +221,11 @@ def read_sequence_files(
     def _local(path: str) -> str:
         return path[len("file:"):] if str(path).startswith("file:") \
             else str(path)
+
+    def _sample_mate(local: str):
+        if sample_map is not None:
+            return sample_map[os.path.abspath(local)]
+        return _sample_of(local)
 
     def fastq_kernel(batches) -> Iterator["pa.RecordBatch"]:
         # Arrow-native path: one flat tokenization per file, list offsets
@@ -225,7 +235,7 @@ def read_sequence_files(
             contents = rb.column(1)
             for i, path in enumerate(paths):
                 local = _local(path)
-                sample, mate = _sample_of(local)
+                sample, mate = _sample_mate(local)
                 data = _maybe_gunzip(local, contents[i].as_py())
                 ids, flat, offsets, quals = parse_fastq_flat(data)
                 if not ids:
@@ -256,7 +266,7 @@ def read_sequence_files(
                 rows["qual"] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 local = _local(path)
-                sample, mate = _sample_of(local)
+                sample, mate = _sample_mate(local)
                 data = _maybe_gunzip(local, bytes(content))
                 for rid, seq, _ in iter_fasta_records(data):
                     toks = tokenize_bases(seq)
@@ -327,6 +337,70 @@ def write_fastq(df: DataFrame, path: str, partition_by_source: bool = True,
 
 def read_fasta(spark: SparkSession, path_glob: str) -> DataFrame:
     return read_sequence_files(spark, path_glob, fmt="fasta")
+
+
+def expand_suffix(suffix: str) -> list[str]:
+    """Bash-brace suffix expansion, reference semantics
+    (/root/reference/bloomine/utilities.py:37-59): ``_{1,2}.fastq.gz`` →
+    ``["_1.fastq.gz", "_2.fastq.gz"]``; a suffix without braces passes
+    through as a single-element list."""
+    if "{" not in suffix:
+        return [suffix]
+    tmp = re.split(r"\{|\}|,", suffix)
+    parts = tmp[1:-1]
+    return [tmp[0] + p + tmp[-1] for p in parts]
+
+
+def group_read_files(indir: str, suffix_spec: str) -> list[list[str]]:
+    """Group per-sample read files by prefix across mate suffixes —
+    groupReads (/root/reference/bloomine/utilities.py:99-136): every file
+    matching the FIRST suffix defines a sample prefix, and every other
+    suffix must exist for that prefix (missing mate → error, like the
+    reference's exit(1)). Returns ``[[prefix, fq1, fq2, ...], ...]``."""
+    import glob as _glob
+
+    suffixes = expand_suffix(suffix_spec)
+    base = suffixes[0]
+    groups = []
+    for fq in sorted(_glob.glob(os.path.join(indir, f"*{base}"))):
+        prefix = os.path.basename(fq).split(base)[0]
+        row = [prefix]
+        for end in suffixes:
+            p = os.path.join(indir, prefix + end)
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"cannot locate {p} — check the input directory and "
+                    f"suffix arguments"
+                )
+            row.append(p)
+        groups.append(row)
+    if not groups:
+        raise FileNotFoundError(f"cannot find reads in {indir}")
+    return groups
+
+
+def read_fastq_grouped(
+    spark: SparkSession,
+    indir: str,
+    suffix_spec: str,
+    keep_quality: bool = False,
+) -> DataFrame:
+    """Distributed scan of a reference-style sample directory: files are
+    grouped by ``group_read_files`` and read with EXPLICIT (sample, mate)
+    assignment from the grouping — the general form of the filename
+    heuristic, correct for arbitrary lab suffix conventions
+    (e.g. ``_L1_{1,2}.fq.gz``)."""
+    sample_map = {}
+    paths = []
+    for prefix, *files in group_read_files(indir, suffix_spec):
+        for mate_idx, p in enumerate(files, start=1):
+            ap = os.path.abspath(p)
+            sample_map[ap] = (prefix, mate_idx)
+            paths.append(ap)
+    return read_sequence_files(
+        spark, paths, fmt="fastq", keep_quality=keep_quality,
+        sample_map=sample_map,
+    )
 
 
 def load_fasta_flank_pairs(path: str) -> dict[str, tuple[list[int], list[int]]]:

@@ -271,3 +271,38 @@ def test_parse_fastq_flat_matches_iter_records():
         parse_fastq_flat(b"@r0\nACGT\n+\n")          # truncated record
     with _pytest.raises(ValueError):
         parse_fastq_flat(b"r0\nACGT\n+\nIIII\n")     # no '@'
+
+
+def test_grouped_reads_custom_suffixes(spark, tmp_path):
+    """Reference groupReads/expandSuffix semantics: arbitrary lab suffix
+    conventions (bash-brace spec) group files into samples with explicit
+    mate assignment, and a missing mate is a hard error."""
+    from bloomine_spark.sources.fastq import (
+        expand_suffix,
+        group_read_files,
+        read_fastq_grouped,
+    )
+
+    assert expand_suffix("_{1,2}.fastq.gz") == ["_1.fastq.gz", "_2.fastq.gz"]
+    assert expand_suffix(".fq") == [".fq"]
+
+    d = tmp_path / "grp"
+    d.mkdir()
+    for samp in ("alpha", "beta_L1"):
+        for m in (1, 2):
+            (d / f"{samp}_{m}.fastq.gz").write_bytes(gzip.compress(
+                f"@{samp}m{m}\nACGT\n+\nIIII\n".encode()))
+    groups = group_read_files(str(d), "_{1,2}.fastq.gz")
+    assert [g[0] for g in groups] == ["alpha", "beta_L1"]
+
+    df = read_fastq_grouped(spark, str(d), "_{1,2}.fastq.gz").toPandas()
+    # explicit grouping: 'beta_L1' stays ONE sample (the stem heuristic
+    # would also work here, but the grouping is authoritative)
+    assert set(df["source"]) == {"alpha", "beta_L1"}
+    assert set(df["mate"]) == {1, 2}
+    assert len(df) == 4
+
+    (d / "gamma_1.fastq.gz").write_bytes(gzip.compress(
+        b"@g\nACGT\n+\nIIII\n"))  # no gamma_2 -> missing mate
+    with pytest.raises(FileNotFoundError):
+        group_read_files(str(d), "_{1,2}.fastq.gz")
