@@ -103,6 +103,9 @@ def main():
         master=f"local[{CPUS}]",
         app_name="bloomine-bench",
         shuffle_partitions=max(int(CPUS), 16),
+        # console progress bars write \r-terminated frames to the same fd as
+        # the result line — r4's driver capture lost half the JSON to them
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -279,8 +282,31 @@ def main():
     if os.path.isfile(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)
-    print(json.dumps(out))
+
+    # Full record goes to a FILE (the durable artifact); stdout gets one
+    # COMPACT line printed after spark.stop() so no executor/progress noise
+    # can interleave with it. BENCH_r04.json lost half its medians because
+    # the driver tail-captured a single ~3KB line printed mid-session.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "tokens_per_sec": out["tokens_per_sec"],
+        "recall": recall,
+        "full_record": "BENCH/last_run.json",
+    }
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

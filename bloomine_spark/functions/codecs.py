@@ -373,10 +373,17 @@ class _BitWriter:
                 self.buf.append(0x00)
 
     def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
-        return bytes(self.buf)
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (no 0xFF stuffing)."""
+        self.buf += b
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -403,9 +410,15 @@ def _fdct_quant(plane: np.ndarray, qt64: np.ndarray) -> np.ndarray:
     return np.round(flat / qt64[np.newaxis, np.newaxis, :]).astype(np.int32)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
     """Baseline JFIF JPEG from (H,W) gray or (H,W,3) RGB uint8 (4:4:4, no
-    chroma subsampling — simple and exact enough for a round-trip gate)."""
+    chroma subsampling — simple and exact enough for a round-trip gate).
+
+    restart_interval > 0 emits a DRI segment and RST0-7 markers every that
+    many MCUs (byte-aligned, DC predictors reset) — the stream shape large
+    encoders produce for error resilience."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
@@ -445,6 +458,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     for tc_id, (bits, values) in specs:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_id)
         out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
     for c in range(n_comp):
@@ -468,8 +483,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     prev_dc = [0] * n_comp
+    mcu = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                bw.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
+                prev_dc = [0] * n_comp
+            mcu += 1
             for c in range(n_comp):
                 zz = coefs[c][by, bx]
                 t = min(c, 1)
@@ -565,9 +586,23 @@ class _BitReader:
         self.nbits = max(0, self.nbits - n)
 
     def restart(self) -> None:
-        """Consume an RST marker and realign to a byte boundary."""
+        """Consume an RST marker and realign to a byte boundary.
+
+        The reader can hit an MCU boundary with >=16 bits still buffered
+        (long final Huffman code + padding), in which case _fill never ran
+        far enough to latch the marker — the FF D0-D7 bytes are still
+        unconsumed at self.pos and must be skipped here, else every
+        subsequent MCU decodes from zero-padding."""
         self.acc = 0
         self.nbits = 0
+        if self.marker is None:
+            d = self.data
+            if (
+                self.pos + 1 < len(d)
+                and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7
+            ):
+                self.marker = d[self.pos + 1]
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.pos += 2
             self.marker = None

@@ -574,8 +574,17 @@ def _kgram_tuples(tokens, k):
 def choose_best_probes(per_probe_scores: DataFrame) -> DataFrame:
     """Input: (doc_id, target_id, total_score). Keep the max-total probe per
     doc, ties → lexicographically smaller target_id
-    (/root/reference/bloomine/polyfamily.py:152-162)."""
-    w = Window.partitionBy("doc_id").orderBy(
+    (/root/reference/bloomine/polyfamily.py:152-162).
+
+    Read ids are only unique per sample, so when a ``source`` column is
+    present the argmax is per (source, doc_id) — colliding ids from
+    different samples must not compete."""
+    keys = (
+        ["source", "doc_id"]
+        if "source" in per_probe_scores.columns
+        else ["doc_id"]
+    )
+    w = Window.partitionBy(*keys).orderBy(
         F.desc("total_score"), F.asc("target_id")
     )
     return (

@@ -224,23 +224,27 @@ def polyfamily_onepass(
 
     scores = screen_multi_scores(df, flat_targets, params,
                                  complement_map=complement_map)
+    # read ids are only unique per sample: key every stage on (source,
+    # doc_id) when a source column exists so colliding ids from different
+    # samples never merge (same rule as run_grid hydration)
+    keys = ["source", "doc_id"] if "source" in df.columns else ["doc_id"]
     parts = F.split(F.col("target_id"), _SEP)
     scored = (
         scores.filter(F.col("sp_pass"))
         .select(
-            "doc_id",
+            *keys,
             parts.getItem(0).alias("probe_id"),
             parts.getItem(1).alias("flank"),
             "score",
         )
-        .groupBy("doc_id", "probe_id")
+        .groupBy(*keys, "probe_id")
         .agg(
             F.max(F.when(F.col("flank") == "1", F.col("score"))).alias("f1_best"),
             F.max(F.when(F.col("flank") == "2", F.col("score"))).alias("f2_best"),
         )
         .filter(F.col("f1_best").isNotNull() & F.col("f2_best").isNotNull())
         .select(
-            "doc_id",
+            *keys,
             F.col("probe_id").alias("target_id"),
             (F.col("f1_best") + F.col("f2_best")).cast("long").alias("total_score"),
         )

@@ -235,15 +235,24 @@ def write_ivf_index(
     # centroids ride with the index (driver-side JSON; tiny)
     sc = emb.sparkSession.sparkContext
     jvm_path = posixpath.join(path, "_IVF_CENTROIDS.json")
-    # write through the local FS when possible, else Hadoop FS via spark
+    # write through the local FS when possible, else Hadoop FS via spark.
+    # The fallback dir is a SIBLING of the index path with no leading
+    # underscore: Hadoop's hidden-file filter skips `_`-prefixed paths, so
+    # a `_....d` dir inside the index would be unreadable by textFile —
+    # and a non-underscore dir inside it would break spark.read.parquet.
     try:
         with open(jvm_path, "w") as fh:
             json.dump(centroids.tolist(), fh)
     except OSError:
         sc.parallelize([json.dumps(centroids.tolist())], 1).saveAsTextFile(
-            jvm_path + ".d"
+            _centroids_sibling(path)
         )
     return centroids
+
+
+def _centroids_sibling(path: str) -> str:
+    """HDFS/S3 location of the centroids for an index at ``path``."""
+    return path.rstrip("/") + ".IVF_CENTROIDS.d"
 
 
 def ivf_topk_indexed(
@@ -263,8 +272,17 @@ def ivf_topk_indexed(
     import json
     import os
 
-    with open(os.path.join(path, "_IVF_CENTROIDS.json")) as fh:
-        centroids = np.array(json.load(fh), dtype=np.float64)
+    try:
+        with open(os.path.join(path, "_IVF_CENTROIDS.json")) as fh:
+            blob = fh.read()
+    except OSError:
+        # index on HDFS/S3: write_ivf_index persisted the centroids as a
+        # single-part text dir NEXT TO the index — read it back through
+        # the Hadoop FS so the query path works wherever the index lives
+        blob = "".join(
+            spark.sparkContext.textFile(_centroids_sibling(path)).collect()
+        )
+    centroids = np.array(json.loads(blob), dtype=np.float64)
     q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     probed = sorted({int(c) for row in q_cells for c in row})

@@ -192,6 +192,51 @@ def parse_fastq_flat(data: bytes):
     return ids, flat, offsets, [q.decode("ascii") for q in quals]
 
 
+# Arrow ListArray offsets are int32: one uncompressed FASTQ file above
+# ~2^31 total bases must ship as several RecordBatches with rebased
+# offsets, not one (ADVICE r4 — the int64→int32 cast raised mid-scan)
+_INT32_OFFSET_SAFE = (1 << 31) - 16
+
+
+def _fastq_record_batches(
+    ids, flat, offsets, quals, sample, mate, keep_quality,
+    max_tokens: int = _INT32_OFFSET_SAFE,
+):
+    """Arrow RecordBatches from one parsed file, chunked at record
+    boundaries so every batch's REBASED list offsets fit int32. One batch
+    in the common case; a >2 GiB-of-bases file splits transparently."""
+    import pyarrow as pa
+
+    n = len(ids)
+    start = 0
+    while start < n:
+        if offsets[n] - offsets[start] <= max_tokens:
+            end = n
+        else:
+            end = int(np.searchsorted(
+                offsets, offsets[start] + max_tokens, side="right"
+            )) - 1
+            end = min(max(end, start + 1), n)  # never stall on a huge read
+        rel = offsets[start : end + 1] - offsets[start]
+        m = end - start
+        cols = [
+            pa.array(ids[start:end], type=pa.string()),
+            pa.ListArray.from_arrays(
+                pa.array(rel, type=pa.int32()),
+                pa.array(flat[offsets[start] : offsets[end]], type=pa.int32()),
+            ),
+            pa.array((rel[1:] - rel[:-1]).astype(np.int32)),
+            pa.array([sample] * m, type=pa.string()),
+            pa.array([mate] * m, type=pa.int32()),
+        ]
+        names = ["doc_id", "tokens", "n_tok", "source", "mate"]
+        if keep_quality:
+            cols.append(pa.array(quals[start:end], type=pa.string()))
+            names.append("qual")
+        yield pa.RecordBatch.from_arrays(cols, names)
+        start = end
+
+
 def read_sequence_files(
     spark: SparkSession, path_glob, fmt: str = "fastq",
     keep_quality: bool = False,
@@ -240,22 +285,9 @@ def read_sequence_files(
                 ids, flat, offsets, quals = parse_fastq_flat(data)
                 if not ids:
                     continue
-                n = len(ids)
-                cols = [
-                    pa.array(ids, type=pa.string()),
-                    pa.ListArray.from_arrays(
-                        pa.array(offsets, type=pa.int32()),
-                        pa.array(flat, type=pa.int32()),
-                    ),
-                    pa.array(np.diff(offsets).astype(np.int32)),
-                    pa.array([sample] * n, type=pa.string()),
-                    pa.array([mate] * n, type=pa.int32()),
-                ]
-                names = ["doc_id", "tokens", "n_tok", "source", "mate"]
-                if keep_quality:
-                    cols.append(pa.array(quals, type=pa.string()))
-                    names.append("qual")
-                yield pa.RecordBatch.from_arrays(cols, names)
+                yield from _fastq_record_batches(
+                    ids, flat, offsets, quals, sample, mate, keep_quality
+                )
 
     def fasta_kernel(batches: Iterator["pd.DataFrame"]):
         # FASTA files (targets/references) are small — per-record is fine
@@ -313,18 +345,38 @@ def write_fastq(df: DataFrame, path: str, partition_by_source: bool = True,
     )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # vectorized detokenize: ONE flat gather over the whole batch's
+        # tokens + offset slicing per record — a curation-scale export
+        # (millions of reads) must not pay per-row pandas (r4 verdict)
         for pdf in batches:
-            recs = []
-            for _, r in pdf.iterrows():
-                seq = detokenize_bases(r[tokens_col])
-                qual = r["qual"] if has_qual and r.get("qual") else None
-                rec = f"@{r['doc_id']}\n{seq}\n+\n{qual or 'I' * len(seq)}"
-                if partition_by_source:
-                    recs.append({"source": r["source"], "value": rec})
-                else:
-                    recs.append({"value": rec})
-            if recs:
-                yield pd.DataFrame(recs)
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks = pdf[tokens_col].tolist()
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+            flat = (
+                np.concatenate([np.asarray(t, dtype=np.int64) for t in toks])
+                if lens.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            if len(flat) and (flat.min() < 0 or flat.max() >= len(TOKEN_BASES)):
+                raise ValueError("tokens outside the DNA vocabulary 0..4")
+            bases = TOKEN_BASES[flat].tobytes().decode("ascii")
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            ids = pdf["doc_id"].tolist()
+            quals = pdf["qual"].tolist() if has_qual else None
+            recs = [
+                f"@{ids[i]}\n{bases[starts[i]:ends[i]]}\n+\n"
+                f"{(quals[i] if quals and quals[i] else 'I' * int(lens[i]))}"
+                for i in range(n)
+            ]
+            if partition_by_source:
+                yield pd.DataFrame(
+                    {"source": pdf["source"].tolist(), "value": recs}
+                )
+            else:
+                yield pd.DataFrame({"value": recs})
 
     lines = df.select(*cols).mapInPandas(kernel, schema=out_schema)
     writer = lines.write.mode("overwrite")

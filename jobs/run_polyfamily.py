@@ -77,14 +77,23 @@ def main() -> None:
         df = read_fastq(spark, args.input).drop("mate")
     else:
         df = spark.read.parquet(args.input)
+    if "source" not in df.columns:
+        # single-sample parquet without a source column: constant key so
+        # the (source, doc_id) join below stays uniform
+        df = df.withColumn("source", F.lit("sample"))
     # polyfamily_onepass already argmax-bins docs to probes (W1)
     assigned = polyfamily_onepass(df, targets, params,
                                   complement_map=complement_map).cache()
     assigned.write.mode("overwrite").parquet(f"{args.output}/assignments")
 
     # per-probe MOI in ONE extraction pass (sub-batched by probe inside the
-    # kernel) + one collected count frame — O(stages) jobs, not O(probes)
-    hits = df.join(assigned.select("doc_id", "target_id"), "doc_id")
+    # kernel) + one collected count frame — O(stages) jobs, not O(probes).
+    # Join on (source, doc_id): FASTQ read ids are only unique per sample,
+    # a doc_id-only join cross-attaches assignments between samples.
+    hits = df.join(
+        assigned.select("source", "doc_id", "target_id"),
+        ["source", "doc_id"],
+    )
     ex = extract_targets_multi(hits, targets, min_kmer=args.min_kmer,
                                complement_map=complement_map)
     vc = (

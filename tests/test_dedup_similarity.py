@@ -373,6 +373,28 @@ def test_ivf_indexed_prunes_partitions_and_matches(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
     assert len(want) == 20
 
+    # ADVICE r4-low: an index on HDFS/S3 persists centroids as a
+    # saveAsTextFile dir, not a posix JSON — the query path must read that
+    # form too. Simulate by swapping the JSON for the .d layout.
+    import json as _json
+    import shutil
+
+    from bloomine_spark.operators.similarity import _centroids_sibling
+
+    cj = os.path.join(idx, "_IVF_CENTROIDS.json")
+    blob = open(cj).read()
+    os.remove(cj)
+    dd = _centroids_sibling(idx)
+    os.makedirs(dd)
+    with open(os.path.join(dd, "part-00000"), "w") as fh:
+        fh.write(blob + "\n")
+    got2 = ivf_topk_indexed(spark, idx, queries, k=10, nprobe=2).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want))
+    shutil.rmtree(dd)
+    with open(cj, "w") as fh:
+        fh.write(blob)
+    assert _json.loads(blob)  # sanity: the round-tripped blob is valid JSON
+
 
 def test_dedup_candidate_growth_gates(tmp_path):
     """Continuous gate on the dedup family's scale behavior: BENCH/

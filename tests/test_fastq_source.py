@@ -273,6 +273,45 @@ def test_parse_fastq_flat_matches_iter_records():
         parse_fastq_flat(b"r0\nACGT\n+\nIIII\n")     # no '@'
 
 
+def test_fastq_record_batches_chunk_below_offset_limit():
+    """ADVICE r4-low: a file whose total base count exceeds the int32
+    Arrow-offset limit must ship as several REBASED RecordBatches, not
+    raise mid-cast. Verified with a tiny max_tokens stand-in: chunk
+    boundaries land on records, offsets rebase per batch, and the
+    concatenation round-trips the input exactly."""
+    import pyarrow as pa
+
+    from bloomine_spark.sources.fastq import (
+        _fastq_record_batches,
+        parse_fastq_flat,
+    )
+
+    reads = [(f"r{i}", "ACGT" * (i % 5 + 1)) for i in range(13)]
+    body = "".join(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n"
+                   for rid, seq in reads).encode()
+    ids, flat, offsets, quals = parse_fastq_flat(body)
+    batches = list(_fastq_record_batches(
+        ids, flat, offsets, quals, "s", 1, True, max_tokens=10
+    ))
+    assert len(batches) > 3                       # it actually chunked
+    for rb in batches:
+        off = rb.column(1).offsets.to_numpy()
+        assert off[0] == 0                        # rebased
+        # bounded, except a single read longer than the cap (it must still
+        # ship — alone in its own batch)
+        assert off[-1] <= 10 or rb.num_rows == 1
+    tab = pa.Table.from_batches(batches)
+    assert tab.column("doc_id").to_pylist() == [r[0] for r in reads]
+    got_toks = tab.column("tokens").to_pylist()
+    for (rid, seq), toks in zip(reads, got_toks):
+        assert toks == tokenize_bases(seq).tolist(), rid
+    assert tab.column("qual").to_pylist() == [q for q in quals]
+    # default limit: one batch
+    assert len(list(_fastq_record_batches(
+        ids, flat, offsets, quals, "s", 1, False
+    ))) == 1
+
+
 def test_grouped_reads_custom_suffixes(spark, tmp_path):
     """Reference groupReads/expandSuffix semantics: arbitrary lab suffix
     conventions (bash-brace spec) group files into samples with explicit

@@ -81,6 +81,34 @@ def test_run_polyfamily_cli_writes_json(spark, tmp_path):
                    "b1": "probeB"}
 
 
+def test_run_polyfamily_cli_multisample_colliding_ids(spark, tmp_path):
+    """ADVICE r4-medium: FASTQ read ids are only unique per sample. The SAME
+    read id carries a probeA read in s0 and a probeB read in s1; a
+    doc_id-only argmax/join keeps one assignment for both and extracts the
+    loser's read under the wrong probe's flanks, dropping its variant."""
+    readA = [301, 302] + HEAD + [1, 2, 3] + TAIL + [401]
+    readB = [301] + HEAD_B + [8, 9] + TAIL + [402, 403]
+    pdf = pd.DataFrame([
+        {"doc_id": "c0", "tokens": np.array(readA, np.int32), "source": "s0"},
+        {"doc_id": "c0", "tokens": np.array(readB, np.int32), "source": "s1"},
+    ])
+    pdf["n_tok"] = pdf["tokens"].apply(len).astype("int32")
+    inp = str(tmp_path / "collide")
+    spark.createDataFrame(
+        pdf[["doc_id", "tokens", "n_tok", "source"]]
+    ).write.parquet(inp)
+    out = str(tmp_path / "pfm")
+    targets = json.dumps({"probeA": [HEAD, TAIL], "probeB": [HEAD_B, TAIL]})
+    _run("run_polyfamily.py", ["--input", inp, "--targets", targets,
+                               "--min-kmer", "11", "--output", out])
+    blob = json.load(open(f"{out}/polyfamily.json"))
+    assert blob["probeA"] == [["1 2 3", 1]]
+    assert blob["probeB"] == [["8 9", 1]]
+    assigned = spark.read.parquet(f"{out}/assignments").toPandas()
+    got = dict(zip(assigned["source"], assigned["target_id"]))
+    assert got == {"s0": "probeA", "s1": "probeB"}
+
+
 def _write_grid_input(spark, tmp_path):
     """Two samples (source column) with COLLIDING read ids (a0, b0, ... in
     both samples — FASTQ read ids are only scoped per sample) and a

@@ -214,6 +214,43 @@ def test_jpeg_decodes_jdk_420_fixture():
     assert err.mean() < 5.0 and err.max() <= 40, (err.mean(), err.max())
 
 
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_jpeg_restart_interval_roundtrip(interval):
+    """DRI/RST streams (ADVICE r4-high): an MCU boundary reached with >=16
+    bits still buffered used to leave the FF D0-D7 bytes unconsumed, so
+    every later MCU decoded from zero padding. Restart markers must be
+    pixel-neutral: same quantized coefficients, same output."""
+    img = _smooth_image(48, 64)  # 48 MCUs gray
+    enc = codecs.encode_jpeg(img, quality=90, restart_interval=interval)
+    assert b"\xff\xdd" in enc  # DRI segment present
+    dec = codecs.decode_jpeg(enc)
+    ref = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    assert np.array_equal(dec, ref)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_restart_unlatched_marker_case():
+    """Pinned reproducer for the exact failure mode: rng(1) noise at q=50,
+    interval=1 reaches MCU boundaries with >=16 bits buffered, so _fill has
+    NOT latched the RST marker and restart() must find it at self.pos
+    (verified by instrumentation: 8 unlatched boundaries in this stream)."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    enc = codecs.encode_jpeg(img, quality=50, restart_interval=1)
+    dec = codecs.decode_jpeg(enc)
+    ref = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=50))
+    assert np.array_equal(dec, ref)
+
+
+def test_jpeg_restart_interval_roundtrip_rgb():
+    base = _smooth_image(40, 56)
+    rgb = np.stack([base, np.roll(base, 5, 1), 255 - base], axis=2)
+    enc = codecs.encode_jpeg(rgb, quality=92, restart_interval=2)
+    dec = codecs.decode_jpeg(enc)
+    ref = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=92))
+    assert np.array_equal(dec, ref)
+
+
 def test_jpeg_progressive_rejected():
     # SOI + minimal SOF2 (progressive) header must raise, not misdecode
     import struct as _s
