@@ -157,14 +157,26 @@ def measure(spark, docs, label: str) -> dict:
     ).count()
     out["jaccard_sec"] = round(time.time() - t0, 2)
 
+    # scale path config: (bands, rows) DERIVED from the production
+    # threshold's S-curve (128 perms sharpen it: P(collide)≈0.93-0.95 at
+    # the planted clones' J≈0.53-0.56 vs 0.64-0.76 under the old static
+    # 16x4@64), and candidates verified against EXACT Jaccard — the
+    # 64-perm estimator noise alone capped recall at ~0.78 for
+    # just-above-threshold clones. Candidate counts use the SAME banding
+    # (threshold 0.0 disables only the verification filter).
+    from bloomine_spark.operators.dedup import optimal_minhash_bands
+
+    mh_perm = 128
+    mh_bands, _mh_r = optimal_minhash_bands(mh_perm, 0.5)
     t0 = time.time()
     out["minhash_candidates"] = minhash_lsh_duplicates(
-        docs, num_perm=64, bands=16, threshold=0.0
+        docs, num_perm=mh_perm, bands=mh_bands, threshold=0.0
     ).count()
     out["minhash_candidates_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
     out["minhash_dups"] = minhash_lsh_duplicates(
-        docs, num_perm=64, bands=16, threshold=0.5
+        docs, num_perm=mh_perm, bands=mh_bands, threshold=0.5,
+        verify="exact",
     ).count()
     out["minhash_sec"] = round(time.time() - t0, 2)
 
@@ -217,9 +229,11 @@ def main():
         p["jaccard_candidates"] <= p["candidate_bound"] for p in points
     )
     big = points[-1]
+    # r5 gate: planted recall >= 0.9 at the largest scale (was 0.5 with
+    # the static 16x4@64 banding + estimator verify)
     recall_ok = (
-        big["minhash_dups"] >= 0.5 * big["planted_clones"]
-        and big["jaccard_dups"] >= 0.5 * big["planted_clones"]
+        big["minhash_dups"] >= 0.9 * big["planted_clones"]
+        and big["jaccard_dups"] >= 0.9 * big["planted_clones"]
     )
     ok = (bound_ok and recall_ok
           and tail is not None and tail <= TAIL_EXPONENT_BOUND)

@@ -21,7 +21,7 @@ formats are fully decodable with the stdlib + numpy:
 
 Matching encoders exist for every decoder so tests can round-trip real
 encoded bytes. Formats that genuinely require external codecs
-(progressive/arithmetic JPEG, MP4/H.264, MP3, ...) remain explicit
+(arithmetic/lossless JPEG, MP4/H.264, MP3, ...) remain explicit
 NotImplementedError integration points in operators/multimodal.py.
 """
 
@@ -642,11 +642,14 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG to (H,W) gray or (H,W,3) RGB uint8.
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to (H,W) gray
+    or (H,W,3) RGB uint8.
 
     Supports multi-table DQT (8-bit), any 1/2 sampling factors (4:4:4,
     4:2:2, 4:2:0, ...), restart intervals, and skips APPn/COM. Progressive
-    (SOF2) and arithmetic coding raise NotImplementedError."""
+    streams accumulate coefficients across DC/AC spectral-selection and
+    successive-approximation scans, reconstructing once at EOI. Extended
+    sequential/lossless/arithmetic coding raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -654,6 +657,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None  # list of (id, h, v, qt_id)
     w = h = 0
     restart_interval = 0
+    progressive = False
+    pstate = None  # progressive accumulator, built at first SOS
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -675,13 +680,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     body[b + 1 : b + 65], dtype=np.uint8
                 ).astype(np.int32)
                 b += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/extended/arithmetic) "
-                "not supported — baseline SOF0 only"
+                f"JPEG SOF{marker - 0xC0} (extended/lossless/arithmetic) "
+                "not supported — baseline SOF0 and progressive SOF2 only"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for i in range(nc):
@@ -709,13 +715,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     j for j, c in enumerate(comps) if c[0] == cid
                 )
                 scan.append((ci, tabs >> 4, tabs & 0x0F))
-            pos = pos + 2 + seg_len
-            return _decode_scan(
-                data, pos, w, h, comps, scan, qts, huff, restart_interval
+            if not progressive:
+                pos = pos + 2 + seg_len
+                return _decode_scan(
+                    data, pos, w, h, comps, scan, qts, huff,
+                    restart_interval,
+                )
+            if pstate is None:
+                pstate = _ProgressiveState(w, h, comps)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seg_len, pstate, comps, scan, huff,
+                restart_interval, ss, se, ahal >> 4, ahal & 0x0F,
             )
-        elif marker == 0xD9:  # EOI before SOS
+            continue
+        elif marker == 0xD9:  # EOI
             break
         pos += 2 + seg_len
+    if progressive and pstate is not None:
+        return _reconstruct_progressive(pstate, w, h, comps, qts)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -771,6 +790,11 @@ def _decode_scan(data, pos, w, h, comps, scan, qts, huff, restart_interval):
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
 
+    return _planes_to_image(planes, comps, hmax, vmax, w, h)
+
+
+def _planes_to_image(planes, comps, hmax, vmax, w, h) -> np.ndarray:
+    """Upsample subsampled components, crop to (h, w), YCbCr→RGB."""
     full = []
     for p, (_cid, ch, cv, _q) in zip(planes, comps):
         if ch != hmax or cv != vmax:
@@ -789,6 +813,199 @@ def _decode_scan(data, pos, w, h, comps, scan, qts, huff, restart_interval):
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+class _ProgressiveState:
+    """Coefficient accumulator across a progressive JPEG's scans.
+
+    Per component: an (blocks_y, blocks_x, 64) int32 array in ZIG-ZAG
+    order (spectral index k addresses [..., k] directly), sized to the
+    full interleaved MCU grid. ``nblocks`` holds each component's OWN
+    ceil(size/8) block grid for non-interleaved scans, which cover only
+    the component's real blocks, not the MCU padding."""
+
+    def __init__(self, w: int, h: int, comps):
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs = []
+        self.nblocks = []
+        for _cid, ch, cv, _q in comps:
+            self.coefs.append(
+                np.zeros((self.mcuy * cv, self.mcux * ch, 64), dtype=np.int32)
+            )
+            bw = (w * ch + 8 * self.hmax - 1) // (8 * self.hmax)
+            bh = (h * cv + 8 * self.vmax - 1) // (8 * self.vmax)
+            self.nblocks.append((bw, bh))
+
+
+def _decode_progressive_scan(
+    data, pos, st, comps, scan, huff, restart_interval, ss, se, ah, al
+) -> int:
+    """Decode one SOS of a progressive stream into ``st.coefs``; returns
+    the byte position of the next marker. DC scans (ss==0) may be
+    interleaved; AC scans are single-component per spec (B.2.3)."""
+    br = _BitReader(data, pos)
+    if ss == 0:
+        _progressive_dc_scan(br, st, comps, scan, huff, restart_interval,
+                             ah, al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        _progressive_ac_scan(br, st, scan[0], huff, restart_interval,
+                             ss, se, ah, al)
+    return br.pos
+
+
+def _progressive_dc_scan(br, st, comps, scan, huff, restart_interval,
+                         ah, al):
+    pred = [0] * len(comps)
+    unit = 0  # restart unit counter (MCUs, or blocks when ns == 1)
+
+    def block(ci, dct, by, bx):
+        coef = st.coefs[ci]
+        if ah == 0:  # first DC pass: diff-coded, scaled by 2^al
+            s = _read_symbol(br, huff[(0, dct)])
+            pred[ci] += _extend(br.read(s), s) if s else 0
+            coef[by, bx, 0] = pred[ci] << al
+        else:  # refinement: one bit appended at bit al
+            if br.read(1):
+                coef[by, bx, 0] |= 1 << al
+
+    if len(scan) > 1:  # interleaved over the MCU grid
+        for _my in range(st.mcuy):
+            for _mx in range(st.mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart()
+                    pred = [0] * len(comps)
+                unit += 1
+                for ci, dct, _act in scan:
+                    _cid, ch, cv, _q = comps[ci]
+                    for v in range(cv):
+                        for hh in range(ch):
+                            block(ci, dct, _my * cv + v, _mx * ch + hh)
+    else:  # single component: its own block grid
+        ci, dct, _act = scan[0]
+        bw, bh = st.nblocks[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart()
+                    pred = [0] * len(comps)
+                unit += 1
+                block(ci, dct, by, bx)
+
+
+def _progressive_ac_scan(br, st, scomp, huff, restart_interval,
+                         ss, se, ah, al):
+    ci, _dct, act = scomp
+    tab = huff[(1, act)]
+    coefs = st.coefs[ci]
+    bw, bh = st.nblocks[ci]
+    eobrun = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            unit += 1
+            zz = coefs[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, tab, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, tab, zz, ss, se, al, eobrun)
+
+
+def _ac_first_block(br, tab, zz, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits blocks ending here
+                return (1 << r) - 1 + (br.read(r) if r else 0)
+            k += 16     # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        zz[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, tab, zz, ss, se, al, eobrun) -> int:
+    """Successive-approximation AC refinement (spec G.1.2.3): newly
+    nonzero coefficients arrive as ±2^al; every already-nonzero
+    coefficient passed over consumes one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if br.read(1) and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDING this block; the shared -1 happens
+                    # at the tail return after this block's leftover
+                    # nonzeros are refined
+                    eobrun = (1 << r) + (br.read(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-HISTORY positions (refines don't count)
+            else:
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+        else:
+            return eobrun  # block fully coded, no EOB encountered
+    # EOB run covers the rest of this block: refine remaining nonzeros
+    for kk in range(k, se + 1):
+        if zz[kk] != 0:
+            correct(kk)
+    return eobrun - 1
+
+
+def _reconstruct_progressive(st, w, h, comps, qts) -> np.ndarray:
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_ZIGZAG] = np.arange(64)
+    planes = []
+    for ci, (_cid, ch, cv, qid) in enumerate(comps):
+        zz = st.coefs[ci]
+        deq = (zz * qts[qid][None, None, :])[:, :, inv_zz].reshape(
+            zz.shape[0], zz.shape[1], 8, 8
+        )
+        # one vectorized IDCT over every block: P = C^T M C
+        pix = np.einsum("ux,bcuv,vy->bcxy", _DCT_C, deq, _DCT_C,
+                        optimize=True) + 128.0
+        planes.append(
+            pix.transpose(0, 2, 1, 3).reshape(
+                zz.shape[0] * 8, zz.shape[1] * 8
+            ).astype(np.float32)
+        )
+    return _planes_to_image(planes, comps, st.hmax, st.vmax, w, h)
 
 
 # ---------------------------------------------------------------------------

@@ -220,24 +220,75 @@ def minhash_signatures(
     return pre.mapInArrow(_minhash_signatures_kernel(num_perm), schema=schema)
 
 
+def optimal_minhash_bands(
+    num_perm: int,
+    threshold: float,
+    fp_weight: float = 0.2,
+    fn_weight: float = 0.8,
+) -> tuple[int, int]:
+    """(bands, rows) minimizing the weighted false-positive/false-negative
+    integrals of the LSH S-curve ``1-(1-s^r)^b`` around ``threshold`` — the
+    standard band-tuning criterion (MMDS ch.3; same shape as datasketch's
+    ``_optimal_param``). Recall-weighted by default: a candidate false
+    positive only costs verification compute, a false negative is a missed
+    duplicate — so fn_weight > fp_weight. ``bands*rows`` may be < num_perm
+    (the trailing signature values just go unused by the banding).
+
+    Static (bands=16, r=4) defaults cost real recall at scale: clones
+    sitting just above the threshold collide with probability only ~0.64
+    at s=0.5 under (16,4)x64, vs ~0.87 under the tuned (32,4)x128 —
+    measured on the 150k-doc corpus in BENCH/DEDUP_SCALE.md.
+    """
+    xs = np.linspace(0.0, 1.0, 1001)
+    lo, hi = xs < threshold, xs >= threshold
+    best = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        p = 1.0 - (1.0 - xs**r) ** b
+        err = fp_weight * np.trapz(p[lo], xs[lo]) + fn_weight * np.trapz(
+            1.0 - p[hi], xs[hi]
+        )
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]
+
+
 def minhash_lsh_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     threshold: float = 0.7,
+    verify: str = "est",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
-    signature → b bands of r=num_perm/b values → band-hash bucket equi-join
-    → candidate pairs → estimated Jaccard = matching-signature fraction ≥
-    threshold. Collision probability of a (1-t)-similar pair in ≥1 band is
-    1-(1-t^r)^b (the standard S-curve).
+    signature → b bands of r values → band-hash bucket equi-join →
+    candidate pairs → verification ≥ threshold. Collision probability of a
+    t-similar pair in ≥1 band is 1-(1-t^r)^b (the standard S-curve).
+
+    ``bands=None`` derives (bands, rows) from the threshold via
+    ``optimal_minhash_bands`` instead of inheriting a static default —
+    at scale the right banding depends on where the threshold sits.
+
+    ``verify`` selects the candidate confirmation:
+    - ``"est"``: estimated Jaccard = matching-signature fraction. Zero
+      extra I/O, but a pair whose true Jaccard sits just above the
+      threshold passes only ~P(Binom(num_perm, J)/num_perm ≥ t) — at
+      J=0.54, t=0.5, 64 perms that is ~0.78, a real recall cap.
+    - ``"exact"``: recompute TRUE n-gram Jaccard for the candidate pairs
+      only (LSH already bounded them), via the same shared-shingle join
+      as ``ngram_jaccard_pairs``. Exact precision and no estimator noise;
+      the only recall loss left is the S-curve itself. This is the
+      production posture for corpus-scale dedup.
     """
-    assert num_perm % bands == 0
-    r = num_perm // bands
+    if bands is None:
+        bands, r = optimal_minhash_bands(num_perm, threshold)
+    else:
+        assert num_perm % bands == 0
+        r = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_perm).cache()
     # band join carries ONLY (doc_id, band, bucket): candidate pairs are
     # deduplicated as bare id pairs BEFORE the 64-long signature arrays are
@@ -273,6 +324,9 @@ def minhash_lsh_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if verify == "exact":
+        return _verify_exact_jaccard(df, cand_ids, text_col, id_col, n,
+                                     threshold)
     cand = (
         cand_ids.join(
             sig.select(F.col("doc_id").alias("id_a"),
@@ -288,6 +342,49 @@ def minhash_lsh_duplicates(
     ) / F.lit(float(num_perm))
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _verify_exact_jaccard(
+    df: DataFrame,
+    cand_ids: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an LSH-bounded candidate-pair set.
+
+    The shingle table joins only against the candidate ids, so the work is
+    O(candidates × avg shingles) — the LSH banding already did the n²
+    elimination. Output column is named ``est_jaccard`` for interface
+    stability with the estimator path (the value is exact here)."""
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(
+            _word_shingles_expr(text_col, n)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand_ids.join(
+            sh.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -6,7 +6,7 @@ Decode is REAL for formats the stdlib can handle (see
 unfiltering), 24-bit BMP, binary PPM, PCM WAV, baseline JPEG (SOF0
 Huffman + IDCT, any 1/2-factor chroma subsampling), and the RFV1
 length-prefixed frame container for video sampling. Formats that genuinely
-require external codec libraries (MP4/H.264, MP3, progressive JPEG — none
+require external codec libraries (MP4/H.264, MP3 — none
 shipped in this container) remain explicit ``NotImplementedError``
 integration points via ``decoder="stub"``. The deterministic fake decoder from round 1 is kept so
 plumbing tests stay codec-independent.
@@ -153,7 +153,7 @@ def decode_image_features(
     decoder: 'auto' (sniff PNG/BMP/PPM/JPEG magic), explicit
     'png'/'bmp'/'ppm'/'jpeg', 'fake' (round-1 synthetic raw format), or
     'stub' — the marked integration point that raises for formats needing
-    external codecs (WEBP/HEIC/progressive JPEG...).
+    external codecs (WEBP/HEIC...); baseline AND progressive JPEG decode natively.
     """
     if decoder not in _REAL_IMAGE_DECODERS + ("fake", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")

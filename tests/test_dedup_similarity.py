@@ -64,6 +64,46 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
     assert (exact_rows["est_jaccard"] == 1.0).all()
 
 
+def test_optimal_minhash_bands_tracks_threshold():
+    """Band tuning derives from the threshold's S-curve: higher thresholds
+    want longer rows (sharper curve further right); more perms refine the
+    same optimum; and the returned banding always fits the signature."""
+    from bloomine_spark.operators.dedup import optimal_minhash_bands
+
+    b64, r64 = optimal_minhash_bands(64, 0.5)
+    b128, r128 = optimal_minhash_bands(128, 0.5)
+    b_hi, r_hi = optimal_minhash_bands(128, 0.9)
+    assert (b64, r64) == (16, 4)       # the classic 0.5-threshold choice
+    assert (b128, r128) == (32, 4)
+    assert r_hi > r128                 # 0.9 threshold → longer rows
+    for np_, t in ((64, 0.5), (128, 0.5), (128, 0.9), (96, 0.3)):
+        b, r = optimal_minhash_bands(np_, t)
+        assert 1 <= b * r <= np_
+    # collision probability at the threshold stays high for the default
+    # recall-weighted objective
+    p = 1 - (1 - 0.5 ** r128) ** b128
+    assert p > 0.85
+
+
+@needs_data
+def test_minhash_exact_verify_matches_ngram_jaccard(spark, docs_with_dups):
+    """verify='exact' recomputes TRUE n-gram Jaccard on the LSH candidates:
+    every emitted pair must carry exactly the value ngram_jaccard_pairs
+    assigns it, and (near-)all exact-Jaccard pairs above the threshold are
+    recovered (S-curve-only loss — no estimator noise)."""
+    got = minhash_lsh_duplicates(
+        docs_with_dups, num_perm=128, bands=None, threshold=0.5,
+        verify="exact",
+    ).toPandas()
+    want = ngram_jaccard_pairs(docs_with_dups, n=3, min_jaccard=0.5).toPandas()
+    want_map = {(a, b): j for a, b, j in
+                zip(want["id_a"], want["id_b"], want["jaccard"])}
+    for a, b, j in zip(got["id_a"], got["id_b"], got["est_jaccard"]):
+        assert (a, b) in want_map, (a, b)          # exact precision
+        assert abs(j - want_map[(a, b)]) < 1e-6    # exact values
+    assert len(got) >= 0.9 * len(want), (len(got), len(want))
+
+
 @needs_data
 def test_simhash_finds_exact_copies(spark, docs_with_dups):
     pairs = simhash_duplicates(docs_with_dups, max_hamming=3).toPandas()
@@ -174,13 +214,29 @@ def test_ivf_topk_recall(spark):
     ids = pdf["vec_id"].to_numpy()
     queries = [(int(ids[i]), list(map(float, pdf["embedding"][i]))) for i in range(5)]
     exact = brute_force_topk(emb, queries, k=10).toPandas()
-    approx = ivf_topk(emb, queries, k=10, nlist=8, nprobe=3).toPandas()
-    recalls = []
-    for qid, _ in queries:
-        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
-        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
-        recalls.append(len(e & a) / len(e))
-    assert np.mean(recalls) >= 0.6, recalls
+
+    def recall(approx):
+        recalls = []
+        for qid, _ in queries:
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        return float(np.mean(recalls))
+
+    from bloomine_spark.operators.similarity import train_ivf_centroids
+
+    cent = train_ivf_centroids(emb, nlist=8)
+    r1 = recall(ivf_topk(emb, queries, k=10, nlist=8, nprobe=3,
+                         centroids=cent).toPandas())
+    assert r1 >= 0.6, r1
+    # multi-assignment (the recall dial that keeps the probe width): each
+    # vector in its top-3 cells — only all-cells-unprobed neighbors are
+    # lost, and no neighbor may appear twice in a query's top-k
+    a3 = ivf_topk(emb, queries, k=10, nlist=8, nprobe=3, centroids=cent,
+                  assign=3).toPandas()
+    assert not a3.duplicated(["query_id", "neighbor_id"]).any()
+    r3 = recall(a3)
+    assert r3 >= max(r1, 0.9), (r1, r3)
 
 
 # ------------------------------------------------------------- multimodal
@@ -394,6 +450,19 @@ def test_ivf_indexed_prunes_partitions_and_matches(spark, tmp_path):
     with open(cj, "w") as fh:
         fh.write(blob)
     assert _json.loads(blob)  # sanity: the round-tripped blob is valid JSON
+
+    # multi-assigned index: assign rides in the metadata, the query path
+    # masks identically (== in-kernel ivf_topk at the same assign), no
+    # duplicate neighbors despite vectors materialized in several cells
+    idx2 = str(tmp_path / "ivf_idx_a2")
+    write_ivf_index(emb, idx2, nlist=8, centroids=centroids, assign=2)
+    assert spark.read.parquet(idx2).count() == 2 * emb.count()
+    got_a2 = ivf_topk_indexed(spark, idx2, queries, k=10, nprobe=2).toPandas()
+    assert not got_a2.duplicated(["query_id", "neighbor_id"]).any()
+    want_a2 = ivf_topk(emb, queries, k=10, nlist=8, nprobe=2,
+                       centroids=centroids, assign=2).toPandas()
+    assert sorted(map(tuple, got_a2.itertuples(index=False))) == \
+        sorted(map(tuple, want_a2.itertuples(index=False)))
 
 
 def test_dedup_candidate_growth_gates(tmp_path):

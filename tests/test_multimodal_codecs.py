@@ -251,15 +251,58 @@ def test_jpeg_restart_interval_roundtrip_rgb():
     assert np.array_equal(dec, ref)
 
 
-def test_jpeg_progressive_rejected():
-    # SOI + minimal SOF2 (progressive) header must raise, not misdecode
+def test_jpeg_progressive_interop_jdk_decode():
+    """Progressive (SOF2) decode vs an independent codec decoding the SAME
+    stream: javax.imageio wrote tests/data/jdk_progressive*.jpg (10-scan
+    color 4:2:0, 6-scan gray at odd dims — spectral selection AND
+    successive approximation) and its own decoded pixels are stored
+    alongside. Grayscale must match the JDK bit-for-bit up to IDCT
+    rounding (±1 — no upsampling in the path); color is bounded by the
+    chroma upsampling difference (JDK triangle filter vs our nearest)."""
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+
+    def load(ref, ch3):
+        t = open(os.path.join(d, ref)).read().split()
+        w, h = int(t[0]), int(t[1])
+        return np.array(t[2:], dtype=int).reshape(
+            (h, w, 3) if ch3 else (h, w)
+        )
+
+    g = open(os.path.join(d, "jdk_progressive_gray.jpg"), "rb").read()
+    assert b"\xff\xc2" in g  # really SOF2
+    dec_g = codecs.decode_jpeg(g)
+    jdk_g = load("jdk_progressive_gray_jdkdecode.txt", False)
+    assert dec_g.shape == jdk_g.shape == (29, 41)
+    assert np.abs(dec_g.astype(int) - jdk_g).max() <= 1
+
+    c = open(os.path.join(d, "jdk_progressive.jpg"), "rb").read()
+    assert b"\xff\xc2" in c and c.count(b"\xff\xda") == 10
+    dec_c = codecs.decode_jpeg(c)
+    jdk_c = load("jdk_progressive_jdkdecode.txt", True)
+    assert dec_c.shape == jdk_c.shape == (40, 56, 3)
+    err = np.abs(dec_c.astype(int) - jdk_c)
+    assert err.mean() < 4.0 and err.max() <= 40, (err.mean(), err.max())
+    # and against the pre-compression SOURCE pixels (end-to-end lossy gate)
+    src = load("jdk_progressive_source.txt", True)
+    err_s = np.abs(dec_c.astype(int) - src)
+    assert err_s.mean() < 5.0 and err_s.max() <= 40
+
+
+def test_jpeg_unsupported_rejected():
+    # SOF3 (lossless) must still raise, not misdecode; garbage raises
     import struct as _s
 
-    sof2 = b"\xff\xc2" + _s.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    sof3 = b"\xff\xc3" + _s.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
     with pytest.raises(NotImplementedError):
-        codecs.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+        codecs.decode_jpeg(b"\xff\xd8" + sof3 + b"\xff\xd9")
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"notajpeg")
+    # SOF2 with no SOS is malformed, not silently empty
+    sof2 = b"\xff\xc2" + _s.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
 def test_video_frame_sampling_jpeg_frames(spark):
