@@ -203,6 +203,25 @@ def main():
         ).count(),
     )
 
+    # hits sink surface: re-emit EVERY scanned read as FASTQ records
+    # (detokenize + original quals) through the Arrow-native write_fastq
+    # kernel — r4's iterrows sink paid ~46s/1M reads, this one ~4s
+    import shutil
+    import tempfile
+
+    from bloomine_spark.sources.fastq import write_fastq
+
+    sink_dir = tempfile.mkdtemp(prefix="bm_sink_")
+
+    def run_sink():
+        write_fastq(
+            read_fastq(spark, fq_root + "/*", keep_quality=True),
+            os.path.join(sink_dir, "out"),
+        )
+
+    bench("fastq_hits_sink", run_sink)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+
     # --- pipeline + relational headliners over driver testdata -------------
     import __spark_entry__ as entrymod
 

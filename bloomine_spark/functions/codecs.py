@@ -1009,6 +1009,187 @@ def _reconstruct_progressive(st, w, h, comps, qts) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# MP3 / MP4 container METADATA (no codec decode — duration/rate/frame
+# counts straight from frame headers / ISO-BMFF boxes, pure stdlib)
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000],     # MPEG1
+              2: [22050, 24000, 16000],     # MPEG2
+              0: [11025, 12000, 8000]}      # MPEG2.5
+
+
+def parse_mp3_metadata(data: bytes) -> dict:
+    """Frame-header walk of an MPEG-1/2/2.5 Layer III stream: skips ID3v2,
+    reads sample rate / channel mode from the first header, then steps
+    frame to frame (exact for CBR and VBR alike) to count frames and sum
+    the duration. Audio DECODE stays an explicit external-codec boundary;
+    at corpus scale duration/rate columns come from this cheap parse."""
+    pos = 0
+    if data[:3] == b"ID3":  # ID3v2 tag: syncsafe 28-bit size
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + sz
+    n_frames = 0
+    duration = 0.0
+    bitrate_sum = 0
+    sample_rate = channels = None
+    version = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            if data[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+                break
+            if n_frames:  # trailing garbage after valid frames: stop
+                break
+            pos += 1
+            continue
+        h1, h2, h3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        ver_bits = (h1 >> 3) & 0x03          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_bits = (h1 >> 1) & 0x03        # 1=Layer III
+        if ver_bits == 1 or layer_bits != 1:
+            raise NotImplementedError(
+                "only MPEG-1/2/2.5 Layer III frame headers supported"
+            )
+        br_idx = (h2 >> 4) & 0x0F
+        sr_idx = (h2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("bad MP3 frame header (free/bad bitrate or rate)")
+        padding = (h2 >> 1) & 0x01
+        mode = (h3 >> 6) & 0x03
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        kbps = (_MP3_BITRATE_V1L3 if ver_bits == 3
+                else _MP3_BITRATE_V2L3)[br_idx]
+        spf = 1152 if ver_bits == 3 else 576  # samples per L3 frame
+        frame_len = spf * kbps * 1000 // 8 // rate + padding
+        if frame_len <= 4 or pos + frame_len > len(data):
+            break
+        if sample_rate is None:
+            sample_rate = rate
+            channels = 1 if mode == 3 else 2
+            version = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
+        n_frames += 1
+        duration += spf / rate
+        bitrate_sum += kbps
+        pos += frame_len
+    if not n_frames:
+        raise ValueError("no MP3 frames found")
+    return {
+        "container": "mp3",
+        "codec": f"mpeg{version}-layer3",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_sec": round(duration, 6),
+        "bitrate_kbps": round(bitrate_sum / n_frames, 3),
+    }
+
+
+def _iso_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for ISO-BMFF boxes in a range."""
+    pos = start
+    while pos + 8 <= end:
+        (size,), typ = struct.unpack(">I", data[pos : pos + 4]), \
+            data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            raise ValueError("bad ISO-BMFF box size")
+        yield typ, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) box walk: ftyp brand, movie duration from mvhd,
+    per-track handler/codec/dimensions/sample counts from the trak tree
+    (tkhd/mdhd/hdlr/stsd/stts). No sample data is touched — H.264/AAC
+    decode remains the documented external-codec boundary."""
+    brand = None
+    movie = {}
+    tracks = []
+    for typ, b0, b1 in _iso_boxes(data, 0, len(data)):
+        if typ == b"ftyp":
+            brand = data[b0 : b0 + 4].decode("ascii", "replace")
+        elif typ == b"moov":
+            for t2, c0, c1 in _iso_boxes(data, b0, b1):
+                if t2 == b"mvhd":
+                    ver = data[c0]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", data[c0 + 20 : c0 + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", data[c0 + 12 : c0 + 20]
+                        )
+                    movie = {"timescale": ts,
+                             "duration_sec": round(dur / ts, 6) if ts else 0.0}
+                elif t2 == b"trak":
+                    tracks.append(_parse_trak(data, c0, c1))
+    if brand is None and not movie:
+        raise ValueError("not an ISO-BMFF (MP4) stream")
+    return {"container": "mp4", "brand": brand, **movie, "tracks": tracks}
+
+
+def _parse_trak(data: bytes, start: int, end: int) -> dict:
+    tr: dict = {}
+    for typ, b0, b1 in _iso_boxes(data, start, end):
+        if typ == b"tkhd":
+            ver = data[b0]
+            # width/height are the final two 16.16 fixed-point words
+            w, h = struct.unpack(">II", data[b1 - 8 : b1])
+            tr["width"], tr["height"] = w >> 16, h >> 16
+            del ver
+        elif typ == b"mdia":
+            for t2, c0, c1 in _iso_boxes(data, b0, b1):
+                if t2 == b"mdhd":
+                    ver = data[c0]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", data[c0 + 20 : c0 + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", data[c0 + 12 : c0 + 20]
+                        )
+                    tr["duration_sec"] = round(dur / ts, 6) if ts else 0.0
+                elif t2 == b"hdlr":
+                    tr["handler"] = data[c0 + 8 : c0 + 12].decode(
+                        "ascii", "replace"
+                    )
+                elif t2 == b"minf":
+                    for t3, d0, d1 in _iso_boxes(data, c0, c1):
+                        if t3 == b"stbl":
+                            _parse_stbl(data, d0, d1, tr)
+    return tr
+
+
+def _parse_stbl(data: bytes, start: int, end: int, tr: dict) -> None:
+    for typ, b0, _b1 in _iso_boxes(data, start, end):
+        if typ == b"stsd":
+            (n,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+            if n:
+                tr["codec"] = data[b0 + 12 : b0 + 16].decode(
+                    "ascii", "replace"
+                )
+        elif typ == b"stts":
+            (n,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+            total = 0
+            for i in range(n):
+                cnt, _delta = struct.unpack(
+                    ">II", data[b0 + 8 + 8 * i : b0 + 16 + 8 * i]
+                )
+                total += cnt
+            tr["n_samples"] = total
+
+
+# ---------------------------------------------------------------------------
 # RFV1: length-prefixed frame container (video plumbing)
 # ---------------------------------------------------------------------------
 

@@ -141,6 +141,35 @@ def sessions_stream(
     )
 
 
+def idempotent_parquet_batch_writer(path: str):
+    """foreachBatch sink whose writes are IDEMPOTENT under re-delivery.
+
+    Structured Streaming's foreachBatch contract is at-least-once: after a
+    failure between the user function and the checkpoint commit, the SAME
+    micro-batch is re-delivered with the SAME ``batch_id``. A sink that
+    blindly appends therefore duplicates rows on retry. The documented
+    idempotency contract for every foreachBatch sink in this package:
+
+        derive the write location (or the upsert/MERGE key) from
+        ``batch_id`` — never append blindly.
+
+    This helper implements the file-sink form: each micro-batch lands in
+    its own ``batch_id=<id>`` directory with ``mode("overwrite")``, so a
+    re-delivered batch overwrites its own previous (possibly partial)
+    output instead of appending a second copy, and readers see the union
+    of committed batch directories. For a table sink the same contract is
+    a MERGE keyed on (batch_id, row key).
+    """
+    import posixpath
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            posixpath.join(path, f"batch_id={batch_id}")
+        )
+
+    return write
+
+
 _HLL_OUT_SCHEMA = T.StructType(
     [
         T.StructField("source", T.StringType()),

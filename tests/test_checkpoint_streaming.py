@@ -670,3 +670,89 @@ def test_streaming_hll_idle_ttl_evicts_state(spark, tmp_path):
     # the fresh sketch covers only the 30 post-eviction tokens, not the
     # 150 distinct tokens the evicted state had seen
     assert fresh.iloc[0]["est_distinct"] == pytest.approx(30, rel=0.2)
+
+
+def test_streaming_foreachbatch_redelivery_idempotent(spark, tmp_path):
+    """r4 verdict #6: foreachBatch is AT-LEAST-ONCE — after a failure
+    between the user function and the checkpoint commit, the same
+    micro-batch is re-delivered with the same batch_id. The package's
+    idempotent writer keys the write location on batch_id, so re-running
+    the batch function (simulated re-delivery) must leave the sink
+    byte-identical — while a blind append sink demonstrably duplicates."""
+    import glob
+
+    from bloomine_spark.streaming.stream_ops import (
+        hll_distinct_by_key_stream,
+        idempotent_parquet_batch_writer,
+    )
+
+    (tmp_path / "src").mkdir()
+
+    def _one_file(rows, name):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            pd.DataFrame(rows),
+            "doc_id string, source string, tokens array<long>",
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, str(tmp_path / "src" / (name + ".parquet")))
+
+    for fi in range(3):
+        _one_file(
+            [{"doc_id": f"d{fi}_{i}", "source": f"s{i % 2}",
+              "tokens": list(range(40 * fi, 40 * fi + 30))}
+             for i in range(4)],
+            f"f{fi}",
+        )
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    sink = str(tmp_path / "out")
+    writer = idempotent_parquet_batch_writer(sink)
+    delivered = []
+
+    def recording(batch_df, batch_id):
+        delivered.append((batch_df.toPandas(), int(batch_id)))
+        writer(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        hll_distinct_by_key_stream(stream, "source", "tokens")
+        .writeStream.foreachBatch(recording)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(delivered) >= 2  # several micro-batches actually ran
+
+    def snapshot():
+        return (
+            spark.read.parquet(sink).toPandas()
+            .sort_values(["batch_id", "source", "n_rows_seen"])
+            .reset_index(drop=True)
+        )
+
+    before = snapshot()
+    assert len(before) == sum(len(p) for p, _ in delivered)
+
+    # simulate re-delivery: run the batch function AGAIN with the same
+    # batch_id and the same rows
+    pdf, bid = delivered[-1]
+    redelivered = spark.createDataFrame(
+        pdf, "source string, est_distinct double, n_rows_seen long"
+    )
+    writer(redelivered, bid)
+    after = snapshot()
+    assert after.equals(before)  # no double-write, nothing lost
+
+    # control: the naive append sink DOES duplicate under the same retry
+    naive = str(tmp_path / "naive")
+    redelivered.write.mode("append").parquet(naive)
+    redelivered.write.mode("append").parquet(naive)  # the retry
+    assert spark.read.parquet(naive).count() == 2 * len(pdf)

@@ -326,3 +326,115 @@ def test_video_frame_sampling_jpeg_frames(spark):
     )
     assert len(feats) == 4 * 2  # frames 0 and 3 of each clip
     assert (feats["width"] > 0).all() and feats["features"].map(len).eq(16).all()
+
+
+# ------------------------------------------------- MP3/MP4 metadata parse
+
+def _mp3_bytes(n_frames=10, id3=False):
+    """Spec-built MPEG1 Layer III stream: 44100 Hz, 128 kbps, joint
+    stereo; frame length = floor(1152/8 * 128000/44100) = 417 bytes."""
+    frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413
+    data = frame * n_frames
+    if id3:
+        tag = b"ID3" + b"\x04\x00" + b"\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+        data = tag + data
+    return data
+
+
+def _mp4_box(typ, *payload):
+    import struct as _s
+
+    body = b"".join(payload)
+    return _s.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mp4_bytes():
+    import struct as _s
+
+    ftyp = _mp4_box(b"ftyp", b"isom", _s.pack(">I", 512), b"iso2avc1")
+    mvhd = _mp4_box(b"mvhd", b"\x00\x00\x00\x00", _s.pack(">II", 0, 0),
+                    _s.pack(">II", 1000, 5000), b"\x00" * 80)
+    tkhd = _mp4_box(b"tkhd", b"\x00\x00\x00\x07", b"\x00" * 72,
+                    _s.pack(">II", 640 << 16, 360 << 16))
+    mdhd = _mp4_box(b"mdhd", b"\x00\x00\x00\x00", _s.pack(">II", 0, 0),
+                    _s.pack(">II", 600, 3000), b"\x00\x00\x00\x00")
+    hdlr = _mp4_box(b"hdlr", b"\x00\x00\x00\x00", b"\x00\x00\x00\x00",
+                    b"vide", b"\x00" * 13)
+    stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00", _s.pack(">I", 1),
+                    _s.pack(">I", 86), b"avc1", b"\x00" * 78)
+    stts = _mp4_box(b"stts", b"\x00\x00\x00\x00", _s.pack(">I", 2),
+                    _s.pack(">II", 100, 200), _s.pack(">II", 50, 100))
+    stbl = _mp4_box(b"stbl", stsd, stts)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd, hdlr, minf)
+    trak = _mp4_box(b"trak", tkhd, mdia)
+    moov = _mp4_box(b"moov", mvhd, trak)
+    return ftyp + moov
+
+
+def test_mp3_metadata_frame_walk():
+    m = codecs.parse_mp3_metadata(_mp3_bytes(10))
+    assert m["codec"] == "mpeg1-layer3" and m["sample_rate"] == 44100
+    assert m["channels"] == 2 and m["n_frames"] == 10
+    assert m["duration_sec"] == pytest.approx(10 * 1152 / 44100, abs=1e-6)
+    assert m["bitrate_kbps"] == 128
+    # ID3v2 tag skipped, same frames found
+    m2 = codecs.parse_mp3_metadata(_mp3_bytes(10, id3=True))
+    assert m2["n_frames"] == 10
+    with pytest.raises(ValueError):
+        codecs.parse_mp3_metadata(b"\x00" * 64)
+
+
+def test_mp4_metadata_box_walk():
+    meta = codecs.parse_mp4_metadata(_mp4_bytes())
+    assert meta["brand"] == "isom"
+    assert meta["duration_sec"] == pytest.approx(5.0)
+    (tr,) = meta["tracks"]
+    assert tr["handler"] == "vide" and tr["codec"] == "avc1"
+    assert (tr["width"], tr["height"]) == (640, 360)
+    assert tr["n_samples"] == 150
+    assert tr["duration_sec"] == pytest.approx(5.0)
+    with pytest.raises(ValueError):
+        codecs.parse_mp4_metadata(b"\x00\x00\x00\x08abcd")
+
+
+def test_audio_video_metadata_operators(spark):
+    """audio_metadata/video_metadata: per-payload container sniff (WAV
+    and MP3; RFV1 and MP4) — the cheap real-format path; full MP3/H.264
+    decode stays the documented boundary."""
+    from bloomine_spark.operators.multimodal import (
+        audio_metadata,
+        synthetic_video,
+        video_metadata,
+    )
+
+    samples = (np.sin(np.arange(8000) / 20.0) * 20000).astype(np.int16)
+    wav = codecs.encode_wav(samples, 8000)
+    rows = [
+        ("w0", "audio", bytearray(wav), {}),
+        ("m0", "audio", bytearray(_mp3_bytes(20)), {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, media_type string, payload binary, "
+        "meta map<string,string>"
+    )
+    am = {r["media_id"]: r.asDict() for r in audio_metadata(media).collect()}
+    assert am["w0"]["container"] == "wav"
+    assert am["w0"]["sample_rate"] == 8000 and am["w0"]["n_frames"] == 8000
+    assert am["w0"]["duration_sec"] == pytest.approx(1.0)
+    assert am["m0"]["container"] == "mp3" and am["m0"]["n_frames"] == 20
+    assert am["m0"]["duration_sec"] == pytest.approx(20 * 1152 / 44100,
+                                                    abs=1e-5)
+
+    vid_rows = [("v0", "video", bytearray(_mp4_bytes()), {})]
+    vmedia = spark.createDataFrame(
+        vid_rows, "media_id string, media_type string, payload binary, "
+        "meta map<string,string>"
+    ).unionByName(synthetic_video(spark, 2, frames_per_clip=5))
+    vm = {r["media_id"]: r.asDict() for r in video_metadata(vmedia).collect()}
+    assert vm["v0"]["container"] == "mp4" and vm["v0"]["codec"] == "avc1"
+    assert (vm["v0"]["width"], vm["v0"]["height"]) == (640, 360)
+    assert vm["v0"]["n_frames"] == 150
+    assert vm["v0"]["duration_sec"] == pytest.approx(5.0)
+    assert vm["v00000000"]["container"] == "rfv1"
+    assert vm["v00000000"]["n_frames"] == 5
