@@ -578,6 +578,88 @@ def _q_mg_token_topk(spark, sf_dir):
     )
 
 
+_JACCARD_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def _q_jaccard_sources_exact(spark, sf_dir):
+    """Exact pairwise word-3-gram Jaccard between four sources
+    (oracle-checked; the minhash sketch query below estimates the same
+    six numbers from O(num_perm) state per source)."""
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(list(_JACCARD_SOURCES))
+    )
+    g = docs.select(
+        "source", F.explode(_kgram_str_expr(3)).alias("g")
+    ).distinct()
+    sz = g.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("na")), "source_a")
+        .join(
+            sz.select(F.col("source").alias("source_b"),
+                      F.col("n").alias("nb")), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.round(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _q_minhash_jaccard_sources(spark, sf_dir):
+    """North-rule MinHash sketch UDAF: per-source 3-gram sets aggregate
+    into 256-slot mergeable signatures (elementwise-min tree merge —
+    bit-identical under any partition grouping), then all source pairs
+    compare in O(num_perm) instead of a shingle self-join (no oracle —
+    approximate; bound vs the exact companion gated in
+    tests/test_minhash_sketch.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.core import STATE_COL, sketch_agg
+    from bloomine_spark.sketch.minhash import MinHashSketch
+
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(list(_JACCARD_SOURCES))
+    )
+    grams = docs.select(
+        "source", F.explode(_kgram_str_expr(3)).alias("g")
+    ).select("source", F.xxhash64("g").alias("gh"))
+    agg = sketch_agg(grams, ["source"], "gh",
+                     lambda: MinHashSketch.empty(256))
+    sketches = {
+        r["source"]: MinHashSketch.from_bytes(bytes(r[STATE_COL]))
+        for r in agg.collect()
+    }
+    names = sorted(sketches)
+    rows = [
+        (sa, sb, round(sketches[sa].jaccard(sketches[sb]), 6))
+        for i, sa in enumerate(names)
+        for sb in names[i + 1:]
+    ]
+    return spark.createDataFrame(
+        rows, "source_a string, source_b string, est_jaccard double"
+    )
+
+
 def _q_distinct_tokens_setops_exact(spark, sf_dir):
     """U1–U4 exact set algebra over per-source distinct token sets:
     |A|, |B|, |A∪B|, |A∩B|, |A\\B| for sources src0/src1 (oracle-checked;
@@ -1023,6 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_token_topk": _q_mg_token_topk,
         "distinct_tokens_setops_exact": _q_distinct_tokens_setops_exact,
         "theta_tokens_setops": _q_theta_tokens_setops,
+        "jaccard_sources_exact": _q_jaccard_sources_exact,
+        "minhash_jaccard_sources": _q_minhash_jaccard_sources,
         "curate_training_docs": _q_curate_training_docs,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
     }
@@ -1457,6 +1541,28 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT w FROM a INTERSECT SELECT w FROM b)) AS n_intersect,
                (SELECT COUNT(*) FROM
                  (SELECT w FROM a EXCEPT SELECT w FROM b)) AS n_a_not_b
+    """
+
+    sql["jaccard_sources_exact"] = """
+        WITH g AS (
+          SELECT DISTINCT source,
+                 words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+          FROM (SELECT source, string_split(text, ' ') AS words
+                FROM documents
+                WHERE source IN ('src0','src1','src2','src3')),
+               UNNEST(range(1, len(words) - 1)) AS t(i)
+          WHERE len(words) >= 3
+        ),
+        sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+        inter AS (
+          SELECT a.source sa, b.source sb, COUNT(*) ni
+          FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               ROUND(ni / (x.n + y.n - ni), 6) AS jaccard
+        FROM inter JOIN sz x ON x.source = sa JOIN sz y ON y.source = sb
+        ORDER BY source_a, source_b
     """
 
     sql["regional_revenue"] = """

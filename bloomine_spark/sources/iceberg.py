@@ -12,10 +12,24 @@ Iceberg runtime jars, so the adapter resolves in order:
 Everything downstream is source-agnostic: operators take DataFrames.
 
 Cluster session configs this engine expects for Iceberg (documented here,
-applied via spark-submit --conf):
+applied via spark-submit --conf; tests/test_iceberg_live.py runs the live
+path automatically whenever the runtime jar is on the classpath — this
+container ships without it, so the test self-skips):
+
+  # runtime (match the Spark/Scala build):
+  --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>
+  # production catalog:
+  spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
   spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
   spark.sql.catalog.lake.type=glue|hive|rest
-  spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+  # local/dev Hadoop catalog (what the live test uses):
+  spark.sql.catalog.lake.type=hadoop
+  spark.sql.catalog.lake.warehouse=file:///path/to/warehouse
+
+Reads then address ``lake.db.sequences``; `load_sequences` passes the
+identifier straight to ``spark.table`` so partition pruning on `source`,
+hidden-partition transforms, and snapshot-isolated reads (`VERSION AS OF`
+for resumable checkpoints) all come from the catalog, not this adapter.
 """
 
 from __future__ import annotations
