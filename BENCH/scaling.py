@@ -324,9 +324,28 @@ def main():
     def _fmt(xs):
         return ", ".join(f"{x:.2f}" for x in xs)
 
+    # kernel-provenance fingerprint: the history is only valid evidence
+    # while the measured kernels are unchanged, so the report pins a hash
+    # of their sources — any kernel edit visibly invalidates the campaign
+    import hashlib
+
+    kern = hashlib.sha256()
+    for rel in ("bloomine_spark/operators/screen.py",
+                "bloomine_spark/sketch/hll.py",
+                "bloomine_spark/sketch/cms.py",
+                "bloomine_spark/sketch/core.py",
+                "bloomine_spark/functions/kgrams.py"):
+        kern.update(open(os.path.join(REPO, rel), "rb").read())
+
     lines += [
         "",
         f"## Reading ({len(history)} pairs, current kernels)",
+        "",
+        f"Measured-kernel fingerprint: `{kern.hexdigest()[:16]}` "
+        "(sha256 over screen.py, hll.py, cms.py, core.py, kgrams.py — "
+        "the history below is evidence for exactly these sources; any "
+        "kernel change regenerates with a new fingerprint and warrants "
+        "fresh pairs).",
         "",
         f"- **Screen: {max(scr_effs):.2f} best / "
         f"{_median(scr_effs):.2f} median** (pairs: {_fmt(scr_effs)}).",

@@ -48,9 +48,32 @@ def test_joins_are_not_cartesian(spark):
     import __spark_entry__ as em
 
     for name in ("regional_revenue", "ngram_jaccard_pairs",
-                 "flank_log_merge_events", "argmax_probe_lineitem"):
+                 "flank_log_merge_events", "argmax_probe_lineitem",
+                 "jaccard_sources_exact"):
         q = em.queries()[name](spark, SF)
         assert_no_cartesian(q)
+
+
+@needs_data
+def test_jaccard_sources_exact_pushdown(spark):
+    import __spark_entry__ as em
+
+    q = em.queries()["jaccard_sources_exact"](spark, SF)
+    assert_filter_pushed(q, "source")          # In(source, [src0..3]) at scan
+    assert_columns_pruned(q, {"lang", "n_chars", "doc_id"})
+
+
+@needs_data
+def test_minhash_exact_verify_plan(spark):
+    """verify='exact' must stay join-based: no cartesian/BNLJ anywhere in
+    the LSH-candidates → shingle-intersection recompute."""
+    from bloomine_spark.operators.dedup import minhash_lsh_duplicates
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    q = minhash_lsh_duplicates(docs, num_perm=128, bands=None,
+                               threshold=0.5, verify="exact")
+    assert_no_cartesian(q)
 
 
 @needs_data
