@@ -263,3 +263,76 @@ def hll_distinct_by_key_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_MG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("item", T.LongType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("n_rows_seen", T.LongType()),
+    ]
+)
+
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("state", T.BinaryType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters_by_key_stream(
+    stream_df: DataFrame,
+    key_col: str = "source",
+    value_col: str = "tokens",
+    m: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Running per-key heavy hitters via a Misra–Gries state sketch.
+
+    Streaming twin of the batch MG UDAF (sketch/mg.py): state = one
+    serialized m-counter summary per key (O(m), data-volume-independent),
+    each trigger folds the new Arrow batches in and re-emits the current
+    top-k with their estimated counts (MG guarantees est ≤ true and
+    err ≤ n/m). The ingest-monitoring shape: "what tokens dominate each
+    source RIGHT NOW" over an unbounded stream with bounded state.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from bloomine_spark.sketch.core import _values_of
+        from bloomine_spark.sketch.mg import MisraGries
+
+        if state.exists:
+            blob, n_rows = state.get
+            mg = MisraGries.from_bytes(bytes(blob))
+        else:
+            mg = MisraGries(m)
+            n_rows = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mg.update_values(_values_of(pdf[value_col]))
+            n_rows += len(pdf)
+        state.update((mg.to_bytes(), n_rows))
+        top = mg.top_k(k)
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(top),
+                "item": [int(i) for i, _ in top],
+                "est_count": [int(c) for _, c in top],
+                "n_rows_seen": [n_rows] * len(top),
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

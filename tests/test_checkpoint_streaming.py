@@ -756,3 +756,55 @@ def test_streaming_foreachbatch_redelivery_idempotent(spark, tmp_path):
     redelivered.write.mode("append").parquet(naive)
     redelivered.write.mode("append").parquet(naive)  # the retry
     assert spark.read.parquet(naive).count() == 2 * len(pdf)
+
+
+def test_streaming_heavy_hitters_stateful(spark, seq_parquet, tmp_path):
+    """Streaming Misra-Gries per key: the final emission's top items must
+    equal the batch MG sketch built over the same data per source (state
+    folds identically), with the MG bound est <= true holding against
+    exact counts."""
+    from bloomine_spark.streaming.stream_ops import heavy_hitters_by_key_stream
+
+    batch_df = spark.read.parquet(seq_parquet)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(seq_parquet)
+    )
+    hh = heavy_hitters_by_key_stream(stream, "source", "tokens", m=64, k=5)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("stream_mg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mgck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT * FROM stream_mg WHERE (source, n_rows_seen) IN "
+        "(SELECT source, max(n_rows_seen) FROM stream_mg GROUP BY source)"
+    ).toPandas()
+    assert out["source"].nunique() == 10
+    assert (out.groupby("source").size() == 5).all()
+
+    # MG guarantees (the fold is NOT merge-order invariant, only bounded):
+    # est <= true and true - est <= n_tokens/m for every reported item, and
+    # the true #1 token per source must appear in the streamed top-5
+    from pyspark.sql import functions as F2
+
+    exact = (
+        batch_df.select("source", F2.explode("tokens").alias("t"))
+        .groupBy("source", "t").count().toPandas()
+        .set_index(["source", "t"])["count"]
+    )
+    n_tokens = exact.groupby("source").sum()
+    for _, row in out.iterrows():
+        true = int(exact.get((row["source"], row["item"]), 0))
+        assert row["est_count"] <= true, (row["source"], row["item"])
+        assert true - row["est_count"] <= n_tokens[row["source"]] / 64
+    top1 = exact.groupby("source").idxmax()
+    for src, (_, tok) in top1.items():
+        assert tok in set(out[out["source"] == src]["item"]), src
