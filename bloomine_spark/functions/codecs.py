@@ -13,11 +13,15 @@ formats are fully decodable with the stdlib + numpy:
   frame count + per-frame length-prefixed PNG payloads) so video frame
   sampling has a real, parseable container format.
 
-- Baseline JPEG (SOF0: Huffman-coded sequential DCT, gray or YCbCr with
-  any 1/2-factor chroma subsampling, restart markers): a full stdlib
-  decoder (marker parse → Huffman entropy decode → dequant → IDCT →
-  upsample → color convert) and a 4:4:4 encoder so tests can round-trip
-  real JPEG bytes.
+- JPEG, baseline (SOF0) AND progressive (SOF2): a full stdlib decoder
+  (marker parse → Huffman entropy decode incl. spectral-selection /
+  successive-approximation scans and EOB runs → dequant → IDCT →
+  upsample → color convert, restart markers, any 1/2-factor chroma
+  subsampling), a 4:4:4 baseline encoder with optional DRI/RST, and a
+  spectral-selection progressive encoder — both validated in BOTH
+  directions against javax.imageio.
+- MP3 / MP4: container METADATA parsers (frame-header walk / ISO-BMFF
+  box walk) — duration/rate/dims/frame counts without sample decode.
 
 Matching encoders exist for every decoder so tests can round-trip real
 encoded bytes. Formats that genuinely require external codecs
@@ -522,6 +526,121 @@ def encode_jpeg(
                     bw.write(code, ln)
     out += bw.flush()
     out += b"\xff\xd9"                               # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, band_split: int = 5
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder — spectral selection only (Ah=Al=0):
+    one interleaved DC scan, then two AC band scans per component
+    (1..band_split, band_split+1..63). End-of-band uses only EOB0, so the
+    standard Annex K Huffman tables suffice (EOBn for multi-block runs
+    would need custom tables). 4:4:4 like the baseline encoder; the
+    quantized coefficients are IDENTICAL to ``encode_jpeg`` at the same
+    quality, so both decode to the same pixels."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("expected (H,W) or (H,W,3) uint8")
+    h, w = img.shape[:2]
+    n_comp = len(planes)
+    qts = [_scale_qt(_QT_LUMA, quality)[_ZIGZAG]]
+    if n_comp == 3:
+        qts.append(_scale_qt(_QT_CHROMA, quality)[_ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")                                 # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)                       # APP0
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in qt
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
+                                     n_comp)                     # SOF2
+    for c in range(n_comp):
+        out += struct.pack("BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    specs = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if n_comp == 3:
+        specs += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc_id, (bits, values) in specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_id)
+        out += bytes(bits) + bytes(values)
+
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA)]
+    if n_comp == 3:
+        dc_tabs.append(_huff_codes(*_HT_DC_CHROMA))
+        ac_tabs.append(_huff_codes(*_HT_AC_CHROMA))
+
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    coefs = []
+    for c, plane in enumerate(planes):
+        padded = np.empty((ph, pw))
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[-1:, :]
+        padded[:, w:] = padded[:, w - 1 : w]
+        coefs.append(_fdct_quant(padded - 128.0, qts[min(c, len(qts) - 1)]))
+
+    # --- scan 1: interleaved DC (Ss=0, Se=0, Ah=Al=0) ---------------------
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
+    for c in range(n_comp):
+        out += struct.pack("BB", c + 1, (0x00 if c == 0 else 0x01) << 4)
+    out += bytes([0, 0, 0])
+    bw = _BitWriter()
+    prev_dc = [0] * n_comp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for c in range(n_comp):
+                s, bits_v = _magnitude(int(coefs[c][by, bx][0]) - prev_dc[c])
+                prev_dc[c] = int(coefs[c][by, bx][0])
+                code, ln = dc_tabs[min(c, 1)][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits_v, s)
+    out += bw.flush()
+
+    # --- AC band scans per component (single-component, non-interleaved) --
+    for c in range(n_comp):
+        t = min(c, 1)
+        for ss, se in ((1, band_split), (band_split + 1, 63)):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += struct.pack("BB", c + 1, 0x00 if c == 0 else 0x11)
+            out += bytes([ss, se, 0])
+            bw = _BitWriter()
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    band = coefs[c][by, bx][ss : se + 1]
+                    nzi = np.flatnonzero(band)
+                    last = nzi[-1] if len(nzi) else -1
+                    run = 0
+                    for k in range(last + 1):
+                        v = int(band[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_tabs[t][0xF0]      # ZRL
+                            bw.write(code, ln)
+                            run -= 16
+                        s, bits_v = _magnitude(v)
+                        code, ln = ac_tabs[t][(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(bits_v, s)
+                        run = 0
+                    if last < len(band) - 1:
+                        code, ln = ac_tabs[t][0x00]          # EOB0
+                        bw.write(code, ln)
+            out += bw.flush()
+    out += b"\xff\xd9"                                       # EOI
     return bytes(out)
 
 

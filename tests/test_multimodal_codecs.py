@@ -438,3 +438,60 @@ def test_audio_video_metadata_operators(spark):
     assert vm["v0"]["duration_sec"] == pytest.approx(5.0)
     assert vm["v00000000"]["container"] == "rfv1"
     assert vm["v00000000"]["n_frames"] == 5
+
+
+def test_jpeg_progressive_encoder_roundtrip():
+    """Own progressive (SOF2) encoder, spectral selection only: identical
+    quantized coefficients to the baseline encoder at the same quality →
+    both streams must decode to the SAME pixels. Covers multi-scan DC +
+    AC band scans, EOB0 and ZRL paths in the progressive decoder without
+    external fixtures."""
+    base = _smooth_image(41, 53)
+    rgb = np.stack([base, np.roll(base, 5, 1), 255 - base], axis=2)
+    noise = np.random.default_rng(7).integers(0, 256, (24, 24),
+                                              dtype=np.uint8)
+    for img, q in ((base, 90), (rgb, 92), (noise, 40)):
+        enc = codecs.encode_jpeg_progressive(img, quality=q)
+        assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+        nc = 1 if img.ndim == 2 else 3
+        assert enc.count(b"\xff\xda") == 1 + 2 * nc  # DC + 2 AC bands/comp
+        dec = codecs.decode_jpeg(enc)
+        ref = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+        assert np.array_equal(dec, ref), (img.shape, q)
+
+
+def test_jpeg_progressive_encoder_jdk_interop(tmp_path):
+    """The JDK's javax.imageio must decode OUR progressive stream (the
+    encode-direction interop; decode-direction is covered by the checked-in
+    JDK fixtures). Skips when no JVM is available."""
+    import shutil as _sh
+    import subprocess
+
+    if not (_sh.which("java") and _sh.which("javac")):
+        pytest.skip("no JVM on PATH")
+    base = _smooth_image(41, 53)
+    rgb = np.stack([base, np.roll(base, 5, 1), 255 - base], axis=2)
+    (tmp_path / "p.jpg").write_bytes(
+        codecs.encode_jpeg_progressive(rgb, quality=92)
+    )
+    src = (
+        "import javax.imageio.ImageIO;import java.awt.image.BufferedImage;"
+        "import java.io.*;public class Dec{public static void main(String[] a)"
+        " throws Exception{BufferedImage i=ImageIO.read(new File(a[0]));"
+        "PrintWriter p=new PrintWriter(a[1]);p.println(i.getWidth());"
+        "p.println(i.getHeight());for(int y=0;y<i.getHeight();y++)"
+        "for(int x=0;x<i.getWidth();x++){int v=i.getRGB(x,y);"
+        "p.println(((v>>16)&255)+\" \"+((v>>8)&255)+\" \"+(v&255));}"
+        "p.close();}}"
+    )
+    (tmp_path / "Dec.java").write_text(src)
+    subprocess.run(["javac", "Dec.java"], cwd=tmp_path, check=True,
+                   capture_output=True, timeout=120)
+    subprocess.run(["java", "Dec", "p.jpg", "out.txt"], cwd=tmp_path,
+                   check=True, capture_output=True, timeout=120)
+    t = (tmp_path / "out.txt").read_text().split()
+    w, h = int(t[0]), int(t[1])
+    jdk = np.array(t[2:], dtype=int).reshape(h, w, 3)
+    assert (h, w) == rgb.shape[:2]
+    err = np.abs(jdk.astype(int) - rgb.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 25, (err.mean(), err.max())
