@@ -155,3 +155,47 @@ def test_quantile_sketches_match_native_percentile_approx(spark, seq_df, seq_pdf
                           ("native", nat)):
             # all three estimators must sit within 2% rank error of exact
             assert abs(rank_of(got) - q) < 0.02, (impl, q, got, rank_of(got))
+
+
+def test_cms_matches_native_count_min_sketch(spark, seq_df, seq_pdf):
+    """Independent cross-check for the frequency family: our CMS point
+    estimates vs Spark's built-in count_min_sketch aggregate (the JVM
+    org.apache.spark.util.sketch implementation, deserialized through the
+    gateway) and the exact counts — both must respect the one-sided CMS
+    guarantee (est >= true) within their configured epsilon*N envelope on
+    the same tokens."""
+    import io
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.sketch.cms import CountMinSketch
+
+    eps, delta = 1e-3, 1e-2
+    ours = sketch_agg_global(
+        seq_df, "tokens", lambda: CountMinSketch.empty(eps, delta)
+    )
+    blob = bytes(
+        seq_df.select(F.explode("tokens").alias("t"))
+        .agg(F.count_min_sketch(
+            # Spark's 3rd arg is CONFIDENCE (1-delta), not delta
+            F.col("t"), F.lit(eps), F.lit(1.0 - delta), F.lit(42)).alias("s"))
+        .head()["s"]
+    )
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(blob)
+    native = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+
+    flat = np.concatenate(seq_pdf["tokens"].to_list())
+    n = len(flat)
+    items, true = np.unique(flat, return_counts=True)
+    # the 40 most frequent tokens: both sketches' point estimates obey
+    # est >= true and est - true <= eps*N (w/ slack for delta failures)
+    top = np.argsort(-true)[:40]
+    for i in top:
+        item, t = int(items[i]), int(true[i])
+        o = ours.estimate(item)
+        nv = native.estimateCount(int(item))
+        assert o >= t and nv >= t, (item, o, nv, t)
+        assert o - t <= 2 * eps * n, (item, o, t)
+        assert nv - t <= 2 * eps * n, (item, nv, t)

@@ -199,9 +199,12 @@ def test_composite_sketch_equals_separate_passes():
             m.merge(s)
         return m
 
+    from bloomine_spark.sketch.minhash import MinHashSketch
+
     comp = fold(
         lambda: CompositeSketch(
-            [CountMinSketch.empty(1e-3, 1e-2), MisraGries(64)]
+            [CountMinSketch.empty(1e-3, 1e-2), MisraGries(64),
+             MinHashSketch.empty(64)]
         ),
         [part_a, part_b],
     )
@@ -209,10 +212,12 @@ def test_composite_sketch_equals_separate_passes():
     comp = CompositeSketch.from_bytes(comp.to_bytes())
     cms_alone = fold(lambda: CountMinSketch.empty(1e-3, 1e-2), [part_a, part_b])
     mg_alone = fold(lambda: MisraGries(64), [part_a, part_b])
-    cms_c, mg_c = comp.sketches
+    mh_alone = fold(lambda: MinHashSketch.empty(64), [part_a, part_b])
+    cms_c, mg_c, mh_c = comp.sketches
     probe = np.unique(np.concatenate([part_a[:500], part_b[:500]]))
     assert (cms_c.estimate_values(probe) == cms_alone.estimate_values(probe)).all()
     assert mg_c.top_k(20) == mg_alone.top_k(20)
+    np.testing.assert_array_equal(mh_c.sig, mh_alone.sig)
 
 
 def test_composite_sketch_arity_mismatch_raises():
