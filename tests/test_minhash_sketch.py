@@ -104,3 +104,37 @@ def test_entry_minhash_vs_exact_companion(spark):
     for pair, want in exact.items():
         tol = 4 * np.sqrt(max(want * (1 - want), 0.01) / K)
         assert abs(est[pair] - want) < tol, (pair, est[pair], want)
+
+
+def test_minhash_vs_theta_jaccard_cross_estimator():
+    """Two INDEPENDENT similarity estimators on the same sets: MinHash's
+    matching-slot fraction vs J = |A∩B|/|A∪B| computed from theta-sketch
+    set algebra. Both must sit near the true Jaccard within their combined
+    error bounds — a cross-check neither can pass by construction."""
+    from bloomine_spark.sketch.theta import (
+        ThetaSketch,
+        theta_intersect,
+        theta_union,
+    )
+
+    a_vals = np.arange(0, 60_000)
+    b_vals = np.arange(30_000, 90_000)       # J = 30k/90k = 1/3
+    true_j = 1 / 3
+
+    mh_a, mh_b = MinHashSketch.empty(256), MinHashSketch.empty(256)
+    mh_a.update_values(a_vals)
+    mh_b.update_values(b_vals)
+    j_mh = mh_a.jaccard(mh_b)
+
+    th_a, th_b = ThetaSketch.empty(4096), ThetaSketch.empty(4096)
+    th_a.update_values(a_vals)
+    th_b.update_values(b_vals)
+    j_th = theta_intersect(th_a, th_b).estimate() / theta_union(
+        th_a, th_b
+    ).estimate()
+
+    tol_mh = 4 * np.sqrt(true_j * (1 - true_j) / 256)
+    tol_th = 8 / np.sqrt(4096)  # intersection+union errors compound
+    assert abs(j_mh - true_j) < tol_mh, j_mh
+    assert abs(j_th - true_j) < tol_th, j_th
+    assert abs(j_mh - j_th) < tol_mh + tol_th
