@@ -976,7 +976,7 @@ def _q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-10 (scale path; recall gated in pytest and
     reported per round by bench.py). nprobe=4 of nlist=8 prunes half the
     cells; assign=3 multi-assignment (each vector indexed in its top-3
-    cells) lifts recall@10 from 0.76 to 0.96 on this fixture WITHOUT
+    cells) lifts recall@10 from 0.76 to 1.0 on this fixture WITHOUT
     widening the probe — boundary neighbors are the only IVF loss, so
     indexing them redundantly is the dial that doesn't cost query I/O
     (index grows ×assign instead; see similarity.ivf_topk)."""

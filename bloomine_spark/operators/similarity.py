@@ -99,24 +99,48 @@ def train_ivf_centroids(
 
     ``limit(n)`` would take whatever rows the first partitions produce —
     at 100 TB that is one file's worth of possibly sorted/skewed data, and
-    centroids trained on it misroute everything else. ``df.sample`` draws
-    from every partition; the fraction derives from the table's row count
-    (metadata-only for parquet — ONE pass over data total: the count is
-    metadata, the sampled scan is the only full read), so the driver-side
-    budget (``sample`` rows, configurable) holds at any scale. The ~20%
-    oversample is trimmed DRIVER-side with the seeded rng — a cluster-side
-    ``limit`` would take the first partitions' rows and re-introduce
-    exactly the prefix bias the sample exists to avoid.
+    centroids trained on it misroute everything else. The content-hash
+    filter below draws from every partition; the fraction derives from
+    the table's row count (metadata-only for parquet — ONE pass over data
+    total: the count is metadata, the sampled scan is the only full
+    read), so the driver-side budget (``sample`` rows, configurable)
+    holds at any scale. The ~20% oversample is trimmed DRIVER-side with
+    the seeded rng — a cluster-side ``limit`` would take the first
+    partitions' rows and re-introduce exactly the prefix bias the sample
+    exists to avoid.
 
     Pass ``fraction`` to skip the metadata ``count()`` entirely when the
     caller already knows the table size (one job instead of two).
+
+    The sample is PARTITIONING-INVARIANT: membership comes from a content
+    hash of the vector (xxhash64 threshold), not Bernoulli-per-partition
+    draws, and the collected matrix is content-ordered before the seeded
+    k-means — so the same corpus trains the SAME centroids no matter how
+    its files were split into partitions. (Seeded ``df.sample`` is only
+    deterministic per partition INDEX; parquet split packing breaks size
+    ties by file NAME, which carries a per-write UUID, so two reads of
+    identical data can assign different partition ids and silently train
+    different centroids — reproducible index builds need content-based
+    sampling.)
     """
     if fraction is None:
         n = emb.count()
         fraction = min(1.0, (sample * 1.2) / max(n, 1))
     frac = min(1.0, fraction)
-    pdf = emb.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+    mod = 1 << 30
+    pdf = (
+        emb.select(vec_col)
+        .filter(
+            F.pmod(F.xxhash64(F.col(vec_col)) + F.lit(int(seed)), F.lit(mod))
+            < F.lit(int(frac * mod))
+        )
+        .toPandas()
+    )
     x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+    if len(x) == 0:  # degenerate tiny table: fall back to everything
+        pdf = emb.select(vec_col).toPandas()
+        x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+    x = x[np.lexsort(x.T)]  # content order: collect-order invariant
     rng = np.random.default_rng(seed)
     if len(x) > sample:
         x = x[rng.choice(len(x), size=sample, replace=False)]
@@ -152,10 +176,12 @@ def ivf_topk(
     vector belongs to its top-``assign`` cells (multi-assignment), so a
     true neighbor near a cell boundary is missed only if ALL of its cells
     go unprobed. Cosines inside probed cells are already exact, so
-    boundary loss is the ONLY loss — on the driver fixture assign=2
-    lifts recall@10 from 0.76 to ≥0.9 at the same nprobe/nlist=4/8
-    (half the cells still pruned). Index-side cost is a ×assign larger
-    index (``write_ivf_index``), the classic redundancy trade."""
+    boundary loss is the ONLY loss — on the driver fixture assign=3
+    lifts recall@10 from 0.76 to 1.0 at the same nprobe/nlist=4/8 (half
+    the cells still pruned); BENCH/ANN_SCALE.md holds ≥0.91 at 600k
+    vectors under 81% pruning with assign=2. Index-side cost is a
+    ×assign larger index (``write_ivf_index``), the classic redundancy
+    trade."""
     if centroids is None:
         centroids = train_ivf_centroids(emb, nlist=nlist, vec_col=vec_col)
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
