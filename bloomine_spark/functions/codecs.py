@@ -644,6 +644,197 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def encode_jpeg_progressive_sa(img: np.ndarray, quality: int = 85) -> bytes:
+    """Progressive (SOF2) encoder WITH successive approximation — the
+    scan script real encoders emit and the hardest decoder path to test:
+
+        1. DC first          (Ss=0, Se=0,  Ah=0, Al=1)
+        2. AC first, per comp (Ss=1, Se=63, Ah=0, Al=1)
+        3. DC refinement     (Ss=0, Se=0,  Ah=1, Al=0)
+        4. AC refinement, per comp (Ss=1, Se=63, Ah=1, Al=0)
+
+    AC refinement per spec G.1.2.2 (the libjpeg encode_mcu_AC_refine
+    shape): newly-significant coefficients emit (run,1)+sign, previously-
+    significant coefficients crossed by the advance contribute buffered
+    correction bits flushed after each symbol; end-of-band uses EOB0 only
+    (standard Annex K tables carry no EOBn>0 symbols) and is omitted when
+    the block is already fully coded. Quantized coefficients are identical
+    to ``encode_jpeg`` at the same quality → identical decoded pixels."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("expected (H,W) or (H,W,3) uint8")
+    h, w = img.shape[:2]
+    n_comp = len(planes)
+    qts = [_scale_qt(_QT_LUMA, quality)[_ZIGZAG]]
+    if n_comp == 3:
+        qts.append(_scale_qt(_QT_CHROMA, quality)[_ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in qt
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
+                                     n_comp)
+    for c in range(n_comp):
+        out += struct.pack("BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    specs = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if n_comp == 3:
+        specs += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc_id, (bits, values) in specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_id)
+        out += bytes(bits) + bytes(values)
+
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA)]
+    if n_comp == 3:
+        dc_tabs.append(_huff_codes(*_HT_DC_CHROMA))
+        ac_tabs.append(_huff_codes(*_HT_AC_CHROMA))
+
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    coefs = []
+    for c, plane in enumerate(planes):
+        padded = np.empty((ph, pw))
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[-1:, :]
+        padded[:, w:] = padded[:, w - 1 : w]
+        coefs.append(_fdct_quant(padded - 128.0, qts[min(c, len(qts) - 1)]))
+    nby, nbx = ph // 8, pw // 8
+
+    def sos_header(comps_in_scan, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps_in_scan),
+                                        len(comps_in_scan))
+        for c in comps_in_scan:
+            tabs = ((0x00 if c == 0 else 0x01) << 4) if ss == 0 \
+                else (0x00 if c == 0 else 0x11)
+            hdr += struct.pack("BB", c + 1, tabs)
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    # --- scan 1: DC first, interleaved, Al=1 (diffs of DC >> 1) ----------
+    out += sos_header(list(range(n_comp)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    prev = [0] * n_comp
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(n_comp):
+                v = int(coefs[c][by, bx][0]) >> 1  # arithmetic shift per spec
+                s, bits_v = _magnitude(v - prev[c])
+                prev[c] = v
+                code, ln = dc_tabs[min(c, 1)][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits_v, s)
+    out += bw.flush()
+
+    # --- scans 2..: AC first per component, Al=1 --------------------------
+    for c in range(n_comp):
+        t = min(c, 1)
+        out += sos_header([c], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[c][by, bx]
+                # point-transformed magnitudes (sign preserved)
+                band = [
+                    (abs(int(zz[k])) >> 1) * (1 if zz[k] >= 0 else -1)
+                    for k in range(1, 64)
+                ]
+                nzi = [i for i, v in enumerate(band) if v]
+                last = nzi[-1] if nzi else -1
+                run = 0
+                for k in range(last + 1):
+                    v = band[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[t][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits_v = _magnitude(v)
+                    code, ln = ac_tabs[t][(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits_v, s)
+                    run = 0
+                if last < 62:
+                    code, ln = ac_tabs[t][0x00]
+                    bw.write(code, ln)
+        out += bw.flush()
+
+    # --- scan: DC refinement (one bit per block, bit 0) -------------------
+    out += sos_header(list(range(n_comp)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(n_comp):
+                bw.write(int(coefs[c][by, bx][0]) & 1, 1)
+    out += bw.flush()
+
+    # --- scans: AC refinement per component (Ah=1, Al=0) ------------------
+    for c in range(n_comp):
+        t = min(c, 1)
+        out += sos_header([c], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[c][by, bx]
+                new_pos = [k for k in range(1, 64) if abs(int(zz[k])) == 1]
+                last_new = new_pos[-1] if new_pos else 0
+                pending: list[int] = []
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    av = abs(v)
+                    if av == 0:
+                        run += 1
+                        continue
+                    # ZRLs must be emitted at EVERY nonzero position BEFORE
+                    # buffering its correction bit (spec figure G.7 /
+                    # libjpeg's note): otherwise a correction bit for a
+                    # position beyond the ZRL's 16-zero window lands on the
+                    # wire before the decoder's advance can reach it —
+                    # bitstream desync. ZRLs that would land after the last
+                    # newly-significant coefficient fold into the EOB.
+                    while run > 15 and k <= last_new:
+                        code, ln = ac_tabs[t][0xF0]
+                        bw.write(code, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run -= 16
+                    if av > 1:  # previously significant: buffered bit
+                        pending.append(av & 1)
+                        continue
+                    # newly significant at this level
+                    code, ln = ac_tabs[t][(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:
+                    code, ln = ac_tabs[t][0x00]  # EOB0 covers the rest
+                    bw.write(code, ln)
+                    for bit in pending:
+                        bw.write(bit, 1)
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
     unstuffing; stops at any non-RST marker."""

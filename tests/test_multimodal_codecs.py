@@ -495,3 +495,36 @@ def test_jpeg_progressive_encoder_jdk_interop(tmp_path):
     assert (h, w) == rgb.shape[:2]
     err = np.abs(jdk.astype(int) - rgb.astype(int))
     assert err.mean() < 3.0 and err.max() <= 25, (err.mean(), err.max())
+
+
+def test_jpeg_progressive_sa_encoder_roundtrip_fuzz():
+    """Successive-approximation progressive encoder: full scan script
+    (DC first/refine + per-component AC first/refine at Al=1→0). Same
+    quantized coefficients as the baseline encoder → pixel-identical
+    decode, fuzzed over seeded random images. Seed 16 is the pinned
+    regression: a block with a >16-zero run INTERLEAVED with previously-
+    significant coefficients — correction bits must not be flushed past
+    the ZRL's 16-zero window (spec G.7; the bug desynced the bitstream
+    and poisoned every later block)."""
+    for seed in (16, 0, 3, 7, 11, 42):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(
+            0, 256, (int(rng.integers(8, 40)), int(rng.integers(8, 40))),
+            dtype=np.uint8,
+        )
+        q = int(rng.integers(25, 96))
+        enc = codecs.encode_jpeg_progressive_sa(img, quality=q)
+        assert b"\xff\xc2" in enc
+        assert enc.count(b"\xff\xda") == 4  # DC, AC, DC-refine, AC-refine
+        dec = codecs.decode_jpeg(enc)
+        ref = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+        assert np.array_equal(dec, ref), (seed, q)
+    # RGB: 3 comps -> 1 DC + 3 AC + 1 DC-refine + 3 AC-refine scans
+    base = _smooth_image(41, 53)
+    rgb = np.stack([base, np.roll(base, 5, 1), 255 - base], axis=2)
+    enc = codecs.encode_jpeg_progressive_sa(rgb, quality=92)
+    assert enc.count(b"\xff\xda") == 8
+    assert np.array_equal(
+        codecs.decode_jpeg(enc),
+        codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=92)),
+    )
