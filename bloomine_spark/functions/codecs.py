@@ -17,9 +17,10 @@ formats are fully decodable with the stdlib + numpy:
   (marker parse → Huffman entropy decode incl. spectral-selection /
   successive-approximation scans and EOB runs → dequant → IDCT →
   upsample → color convert, restart markers, any 1/2-factor chroma
-  subsampling), a 4:4:4 baseline encoder with optional DRI/RST, and a
-  spectral-selection progressive encoder — both validated in BOTH
-  directions against javax.imageio.
+  subsampling), a 4:4:4 baseline encoder with optional DRI/RST, and
+  progressive encoders (spectral-selection and full successive-
+  approximation scan scripts) — validated in BOTH directions against
+  javax.imageio and fuzz-gated pixel-identical to the baseline path.
 - MP3 / MP4: container METADATA parsers (frame-header walk / ISO-BMFF
   box walk) — duration/rate/dims/frame counts without sample decode.
 

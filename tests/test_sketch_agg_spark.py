@@ -199,3 +199,42 @@ def test_cms_matches_native_count_min_sketch(spark, seq_df, seq_pdf):
         assert o >= t and nv >= t, (item, o, nv, t)
         assert o - t <= 2 * eps * n, (item, o, t)
         assert nv - t <= 2 * eps * n, (item, nv, t)
+
+
+def test_bloom_matches_native_bloom_filter(spark, seq_df, seq_pdf):
+    """Independent cross-check for the Bloom family: our Bloom filter vs
+    Spark's built-in DataFrameStatFunctions.bloomFilter (JVM
+    org.apache.spark.util.sketch.BloomFilter) on the same tokens — both
+    must have NO false negatives and an observed FPP within the
+    configured envelope on a disjoint probe set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.functions.hashing import hash_u64
+    from bloomine_spark.sketch.bloom import BloomFilter
+
+    flat = np.unique(np.concatenate(seq_pdf["tokens"].to_list()))
+    n_distinct = len(flat)
+    fpp = 0.01
+
+    ours = BloomFilter.sized(n_distinct, fpp)
+    ours.update_hashes(hash_u64(flat))
+    tok = seq_df.select(F.explode("tokens").alias("t"))
+    # PySpark 4 exposes no Python wrapper — call the JVM Dataset's
+    # stat().bloomFilter directly (same engine path)
+    native = tok._jdf.stat().bloomFilter("t", n_distinct, fpp)
+
+    # no false negatives, either implementation
+    assert all(bool(b) for b in ours.contains_hashes(hash_u64(flat)))
+    for v in flat[:200]:
+        assert native.mightContain(int(v))
+
+    # false-positive rate on values NEVER inserted
+    probes = np.arange(10_000_000, 10_050_000, dtype=np.int64)
+    probes = probes[~np.isin(probes, flat)]
+    ours_fp = float(np.mean(ours.contains_hashes(hash_u64(probes))))
+    native_fp = sum(
+        native.mightContain(int(v)) for v in probes[:5000]
+    ) / 5000
+    assert ours_fp <= 3 * fpp, ours_fp
+    assert native_fp <= 3 * fpp, native_fp
