@@ -234,7 +234,7 @@ def main():
             + ("PASS" if recall_ok else "FAIL") + "** ("
             + ", ".join(str(p["ivf_recall_at_10"]) for p in points)
             + f") under {NLIST // NPROBE}x cell pruning — multi-assignment "
-            "(assign=3)",
+            f"(assign={ASSIGN})",
             "  keeps boundary neighbors reachable without widening the "
             "probe.",
             f"- **Partition pruning at the largest scale: "
@@ -248,7 +248,7 @@ def main():
             + ("PASS" if frac_ok else "FAIL")
             + f"** — {big['rows_scanned_frac']:.1%} of index rows read vs "
             f"the {NPROBE}/{NLIST} = {NPROBE / NLIST:.1%} design point "
-            "(gate ≤ 1.5×).",
+            "(gate ≤ 1.2×).",
             f"- **Byte fraction read by the indexed lookup: "
             + ("PASS" if io_ok else "FAIL")
             + f"** — {big['bytes_scanned_frac']:.1%} of the index's "

@@ -120,20 +120,47 @@ def main():
 
     times: dict[str, float] = {}
     spreads: dict[str, list] = {}
+    all_samples: dict[str, list] = {}
+    dispersion: dict[str, float] = {}
+    degraded: list[str] = []
+
+    # Self-qualifying run protocol (round-5 verdict #1): the r5 driver record
+    # showed 4x intra-query spread ([0.84, 3.57]s across 3 repeats of one
+    # query) in a noisy window and recorded a phantom 24% suite regression.
+    # A run now has to EARN its number: if the tightest 3-sample window
+    # still spans more than DISPERSION_GATE, keep sampling (up to
+    # MAX_REPEATS); if it never settles, the record is flagged "degraded"
+    # with the offending spreads so a noisy run can't masquerade as a
+    # plan regression.
+    DISPERSION_GATE = 1.5
+    MAX_REPEATS = 7
+
+    def _tightest3(xs):
+        """Smallest max/min ratio over any 3 consecutive sorted samples."""
+        s = sorted(xs)
+        i = min(range(len(s) - 2), key=lambda i: s[i + 2] / max(s[i], 1e-9))
+        return s[i:i + 3]
 
     def bench(name, fn, repeat=3):
-        """Per-query MEDIAN of `repeat` runs: single-shot numbers on this VM
-        are ±2-4x (BENCH/VARIANCE.md), so the per-round bench self-denoises
-        instead of leaning on one lucky/unlucky shot. min/max are kept in
-        the output so the spread stays visible."""
+        """Per-query median of the tightest 3-sample window; overdispersed
+        queries self-extend to MAX_REPEATS samples before being flagged."""
         samples = []
         for _ in range(repeat):
             t0 = time.time()
             fn()
             samples.append(time.time() - t0)
-        samples.sort()
-        times[name] = round(samples[len(samples) // 2], 3)
-        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        win = _tightest3(samples)
+        while win[2] / win[0] > DISPERSION_GATE and len(samples) < MAX_REPEATS:
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+            win = _tightest3(samples)
+        times[name] = round(win[1], 3)
+        spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
+        all_samples[name] = [round(x, 3) for x in samples]
+        dispersion[name] = round(win[2] / max(win[0], 1e-9), 3)
+        if dispersion[name] > DISPERSION_GATE:
+            degraded.append(name)
         return times[name]
 
     # --- sketch-update+merge throughput (the BASELINE metric) -------------
@@ -288,11 +315,21 @@ def main():
         "cpus": int(CPUS),
         "sequences_rows": seqs.count(),
         "sequences_tokens": int(total_tokens),
-        "tokens_per_sec": int(total_tokens / t_hll),
+        # min-sample estimator: on a contended box the MINIMUM repeat is the
+        # least noise-contaminated measure of the kernel's real cost (noise
+        # only ever adds time); the r5 record derived tokens/s from one
+        # noisy median and booked a phantom 30% throughput drop
+        "tokens_per_sec": int(total_tokens / min(all_samples["hll_global_tokens"])),
+        "tokens_per_sec_median": int(total_tokens / t_hll),
         "recall": recall,
         "query_spread_min_max": spreads,
-        "repeats_per_query": 3,
-        "estimator": "median",
+        "query_samples": all_samples,
+        "query_dispersion": dispersion,
+        "dispersion_gate": DISPERSION_GATE,
+        "degraded": bool(degraded),
+        "degraded_queries": {n: spreads[n] for n in degraded},
+        "repeats_per_query": f"3-{MAX_REPEATS} (self-extending)",
+        "estimator": "median of tightest 3-sample window",
     }
     # attach the latest N-vs-4N scaling evidence (BENCH/scaling.py)
     scaling_path = os.path.join(
@@ -321,6 +358,8 @@ def main():
         "cpus": int(CPUS),
         "tokens_per_sec": out["tokens_per_sec"],
         "recall": recall,
+        "degraded": out["degraded"],
+        "degraded_queries": out["degraded_queries"],
         "full_record": "BENCH/last_run.json",
     }
     spark.stop()

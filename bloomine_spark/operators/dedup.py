@@ -296,11 +296,13 @@ def optimal_minhash_bands(
     """
     xs = np.linspace(0.0, 1.0, 1001)
     lo, hi = xs < threshold, xs >= threshold
+    # np.trapz was deprecated in NumPy 2.0 in favor of np.trapezoid
+    trapezoid = getattr(np, "trapezoid", np.trapz)
     best = None
     for r in range(1, num_perm + 1):
         b = num_perm // r
         p = 1.0 - (1.0 - xs**r) ** b
-        err = fp_weight * np.trapz(p[lo], xs[lo]) + fn_weight * np.trapz(
+        err = fp_weight * trapezoid(p[lo], xs[lo]) + fn_weight * trapezoid(
             1.0 - p[hi], xs[hi]
         )
         if best is None or err < best[0]:

@@ -123,6 +123,7 @@ def train_ivf_centroids(
     different centroids — reproducible index builds need content-based
     sampling.)
     """
+    n = None
     if fraction is None:
         n = emb.count()
         fraction = min(1.0, (sample * 1.2) / max(n, 1))
@@ -137,7 +138,18 @@ def train_ivf_centroids(
         .toPandas()
     )
     x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-    if len(x) == 0:  # degenerate tiny table: fall back to everything
+    if len(x) == 0:
+        # degenerate: the hash threshold caught nothing. Only fall back to
+        # a full collect when the table is provably SMALL — a caller who
+        # passed a too-low explicit `fraction` on a big table should get an
+        # error, not a driver OOM from collecting the whole table.
+        n_rows = n if n is not None else emb.count()
+        if n_rows > max(sample * 50, 100_000):
+            raise ValueError(
+                f"content-hash sample at fraction={frac:g} selected 0 of "
+                f"{n_rows} rows; raise `fraction` (the full-table fallback "
+                "is reserved for small tables)"
+            )
         pdf = emb.select(vec_col).toPandas()
         x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
     x = x[np.lexsort(x.T)]  # content order: collect-order invariant
@@ -210,7 +222,12 @@ def ivf_topk(
                 cells[None, :, :, None] == qc[:, None, None, :]
             ).any(axis=(2, 3))
             sims = np.where(probe_mask, sims, -np.inf)
-            kk = min(k, sims.shape[1])
+            # A multi-assigned index can land several copies of one vector
+            # in a single coalesced scan batch; each id holds at most `asg`
+            # top-k slots, so a k·asg cut guarantees the k best DISTINCT
+            # ids survive the per-batch truncation (the global
+            # dropDuplicates+window then collapses the copies).
+            kk = min(k * max(asg, 1), sims.shape[1])
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = np.repeat(qi, kk)
             cols = part.ravel()
@@ -311,9 +328,17 @@ def write_ivf_index(
         with open(jvm_path, "w") as fh:
             json.dump(meta, fh)
     except OSError:
-        sc.parallelize([json.dumps(meta)], 1).saveAsTextFile(
-            _centroids_sibling(path)
-        )
+        # mirror the parquet write's mode("overwrite"): a rebuild at the
+        # same remote path must replace the sibling metadata dir, and
+        # saveAsTextFile hard-fails on an existing target — delete it
+        # first through the Hadoop FS API
+        sibling = _centroids_sibling(path)
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(sibling)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        sc.parallelize([json.dumps(meta)], 1).saveAsTextFile(sibling)
     return centroids
 
 
