@@ -850,6 +850,29 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=100)
 
 
+def _q_dedup_group_assign(spark, sf_dir):
+    """Near-dup pair graph → connected components → canonical survivor.
+
+    The full corpus-dedup pipeline: exact 3-gram Jaccard pairs (identical
+    config to `ngram_jaccard_pairs`) resolved into groups by the
+    alternating large-star/small-star algorithm, min-id survivor kept.
+    One row per document: (doc_id, group_id, group_size, keep). The
+    DuckDB oracle recomputes the same pair graph and takes its transitive
+    closure with a recursive CTE — group_id = component minimum on both
+    sides, so the comparison is hash-exact."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import dedup_groups, ngram_jaccard_pairs
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=100)
+    return (
+        dedup_groups(docs, pairs)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .withColumn("group_id", F.col("group_id").cast("string"))
+    )
+
+
 def _q_contamination_screen(spark, sf_dir):
     """Train/test decontamination: train docs (source != 'src0') sharing
     any word 3-gram with the eval corpus (source == 'src0'), with the
@@ -1085,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_counts": _q_salted_source_counts,
         "exact_dup_docs": _q_exact_dup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "dedup_group_assign": _q_dedup_group_assign,
         "contamination_screen": _q_contamination_screen,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_dups": _q_simhash_dups,
@@ -1350,6 +1374,48 @@ def oracle_sql() -> dict[str, str]:
                ROUND(inter * 1.0 / (x.sz + y.sz - inter), 6) AS jaccard
         FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
         WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    """
+
+    sql["dedup_group_assign"] = """
+        WITH RECURSIVE d AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), s AS (
+          SELECT DISTINCT id, array_to_string(toks[i + 1 : i + 3], ' ') AS g
+          FROM d, unnest(range(0, len(toks) - 2)) AS u(i)
+        ), capped AS (
+          SELECT id, g FROM (
+            SELECT id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM s
+          ) WHERE df <= 100
+        ), sz AS (
+          SELECT id, COUNT(*) AS sz FROM capped GROUP BY id
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+          FROM capped a JOIN capped b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+          WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), comp AS (
+          SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+        ), csize AS (
+          SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(COALESCE(c.comp, doc_id) AS VARCHAR) AS group_id,
+               CAST(COALESCE(cs.n, 1) AS BIGINT) AS group_size,
+               (c.comp IS NULL OR doc_id = c.comp) AS keep
+        FROM documents
+        LEFT JOIN comp c ON doc_id = c.id
+        LEFT JOIN csize cs ON c.comp = cs.comp
     """
 
     sql["contamination_screen"] = """

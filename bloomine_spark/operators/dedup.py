@@ -811,3 +811,162 @@ def decontaminate(
         F.col(id_col).cast("string") == F.col("_cid").cast("string"),
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------------
+# pair → cluster → canonical survivor (connected components)
+# ---------------------------------------------------------------------------
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step of the alternating connected-components algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014 — public algorithm, original implementation): every node links
+    each STRICTLY LARGER neighbor to the minimum of its neighborhood
+    (including itself). One narrow (node, min-label) aggregation plus an
+    equi-join per step — no adjacency lists are ever materialized, so a
+    hub node of any degree costs degree rows, not degree² bytes."""
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+        "src", F.least("_mn", "src").alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: orient every edge large→small, then link each node
+    and all of its smaller neighbors to the minimum of that set."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = oriented.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_link = mins.select("src", F.col("m").alias("dst"))
+    return (
+        relink.union(self_link)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph, pure DataFrame
+    ops — returns (id, component) with ``component`` = the MINIMUM node id
+    of the component, one row per non-isolated node.
+
+    Alternates large-star/small-star until the edge set reaches a
+    fixpoint; the alternating algorithm converges in O(log n) rounds even
+    on path graphs (pinned in tests), and each round's shuffle is the
+    narrow (node, label) edge list itself — never an adjacency list or a
+    frontier expansion — which is the shape that survives a 100 TB pair
+    graph. Fixpoint detection is a (count, hash-sum) checksum: two bytes-
+    identical edge sets in a row end the loop without a subtract join.
+    Each round is ``localCheckpoint``-ed to truncate the iterative plan's
+    lineage (on a real cluster point ``spark.sparkContext.setCheckpointDir``
+    at durable storage and swap to ``checkpoint``; the logical plan
+    otherwise doubles per round).
+    """
+    e = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    prev_sum: tuple | None = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # XOR-fold the edge hashes: order-insensitive like SUM but cannot
+        # overflow under ANSI mode (the edge set is distinct, so XOR's
+        # pair-cancellation property is moot)
+        chk = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)
+            ).alias("h"),
+        ).head()
+        cur = (chk["n"], chk["h"])
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint is a star forest: every non-root points at its component
+    # minimum; roots appear only on the dst side
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    return members.union(roots).distinct()
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into groups and pick one survivor per group —
+    the step every real corpus dedup executes after LSH/Jaccard pair
+    generation (pairs alone can't be acted on: A~B, B~C must drop two of
+    {A,B,C}, not one of each pair).
+
+    Returns one row per ``df`` row: (id, group_id, group_size, keep).
+    ``group_id`` is the component's minimum member id (singletons: own id),
+    ``keep`` marks the canonical survivor — the max-``quality_col`` member
+    (ties → min id) when given, else the min-id member; singletons always
+    keep. The ranking window runs ONLY over the duplicate subgraph
+    (components have ≥2 members by construction), so at corpus scale the
+    expensive part is proportional to the dup rate, not the corpus; the
+    final join back to ``df`` is a narrow left join on id.
+    """
+    cc = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    sel = [F.col(id_col).alias("_id")] + (
+        [F.col(quality_col).alias("_q")] if quality_col else []
+    )
+    members = cc.join(
+        df.select(*sel), cc["id"] == F.col("_id"), "inner"
+    ).drop("_id")
+    order = (
+        [F.desc("_q"), F.asc("id")] if quality_col else [F.asc("id")]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    ranked = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count("*").over(Window.partitionBy("component"))
+        )
+        .select(
+            F.col("id").alias("_gid"),
+            F.col("component").alias("_grp"),
+            "group_size",
+            (F.col("_rn") == 1).alias("_keep"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(ranked, F.col(id_col) == F.col("_gid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_grp"), F.col(id_col)).alias("group_id"),
+            F.coalesce(F.col("group_size"), F.lit(1)).cast("long").alias(
+                "group_size"
+            ),
+            F.coalesce(F.col("_keep"), F.lit(True)).alias("keep"),
+        )
+    )
