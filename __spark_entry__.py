@@ -404,18 +404,25 @@ def _q_ntok_quantiles_per_source_exact(spark, sf_dir):
 
 
 def _q_kll_ntok_quantiles(spark, sf_dir):
-    """North rule KLL: global n_tok quantile estimates (no oracle)."""
+    """North rule KLL: per-source n_tok quantile estimates (no oracle).
+
+    Row-aligned with `ntok_quantiles_per_source_exact` — same grouping,
+    same (source, p25, p50, p75) shape — so the sketch/exact comparison
+    is row-by-row, matching `tdigest_ntok_quantiles`'s per-source form
+    (r5 verdict #6; the old global 5-row shape had no aligned companion).
+    """
     _ship_pkg(spark)
-    from bloomine_spark.sketch.core import sketch_agg_global
+    from bloomine_spark.sketch.core import estimates_df, sketch_agg
     from bloomine_spark.sketch.kll import KLL
 
     seqs = _docs_tokens(spark, sf_dir)
-    sk = sketch_agg_global(seqs, "n_tok", lambda: KLL(k=200))
-    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
-    vals = sk.quantiles(qs)
-    return spark.createDataFrame(
-        [(q, float(v)) for q, v in zip(qs, vals)], ["q", "est_value"]
-    )
+    factory = lambda: KLL(k=200)  # noqa: E731
+    agg = sketch_agg(seqs, ["source"], "n_tok", factory)
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        agg = estimates_df(
+            agg, factory, lambda s, q=q: s.quantiles([q])[0], name
+        )
+    return agg.select("source", "p25", "p50", "p75")
 
 
 def _q_tdigest_ntok_quantiles(spark, sf_dir):

@@ -238,3 +238,21 @@ def test_bloom_matches_native_bloom_filter(spark, seq_df, seq_pdf):
     ) / 5000
     assert ours_fp <= 3 * fpp, ours_fp
     assert native_fp <= 3 * fpp, native_fp
+
+
+def test_kll_grouped_quantiles(spark, seq_df, seq_pdf):
+    """Per-source KLL p25/p50/p75 (the `kll_ntok_quantiles` driver shape,
+    row-aligned with its exact companion) within KLL rank-error bounds."""
+    factory = lambda: KLL(k=200)  # noqa: E731
+    got = sketch_agg(seq_df, ["source"], "n_tok", factory)
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        got = estimates_df(
+            got, factory, lambda s, q=q: s.quantiles([q])[0], name
+        )
+    for _, row in got.toPandas().iterrows():
+        sub = np.sort(
+            seq_pdf[seq_pdf["source"] == row["source"]]["n_tok"].to_numpy()
+        )
+        for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            exact_rank = np.searchsorted(sub, row[name]) / len(sub)
+            assert abs(exact_rank - q) < 0.08, (row["source"], name)
