@@ -181,8 +181,13 @@ def _q_cascade_combined_scores(spark, sf_dir):
     """The REAL J1 merge on token-domain score logs: cascade both MOI
     flanks, per-(doc,rc,flank) max, full-outer merge, null-safe pass flag
     (/root/reference/bloomine/BloomineRunner.py:205-274). SP scores are not
-    SQL-expressible → rows-only; semantics pytest-gated in
-    tests/test_cascade_moi.py."""
+    SQL-expressible in general, but with k=2 the gap threshold is 1 (every
+    gap splits fragments), so the X9 fragment DP collapses to a prefix-sum
+    + running-max recurrence the oracle expresses with window functions —
+    the full merge is oracle-HASH-checked (r5 verdict #3). Bloom FP is
+    1e-9 here so the score-log row set is Bloom-FP-free at any test scale
+    (a realized FP emits a score-0 row no SQL oracle can predict; 1e-4
+    realizes several on this corpus — r1 'oracle must share bloom' rule)."""
     _ship_pkg(spark)
     from bloomine_spark.operators.cascade import cascade, combined_flank_scores
     from bloomine_spark.operators.screen import prepare_target
@@ -190,7 +195,7 @@ def _q_cascade_combined_scores(spark, sf_dir):
     seqs = _docs_tokens(spark, sf_dir)
     head = _pattern_tokens(spark, MOI_HEAD)
     tail = _pattern_tokens(spark, MOI_TAIL)
-    p = ScreenParams(k=2)
+    p = ScreenParams(k=2, false_positive=1e-9)
     _hits, s1, s2 = cascade(seqs, head, tail, p)
     thr1 = prepare_target(head, p).mst
     thr2 = prepare_target(tail, p).mst
@@ -549,7 +554,10 @@ def _q_salted_source_counts(spark, sf_dir):
 def _q_polyfamily_assign_docs(spark, sf_dir):
     """Multi-probe polyfamily pipeline (J2 + W1) over tokenized documents:
     two flank-pair probes screened, per-probe totals, argmax binning.
-    Scored totals are not SQL-expressible → rows-only (pytest-gated in
+    Scored totals are oracle-HASH-checked: at k=2 the SP fragment DP is
+    window-SQL-expressible (see _q_cascade_combined_scores), and Bloom FP
+    1e-9 keeps the sp_pass set Bloom-FP-free; per-probe argmax binning is
+    plain window SQL (semantics also pytest-gated in
     tests/test_targets_polyfamily.py + one-pass equivalence in
     tests/test_multiscreen_mg.py)."""
     _ship_pkg(spark)
@@ -567,7 +575,7 @@ def _q_polyfamily_assign_docs(spark, sf_dir):
     }
     # one corpus scan for all probes x flanks (vs the reference's
     # scan-per-probe loop, /root/reference/bloomine/run.py:26-61)
-    return polyfamily_onepass(seqs, probes, ScreenParams(k=2))
+    return polyfamily_onepass(seqs, probes, ScreenParams(k=2, false_positive=1e-9))
 
 
 def _q_mg_token_topk(spark, sf_dir):
@@ -1085,6 +1093,28 @@ def _q_media_jpeg_features(spark, sf_dir):
     )
 
 
+def _q_media_png_features(spark, sf_dir):
+    """Heterogeneous PNG media batch (plain / 4-bit palette / Adam7
+    interlaced, interleaved per row — the shape of a real web corpus's
+    image column) decoded by the auto-sniffing path with grid-pooled
+    features. Binary decode is not SQL-expressible → rows-only; decode
+    correctness is pytest-gated (javax.imageio palette + interlaced
+    fixtures decode pixel-exact in tests/test_multimodal_codecs.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.multimodal import (
+        decode_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 200, codec="png-mixed")
+    return decode_image_features(media, decoder="auto", grid=4).select(
+        "media_id", "width", "height",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 1
+        ).alias("feat_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1131,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
+        "media_png_features": _q_media_png_features,
         "polyfamily_assign_docs": _q_polyfamily_assign_docs,
         "regional_revenue": _q_regional_revenue,
         "mg_token_topk": _q_mg_token_topk,
@@ -1141,6 +1172,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_training_docs": _q_curate_training_docs,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
     }
+
+
+def _sp_score_cte(name: str, phrase: str, docs_cte: str = "tok") -> str:
+    """CTE chain computing (doc_id, rc, score) — the FULL SP screen of one
+    3-word phrase at k=2 — over `{docs_cte}` (doc_id, t := word list).
+
+    Mirrors the kernel exactly: FP pass = ≥1 distinct target bigram
+    (forward, else reversed-array retry per F4); matched windows paint
+    2-token intervals onto the token canvas; fragments = maximal covered
+    token runs (gap_threshold is 1 at k=2, so EVERY gap splits); the X9
+    fragment DP ``max over i≤j of Σs − Σ(go + ge·gap − 1)`` collapses to
+    prefix sums: score = max_j(Q_j + running_max(s_i − Q_i)) where
+    Q = cumsum(s − bridge_before). Bloom FP does not appear because the
+    promoted queries run at fp=1e-9 (zero realized FPs at any test SF).
+    """
+    w = phrase.split(" ")
+    g1, g2 = f"{w[0]} {w[1]}", f"{w[1]} {w[2]}"
+    return f"""
+        wf_{name} AS (
+          SELECT doc_id, i AS pos,
+                 (t[i + 1] || ' ' || t[i + 2]) IN ('{g1}', '{g2}') AS cov
+          FROM {docs_cte}, unnest(range(0, len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2
+        ),
+        wr_{name} AS (
+          SELECT doc_id, i AS pos,
+                 (r[i + 1] || ' ' || r[i + 2]) IN ('{g1}', '{g2}') AS cov
+          FROM (SELECT doc_id, list_reverse(t) AS r FROM {docs_cte}),
+               unnest(range(0, len(r) - 1)) AS u(i)
+          WHERE len(r) >= 2
+        ),
+        dir_{name} AS (
+          SELECT f.doc_id, bool_or(f.cov) AS fwd_fp, bool_or(r.cov) AS rc_fp
+          FROM wf_{name} f JOIN wr_{name} r
+            ON f.doc_id = r.doc_id AND f.pos = r.pos
+          GROUP BY f.doc_id
+        ),
+        mwin_{name} AS (
+          SELECT w.doc_id, FALSE AS rc, w.pos
+          FROM wf_{name} w JOIN dir_{name} d ON w.doc_id = d.doc_id
+          WHERE d.fwd_fp AND w.cov
+          UNION ALL
+          SELECT w.doc_id, TRUE AS rc, w.pos
+          FROM wr_{name} w JOIN dir_{name} d ON w.doc_id = d.doc_id
+          WHERE NOT d.fwd_fp AND d.rc_fp AND w.cov
+        ),
+        ctok_{name} AS (
+          SELECT DISTINCT doc_id, rc, pos + dd.d AS tpos
+          FROM mwin_{name}, (VALUES (0), (1)) AS dd(d)
+        ),
+        runs_{name} AS (
+          SELECT doc_id, rc, tpos,
+                 tpos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tpos) AS grp
+          FROM ctok_{name}
+        ),
+        frag_{name} AS (
+          SELECT doc_id, rc, MIN(tpos) AS fstart, 10 * COUNT(*) AS s
+          FROM runs_{name} GROUP BY doc_id, rc, grp
+        ),
+        pref_{name} AS (
+          SELECT doc_id, rc, s,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY fstart) AS rn,
+                 SUM(s - CASE WHEN fstart = first_start THEN 0
+                       ELSE 15 + 7 * (fstart - prev_end - 1) - 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY fstart) AS q
+          FROM (
+            SELECT doc_id, rc, fstart, s,
+                   LAG(fstart + s // 10) OVER (
+                     PARTITION BY doc_id ORDER BY fstart) - 1 AS prev_end,
+                   MIN(fstart) OVER (PARTITION BY doc_id) AS first_start
+            FROM frag_{name}
+          )
+        ),
+        score_{name} AS (
+          SELECT doc_id, bool_or(rc) AS rc, MAX(q + mx) AS score
+          FROM (
+            SELECT doc_id, rc, q,
+                   MAX(s - q) OVER (PARTITION BY doc_id ORDER BY rn) AS mx
+            FROM pref_{name}
+          ) GROUP BY doc_id
+        )"""
+
+
+_SP_MST_K2 = 19.25  # ScreenParams(k=2).mst(2): kernel recomputes per target
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1423,6 +1540,67 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         LEFT JOIN comp c ON doc_id = c.id
         LEFT JOIN csize cs ON c.comp = cs.comp
+    """
+
+    sql["cascade_combined_scores"] = f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        {_sp_score_cte("h", MOI_HEAD)},
+        surv AS (
+          SELECT doc_id FROM score_h WHERE score >= {_SP_MST_K2}
+        ),
+        tok2 AS (
+          SELECT tok.doc_id, t FROM tok JOIN surv USING (doc_id)
+        ),
+        {_sp_score_cte("t2", MOI_TAIL, "tok2")},
+        f1 AS (
+          SELECT doc_id,
+                 MAX(CASE WHEN NOT rc THEN score END) AS f1_score,
+                 MAX(CASE WHEN rc THEN score END) AS f1_rc_score
+          FROM score_h GROUP BY doc_id
+        ),
+        f2 AS (
+          SELECT doc_id,
+                 MAX(CASE WHEN NOT rc THEN score END) AS f2_score,
+                 MAX(CASE WHEN rc THEN score END) AS f2_rc_score
+          FROM score_t2 GROUP BY doc_id
+        )
+        SELECT CAST(COALESCE(f1.doc_id, f2.doc_id) AS VARCHAR) AS doc_id,
+               f1_score, f1_rc_score, f2_score, f2_rc_score,
+               CAST({_SP_MST_K2} AS DOUBLE) AS threshold,
+               CASE WHEN GREATEST(f1_score, f1_rc_score) >= {_SP_MST_K2}
+                     AND GREATEST(f2_score, f2_rc_score) >= {_SP_MST_K2}
+                    THEN 1 ELSE 0 END AS pass
+        FROM f1 FULL OUTER JOIN f2 USING (doc_id)
+    """
+
+    sql["polyfamily_assign_docs"] = f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        {_sp_score_cte("h", MOI_HEAD)},
+        {_sp_score_cte("t", MOI_TAIL)},
+        {_sp_score_cte("b", "scan key row")},
+        probes AS (
+          SELECT h.doc_id, 'probeA' AS target_id,
+                 h.score + t.score AS total_score
+          FROM score_h h JOIN score_t t USING (doc_id)
+          WHERE h.score >= {_SP_MST_K2} AND t.score >= {_SP_MST_K2}
+          UNION ALL
+          SELECT b.doc_id, 'probeB', b.score + t.score
+          FROM score_b b JOIN score_t t USING (doc_id)
+          WHERE b.score >= {_SP_MST_K2} AND t.score >= {_SP_MST_K2}
+        ),
+        ranked AS (
+          SELECT p.*, d.source, ROW_NUMBER() OVER (
+            PARTITION BY d.source, p.doc_id
+            ORDER BY total_score DESC, target_id ASC) AS rn
+          FROM probes p JOIN documents d USING (doc_id)
+        )
+        SELECT source, CAST(doc_id AS VARCHAR) AS doc_id, target_id,
+               CAST(total_score AS BIGINT) AS total_score
+        FROM ranked WHERE rn = 1
     """
 
     sql["contamination_screen"] = """

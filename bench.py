@@ -338,6 +338,14 @@ def main():
     if os.path.isfile(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)
+    # attach the latest skew-stress evidence (BENCH/skew.py: salted vs
+    # unsalted per-task straggler factor, gate salted p99/median ≤ 2)
+    skew_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "skew.json"
+    )
+    if os.path.isfile(skew_path):
+        with open(skew_path) as f:
+            out["skew"] = json.load(f)
 
     # Full record goes to a FILE (the durable artifact); stdout gets one
     # COMPACT line printed after spark.stop() so no executor/progress noise

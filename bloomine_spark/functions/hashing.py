@@ -87,17 +87,36 @@ def hash_tokens_1d(tokens: np.ndarray) -> np.uint64:
     return splitmix64(np.array([h], dtype=np.uint64))[0]
 
 
+def bloom_probe_index(
+    h: np.ndarray, i: int, m: np.uint64
+) -> np.ndarray:
+    """Probe index for hash round ``i``: one splitmix64 per probe, each
+    round independently mixed. The shared single source of truth for Bloom
+    build AND query paths — the two must agree bit-for-bit."""
+    # scalar product in python ints (numpy warns on scalar uint64 overflow;
+    # the mod-2^64 wraparound is exactly what we want)
+    off = np.uint64(((i + 1) * int(_SM_GAMMA)) & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(h + off) % m
+
+
 def double_hash_indices(
     h: np.ndarray, n_hashes: int, m: int
 ) -> np.ndarray:
-    """Kirsch–Mitzenmacher probe indices, shape (n_hashes, len(h)).
+    """Per-round independent Bloom probe indices, shape (n_hashes, len(h)).
 
-    idx_i = (h1 + i*h2) mod m, h2 forced odd so all probes differ.
+    Previously Kirsch–Mitzenmacher ``(h1 + i*h2) mod m`` — which has a
+    composite-m pathology: whenever ``gcd(h2 mod m, m) > 1`` the probe
+    walk visits only ``m/gcd`` distinct slots before cycling. For the
+    reference-sized 2-element filter (m = 86 = 2·43), ~1/43 of queried
+    elements probe exactly TWO bits, putting a ~1e-2 floor under ANY
+    configured fpp (observed: fp=1e-9 filters returning false positives
+    on 500-doc corpora). Independent per-round mixing has no walk and
+    hence no cycle structure; the cost is one splitmix64 per surviving
+    probe, and candidate compression in ``contains_hashes`` keeps the
+    expected rounds per non-member near 1/(1-fill).
     """
-    h1 = h
-    h2 = splitmix64(h ^ _SM_M1) | np.uint64(1)
     mm = np.uint64(m)
     out = np.empty((n_hashes, h.shape[0]), dtype=np.uint64)
     for i in range(n_hashes):
-        out[i] = (h1 + np.uint64(i) * h2) % mm
+        out[i] = bloom_probe_index(h, i, mm)
     return out

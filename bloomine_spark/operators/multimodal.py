@@ -69,9 +69,15 @@ def synthetic_media(
 
     codec='fake-raw' keeps the round-1 raw header format (plumbing tests);
     'png' / 'bmp' / 'ppm' / 'jpeg' produce genuinely encoded bytes via the
-    stdlib codecs, so decode tests exercise real formats.
+    stdlib codecs, so decode tests exercise real formats. 'png-palette'
+    writes 4-bit indexed PNGs (alternating Adam7), 'png-interlaced' Adam7
+    truecolor, and 'png-mixed' interleaves plain/palette/interlaced per
+    row — the heterogeneous shape of a real web-corpus media column.
     """
-    if codec not in ("fake-raw", "png", "bmp", "ppm", "jpeg"):
+    if codec not in (
+        "fake-raw", "png", "bmp", "ppm", "jpeg", "png-palette",
+        "png-interlaced", "png-mixed",
+    ):
         raise ValueError(f"unknown codec {codec!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,13 +88,31 @@ def synthetic_media(
             for rid in pdf["id"]:
                 img = _synthetic_image(int(rid), seed)
                 ht, w = img.shape
-                if codec == "fake-raw":
+                c = codec
+                if c == "png-mixed":
+                    # heterogeneous web-corpus batch: plain / palette /
+                    # Adam7-interlaced PNGs interleaved, decoded by the
+                    # same auto-sniffing path
+                    c = ("png", "png-palette", "png-interlaced")[int(rid) % 3]
+                if c == "fake-raw":
                     payload = struct.pack("<II", w, ht) + img.tobytes()
-                elif codec == "png":
+                elif c == "png":
                     payload = codecs.encode_png(img)
-                elif codec == "jpeg":
+                elif c == "png-interlaced":
+                    payload = codecs.encode_png(img, interlace=True)
+                elif c == "png-palette":
+                    # 16-level gray palette; indices = top nibble — decode
+                    # reproduces (img >> 4) * 17 exactly
+                    plte = np.repeat(
+                        (np.arange(16, dtype=np.uint8) * 17)[:, None], 3, axis=1
+                    )
+                    payload = codecs.encode_png_palette(
+                        (img >> 4).astype(np.uint8), plte, bit_depth=4,
+                        interlace=bool(int(rid) % 2),
+                    )
+                elif c == "jpeg":
                     payload = codecs.encode_jpeg(img, quality=92)
-                elif codec == "bmp":
+                elif c == "bmp":
                     payload = codecs.encode_bmp(np.repeat(img[:, :, None], 3, axis=2))
                 else:  # ppm
                     payload = codecs.encode_ppm(np.repeat(img[:, :, None], 3, axis=2))
@@ -97,7 +121,7 @@ def synthetic_media(
                         "media_id": f"m{int(rid):08d}",
                         "media_type": "image",
                         "payload": payload,
-                        "meta": {"codec": codec, "w": str(w), "h": str(ht)},
+                        "meta": {"codec": c, "w": str(w), "h": str(ht)},
                     }
                 )
             yield pd.DataFrame(rows)

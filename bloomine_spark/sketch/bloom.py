@@ -87,18 +87,17 @@ class BloomFilter:
         transient allocations serialize multi-worker executors on kernel
         page zeroing (measured: 16 workers collapsed 4x on fat tasks).
         """
-        from bloomine_spark.functions.hashing import _SM_M1, splitmix64
+        from bloomine_spark.functions.hashing import bloom_probe_index
 
         h = np.asarray(hashes, dtype=np.uint64)
         n = len(h)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        h2 = splitmix64(h ^ _SM_M1) | np.uint64(1)
         cand = np.arange(n, dtype=np.int64)
-        h1c, h2c = h, h2
+        h1c = h
         mm = np.uint64(self.m)
         for i in range(self.n_hashes):
-            idx = (h1c + np.uint64(i) * h2c) % mm
+            idx = bloom_probe_index(h1c, i, mm)
             byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
             keep = ((byte >> (idx & np.uint64(7)).astype(np.uint8))
                     & np.uint8(1)).astype(bool)
@@ -106,7 +105,6 @@ class BloomFilter:
             if len(cand) == 0:
                 break
             h1c = h1c[keep]
-            h2c = h2c[keep]
         out = np.zeros(n, dtype=bool)
         out[cand] = True
         return out

@@ -82,3 +82,21 @@ def test_screen_params_thresholds():
     # mst = 40 - (0.4*15 + 7*(2.5*(0.4-1))) = 40 - (6 - 10.5) = 44.5
     assert p.mst(4) == pytest.approx(44.5)
     assert p.gap_threshold() == 8  # ceil((10*7-15)/7)
+
+
+def test_tiny_filter_no_composite_m_fp_floor():
+    """Regression: KM double hashing (h1 + i*h2) mod m cycles through
+    m/gcd(h2,m) slots when m is composite — the reference-sized 2-element
+    filter (m=86=2*43) gave ~1/43 of non-members a 2-bit probe walk and a
+    ~1e-2 realized FP floor at ANY configured fpp. Per-round independent
+    mixing must hold the realized rate at the configured 1e-9 (expected
+    FPs over 200k probes: 0.0002)."""
+    from bloomine_spark.functions.hashing import splitmix64
+
+    targets = np.array([0x1234ABCD, 0x9876FEDC], dtype=np.uint64)
+    bf = BloomFilter.build(targets, 1e-9)
+    probes = splitmix64(np.arange(1, 200_001, dtype=np.uint64))
+    probes = probes[~np.isin(probes, targets)]
+    assert int(bf.contains_hashes(probes).sum()) == 0
+    # and the members themselves always hit
+    assert bf.contains_hashes(targets).all()
