@@ -9,7 +9,9 @@ _PARAMS.json protocol as the screen cascade):
   filtered  — threshold pass (quality ≥ --quality-min, top-2-gram
               fraction ≤ --top2-max, n_ws_tokens ≥ --min-tokens)
   deduped   — exact content dedup, canonical = min doc_id per fingerprint
-              (+ optional MinHash-LSH near-dup drop with --near-dup)
+              (+ optional MinHash-LSH near-dup with --near-dup: pairs →
+              connected-components clusters → one survivor per cluster,
+              min-id or --near-dup-keep quality)
   decontam  — (only with --eval-set PATH) drop docs sharing any word
               n-gram with the eval corpus (Bloom-prefiltered overlap)
   curated/  — final docs, partitioned by source
@@ -38,8 +40,13 @@ def main() -> None:
     ap.add_argument("--top2-max", type=float, default=0.2)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--near-dup", action="store_true",
-                    help="also drop MinHash-LSH near-duplicates (keeps the "
-                    "min doc_id of each near-dup pair's cluster side)")
+                    help="also drop MinHash-LSH near-duplicates: LSH pairs "
+                    "→ connected-components clusters → ONE survivor per "
+                    "cluster (dedup_groups)")
+    ap.add_argument("--near-dup-keep", choices=("min-id", "quality"),
+                    default="min-id",
+                    help="cluster survivor rule: min doc_id (default, "
+                    "deterministic) or best quality score (ties → min id)")
     ap.add_argument("--eval-set", default=None, metavar="PATH",
                     help="parquet of eval docs (doc_id, text): drop curated "
                     "docs sharing any word n-gram with it (decontamination)")
@@ -65,6 +72,7 @@ def main() -> None:
     manifest = {
         "quality_min": args.quality_min, "top2_max": args.top2_max,
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
+        "near_dup_keep": args.near_dup_keep,
         "eval_set": args.eval_set, "decontam_n": args.decontam_n,
     }
 
@@ -120,17 +128,25 @@ def main() -> None:
             .drop("_canon")
         )
         if args.near_dup:
-            from bloomine_spark.operators.dedup import minhash_lsh_duplicates
+            from bloomine_spark.operators.dedup import (
+                dedup_groups,
+                minhash_lsh_duplicates,
+            )
 
             pairs = minhash_lsh_duplicates(out, text_col="text")
-            # pairs are emitted with id_a < id_b: drop every id_b
-            # (canonical = the pair's min id)
-            losers = pairs.select(
-                F.col("id_b").cast("string").alias("_loser")
-            ).distinct()
+            # pair → CLUSTER resolution (connected components), one
+            # survivor per cluster — Jaccard is not transitive, so
+            # pairwise loser-dropping both over-keeps (A~B~C with A≁C
+            # keeps A and C) and can't honor a quality preference; the
+            # group operator is what a real corpus dedup executes
+            groups = dedup_groups(
+                out, pairs, id_col="doc_id",
+                quality_col="quality" if args.near_dup_keep == "quality"
+                else None,
+            )
             out = out.join(
-                losers, F.col("doc_id").cast("string") == F.col("_loser"),
-                "left_anti",
+                groups.filter(F.col("keep")).select("doc_id"),
+                "doc_id", "left_semi",
             )
         return out
 
