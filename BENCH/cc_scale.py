@@ -1,0 +1,170 @@
+"""Connected-components scale evidence for dedup_groups (round 6).
+
+The pair graphs a corpus dedup actually produces have (a) millions of tiny
+clusters and (b) occasionally a giant near-dup component (boilerplate
+pages). This script runs `connected_components` on a synthetic graph with
+exactly that shape — K small cliques/chains plus one long path (the
+DIAMETER worst case for label propagation) plus one large star (the DEGREE
+worst case) — and records rounds-to-fixpoint and wall-clock at increasing
+edge counts, verifying labels against the component construction.
+
+What must hold at scale (and is gated here):
+  - rounds grow O(log n), NOT O(diameter): the path component alone would
+    cost `path_len` rounds under min-label propagation; the alternating
+    algorithm must close it in ≤ ceil(log2) + small-constant rounds.
+  - every label equals the component's constructed minimum (exact check,
+    all components).
+
+Writes BENCH/cc_scale.json + a summary table to BENCH/CC_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = [50_000, 400_000, 2_000_000]  # edges
+MAX_ROUNDS_GATE = 12  # alternating algorithm: ~log2(n) + constant
+
+
+def _graph(spark, n_edges: int):
+    """Deterministic mixed graph, built distributed (no driver edge list):
+    80% of edges form 5-node chains (tiny clusters), 10% one giant star,
+    10% one long path. Node id ranges are disjoint per section so expected
+    labels are closed-form."""
+    from pyspark.sql import functions as F
+
+    n_chain = int(n_edges * 0.8)
+    n_star = int(n_edges * 0.1)
+    n_path = n_edges - n_chain - n_star
+
+    # chains: groups of 4 edges over ids [g*5, g*5+4]
+    chains = (
+        spark.range(n_chain)
+        .select(
+            (F.col("id") // 4 * 5 + F.col("id") % 4).alias("id_a"),
+            (F.col("id") // 4 * 5 + F.col("id") % 4 + 1).alias("id_b"),
+        )
+    )
+    base_star = (n_chain // 4 + 1) * 5
+    star = spark.range(n_star).select(
+        F.lit(base_star).alias("id_a"),
+        (F.lit(base_star + 1) + F.col("id")).alias("id_b"),
+    )
+    base_path = base_star + n_star + 2
+    path = spark.range(n_path).select(
+        (F.lit(base_path) + F.col("id")).alias("id_a"),
+        (F.lit(base_path) + F.col("id") + 1).alias("id_b"),
+    )
+    return chains.union(star).union(path), {
+        "n_chain_components": (n_chain + 3) // 4,
+        "star_min": base_star,
+        "star_size": n_star + 1,
+        "path_min": base_path,
+        "path_len": n_path + 1,
+    }
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.operators.dedup import connected_components
+    from bloomine_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name="cc-scale",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    points = []
+    for n_edges in SCALES:
+        pairs, spec = _graph(spark, n_edges)
+        pairs = pairs.repartition(32).persist()
+        pairs.count()
+        st = {}
+        t0 = time.time()
+        cc = connected_components(pairs, max_iter=MAX_ROUNDS_GATE, stats=st)
+        cc = cc.persist()
+        n_labeled = cc.count()
+        wall = time.time() - t0
+        rounds = st["rounds"]
+
+        # exact label verification, fully distributed:
+        # star: every member labeled star_min; path: every member path_min;
+        # chains: node id // 5 * 5
+        bad = cc.filter(
+            ~(
+                F.when(
+                    (F.col("id") >= spec["path_min"]),
+                    F.col("component") == spec["path_min"],
+                )
+                .when(
+                    (F.col("id") >= spec["star_min"]),
+                    F.col("component") == spec["star_min"],
+                )
+                .otherwise(F.col("component") == (F.col("id") // 5) * 5)
+            )
+        ).count()
+        star_n = cc.filter(
+            F.col("component") == spec["star_min"]).count()
+        path_n = cc.filter(
+            F.col("component") == spec["path_min"]).count()
+        points.append({
+            "edges": n_edges,
+            "nodes_labeled": n_labeled,
+            "rounds_to_fixpoint": rounds,
+            "wall_sec": round(wall, 2),
+            "mislabeled": bad,
+            "star_size_ok": star_n == spec["star_size"],
+            "path_size_ok": path_n == spec["path_len"],
+            "path_len": spec["path_len"],
+        })
+        cc.unpersist()
+        pairs.unpersist()
+        print(json.dumps(points[-1]), flush=True)
+
+    ok = all(
+        p["mislabeled"] == 0 and p["star_size_ok"] and p["path_size_ok"]
+        and p["rounds_to_fixpoint"] <= MAX_ROUNDS_GATE
+        for p in points
+    )
+    out = {"points": points, "rounds_gate": MAX_ROUNDS_GATE, "all_ok": ok}
+    base = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(base, "cc_scale.json"), "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    lines = [
+        "# Connected-components scale evidence (dedup_groups)", "",
+        "Mixed graph: 80% 5-node chains (tiny dup clusters), 10% one giant",
+        "star (degree worst case), 10% one long path (diameter worst case).",
+        "Labels verified exactly against the closed-form construction at",
+        "every scale; rounds must stay ≤ "
+        f"{MAX_ROUNDS_GATE} (O(log n), not O(diameter) — the largest path "
+        f"here is {points[-1]['path_len']:,} nodes, which min-label "
+        "propagation would need that many rounds for).", "",
+        "| edges | nodes | rounds | wall (s) | mislabeled |",
+        "|---|---|---|---|---|",
+    ]
+    for p in points:
+        lines.append(
+            f"| {p['edges']:,} | {p['nodes_labeled']:,} | "
+            f"{p['rounds_to_fixpoint']} | {p['wall_sec']} | "
+            f"{p['mislabeled']} |"
+        )
+    lines.append("")
+    lines.append(f"**All gates: {'PASS' if ok else 'FAIL'}**")
+    with open(os.path.join(base, "CC_SCALE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+    print(json.dumps({"all_ok": ok}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,12 +92,53 @@ def _fastq_fixture(spark, sf: float) -> tuple[str, int]:
     return root, n_reads
 
 
+def _calibrate() -> dict:
+    """Absolute environment anchor: a single-threaded bus-streaming numpy
+    fold (48 MB multiply-shift + reduce — the regime the sketch kernels
+    occupy). Intra-run dispersion gates catch SPIKY noise; this catches
+    the box's documented ~2x SUSTAINED throttling windows (BENCH/BASELINE.md
+    note 3), which inflate every query uniformly and are invisible to any
+    relative gate. The best-ever value across runs is the baseline;
+    environment_factor = today/best. Factor > 1.35 marks the record
+    environment-degraded: absolute seconds from such a window must not be
+    read as plan regressions (r6: a clean-code run measured 2.0x r5's
+    suite in one of these windows)."""
+    import numpy as np
+
+    a = np.arange(6_000_000, dtype=np.uint64)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        x = (a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        _ = int(x.sum())
+        best = min(best, time.time() - t0)
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "calibration_history.json",
+    )
+    hist = []
+    if os.path.isfile(hist_path):
+        with open(hist_path) as f:
+            hist = json.load(f)
+    hist.append({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "sec": round(best, 4)})
+    with open(hist_path, "w") as f:
+        json.dump(hist, f, indent=1)
+        f.write("\n")
+    baseline = min(h["sec"] for h in hist)
+    return {
+        "calibration_sec": round(best, 4),
+        "calibration_baseline_sec": baseline,
+        "environment_factor": round(best / baseline, 3),
+    }
+
+
 def main():
     from pyspark.sql import functions as F
 
     from bloomine_spark.datagen import DEFAULT_TARGET
     from bloomine_spark.session import get_spark
 
+    calib = _calibrate()
     sf = _sf_of(SF_DIR)
     spark = get_spark(
         master=f"local[{CPUS}]",
@@ -330,6 +371,11 @@ def main():
         "degraded_queries": {n: spreads[n] for n in degraded},
         "repeats_per_query": f"3-{MAX_REPEATS} (self-extending)",
         "estimator": "median of tightest 3-sample window",
+        **calib,
+        "environment_degraded": calib["environment_factor"] > 1.35,
+        "value_env_normalized_estimate": round(
+            total / calib["environment_factor"], 3
+        ),
     }
     # attach the latest N-vs-4N scaling evidence (BENCH/scaling.py)
     scaling_path = os.path.join(
@@ -368,6 +414,9 @@ def main():
         "recall": recall,
         "degraded": out["degraded"],
         "degraded_queries": out["degraded_queries"],
+        "environment_factor": out["environment_factor"],
+        "environment_degraded": out["environment_degraded"],
+        "value_env_normalized_estimate": out["value_env_normalized_estimate"],
         "full_record": "BENCH/last_run.json",
     }
     spark.stop()

@@ -864,6 +864,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph, pure DataFrame
     ops — returns (id, component) with ``component`` = the MINIMUM node id
@@ -879,7 +880,8 @@ def connected_components(
     Each round is ``localCheckpoint``-ed to truncate the iterative plan's
     lineage (on a real cluster point ``spark.sparkContext.setCheckpointDir``
     at durable storage and swap to ``checkpoint``; the logical plan
-    otherwise doubles per round).
+    otherwise doubles per round). Pass a dict as ``stats`` to receive
+    {"rounds": <rounds to fixpoint>} back (scale evidence: BENCH/cc_scale.py).
     """
     e = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -887,7 +889,9 @@ def connected_components(
         .distinct()
     )
     prev_sum: tuple | None = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # XOR-fold the edge hashes: order-insensitive like SUM but cannot
         # overflow under ANSI mode (the edge set is distinct, so XOR's
@@ -906,6 +910,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixpoint is a star forest: every non-root points at its component
     # minimum; roots appear only on the dst side
     roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component"))

@@ -64,11 +64,17 @@ def test_cc_matches_union_find_random_graphs(spark):
 
 def test_cc_path_graph_converges_logarithmically(spark):
     # a 200-node path is the diameter worst case; the alternating
-    # large-star/small-star algorithm must collapse it well inside the
-    # default max_iter=25 (label propagation would need ~200 rounds)
+    # large-star/small-star algorithm must collapse it in O(log n) rounds
+    # (min-label propagation would need ~200)
     edges = [(i, i + 1) for i in range(199)]
-    got = _cc_dict(spark, edges)
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    stats = {}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
     assert got == {v: 0 for v in range(200)}
+    assert stats["rounds"] <= 12, stats
 
 
 def test_cc_two_components_and_isolated_nodes(spark):
