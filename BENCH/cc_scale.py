@@ -28,7 +28,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALES = [50_000, 400_000, 2_000_000]  # edges
-MAX_ROUNDS_GATE = 12  # alternating algorithm: ~log2(n) + constant
+
+
+def _rounds_gate(path_len: int) -> int:
+    """2x the information-theoretic floor: the alternating algorithm needs
+    ~log2(diameter) rounds to collapse a path (each large-star/small-star
+    pair roughly halves pointer depth); min-label propagation would need
+    path_len rounds. Gate = 2*ceil(log2(path_len)) + 2."""
+    import math
+
+    return 2 * math.ceil(math.log2(max(path_len, 2))) + 2
 
 
 def _graph(spark, n_edges: int):
@@ -46,8 +55,8 @@ def _graph(spark, n_edges: int):
     chains = (
         spark.range(n_chain)
         .select(
-            (F.col("id") // 4 * 5 + F.col("id") % 4).alias("id_a"),
-            (F.col("id") // 4 * 5 + F.col("id") % 4 + 1).alias("id_b"),
+            F.expr("id div 4 * 5 + id % 4").alias("id_a"),
+            F.expr("id div 4 * 5 + id % 4 + 1").alias("id_b"),
         )
     )
     base_star = (n_chain // 4 + 1) * 5
@@ -88,9 +97,10 @@ def main():
         pairs, spec = _graph(spark, n_edges)
         pairs = pairs.repartition(32).persist()
         pairs.count()
+        gate = _rounds_gate(spec["path_len"])
         st = {}
         t0 = time.time()
-        cc = connected_components(pairs, max_iter=MAX_ROUNDS_GATE, stats=st)
+        cc = connected_components(pairs, max_iter=gate, stats=st)
         cc = cc.persist()
         n_labeled = cc.count()
         wall = time.time() - t0
@@ -109,7 +119,7 @@ def main():
                     (F.col("id") >= spec["star_min"]),
                     F.col("component") == spec["star_min"],
                 )
-                .otherwise(F.col("component") == (F.col("id") // 5) * 5)
+                .otherwise(F.col("component") == F.expr("id div 5 * 5"))
             )
         ).count()
         star_n = cc.filter(
@@ -125,6 +135,8 @@ def main():
             "star_size_ok": star_n == spec["star_size"],
             "path_size_ok": path_n == spec["path_len"],
             "path_len": spec["path_len"],
+            "rounds_gate": gate,
+            "log2_path": round(__import__("math").log2(spec["path_len"]), 1),
         })
         cc.unpersist()
         pairs.unpersist()
@@ -132,10 +144,10 @@ def main():
 
     ok = all(
         p["mislabeled"] == 0 and p["star_size_ok"] and p["path_size_ok"]
-        and p["rounds_to_fixpoint"] <= MAX_ROUNDS_GATE
+        and p["rounds_to_fixpoint"] <= p["rounds_gate"]
         for p in points
     )
-    out = {"points": points, "rounds_gate": MAX_ROUNDS_GATE, "all_ok": ok}
+    out = {"points": points, "all_ok": ok}
     base = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(base, "cc_scale.json"), "w") as f:
         json.dump(out, f, indent=2)
@@ -145,18 +157,18 @@ def main():
         "Mixed graph: 80% 5-node chains (tiny dup clusters), 10% one giant",
         "star (degree worst case), 10% one long path (diameter worst case).",
         "Labels verified exactly against the closed-form construction at",
-        "every scale; rounds must stay ≤ "
-        f"{MAX_ROUNDS_GATE} (O(log n), not O(diameter) — the largest path "
-        f"here is {points[-1]['path_len']:,} nodes, which min-label "
-        "propagation would need that many rounds for).", "",
-        "| edges | nodes | rounds | wall (s) | mislabeled |",
-        "|---|---|---|---|---|",
+        "every scale; rounds must stay ≤ 2*ceil(log2(path_len))+2 — the",
+        f"largest path here is {points[-1]['path_len']:,} nodes, which",
+        "min-label propagation would need that many ROUNDS for; the",
+        "alternating algorithm's round count must track log2(diameter).", "",
+        "| edges | nodes | rounds | gate | log2(path) | wall (s) | mislabeled |",
+        "|---|---|---|---|---|---|---|",
     ]
     for p in points:
         lines.append(
             f"| {p['edges']:,} | {p['nodes_labeled']:,} | "
-            f"{p['rounds_to_fixpoint']} | {p['wall_sec']} | "
-            f"{p['mislabeled']} |"
+            f"{p['rounds_to_fixpoint']} | {p['rounds_gate']} | "
+            f"{p['log2_path']} | {p['wall_sec']} | {p['mislabeled']} |"
         )
     lines.append("")
     lines.append(f"**All gates: {'PASS' if ok else 'FAIL'}**")

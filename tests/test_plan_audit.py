@@ -222,3 +222,36 @@ def test_fastq_screen_is_shuffle_free(spark, tmp_path):
     assert_max_exchanges(q, 0)
     facts = plan_facts(q)
     assert facts.has_python_eval
+
+
+def test_cc_star_rounds_plan(spark):
+    """One large-star/small-star round must stay narrow: no cartesian, and
+    only (src, dst[, m]) columns ride the exchanges — the shape that
+    survives a 100 TB pair graph. A bounded Exchange count guards against
+    an accidental adjacency-list materialization or re-shuffle blowup."""
+    from bloomine_spark.operators.dedup import _large_star, _small_star
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src: long, dst: long"
+    )
+    one_round = _small_star(_large_star(e))
+    assert_no_cartesian(one_round)
+    facts = plan_facts(one_round)
+    # groupBy-min + equi-join + distinct per star: a handful of exchanges,
+    # never O(graph) — the number is plan-shape, not data-size, dependent
+    assert facts.n_exchanges <= 12, facts.n_exchanges
+
+
+def test_dedup_groups_plan(spark):
+    """The ranking window runs only over the duplicate subgraph and the
+    final hydration is an equi-join — no cartesian anywhere."""
+    from bloomine_spark.operators.dedup import dedup_groups
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(20)], "doc_id: long, q: double"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a: long, id_b: long"
+    )
+    out = dedup_groups(docs, pairs, quality_col="q")
+    assert_no_cartesian(out)
