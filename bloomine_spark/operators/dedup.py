@@ -863,7 +863,7 @@ def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 40,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph, pure DataFrame
@@ -875,7 +875,11 @@ def connected_components(
     on path graphs (pinned in tests), and each round's shuffle is the
     narrow (node, label) edge list itself — never an adjacency list or a
     frontier expansion — which is the shape that survives a 100 TB pair
-    graph. Fixpoint detection is a (count, hash-sum) checksum: two bytes-
+    graph. Measured rounds track log2(diameter)+2 (BENCH/CC_SCALE.md: a
+    200k-node path closes in 19 rounds), so max_iter=40 covers any
+    component a real near-dup graph produces (a diameter past 2^19 would
+    mean a 500k-doc chain of pairwise-similar-but-transitively-different
+    docs). Fixpoint detection is a (count, hash-sum) checksum: two bytes-
     identical edge sets in a row end the loop without a subtract join.
     Each round is ``localCheckpoint``-ed to truncate the iterative plan's
     lineage (on a real cluster point ``spark.sparkContext.setCheckpointDir``
