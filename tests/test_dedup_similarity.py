@@ -526,3 +526,38 @@ def test_ann_scale_gates(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     d = _json.loads(r.stdout.strip().splitlines()[-1])
     assert d["pass"], d
+
+
+def test_ivf_index_rebuild_remote_metadata_path(spark, tmp_path):
+    """ADVICE r5: rebuilding an index at the same REMOTE path must replace
+    the centroid sibling dir, not FileAlreadyExists. A `file:` URI makes
+    the local `open()` fail (no directory literally named 'file:'), so
+    the write takes the Hadoop-FS fallback exactly as it would on
+    HDFS/S3 — twice — and the query path reads the sibling back through
+    textFile."""
+    from bloomine_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, nlist=8)
+    idx = "file:" + str(tmp_path / "remote_idx")
+    write_ivf_index(emb, idx, nlist=8, centroids=centroids)
+    # sibling metadata went through saveAsTextFile, not open()
+    sib = tmp_path / "remote_idx.IVF_CENTROIDS.d"
+    assert sib.is_dir() and not (tmp_path / "remote_idx" / "_IVF_CENTROIDS.json").exists()
+    # rebuild at the SAME path: pre-fix this raised FileAlreadyExists on
+    # the sibling; now both halves overwrite
+    write_ivf_index(emb, idx, nlist=8, centroids=centroids, assign=2)
+
+    rows = emb.filter(F.col("vec_id") < 2).collect()
+    queries = [(int(r["vec_id"]), list(map(float, r["embedding"])))
+               for r in rows]
+    got = ivf_topk_indexed(spark, idx, queries, k=10, nprobe=2).toPandas()
+    want = ivf_topk(emb, queries, k=10, nlist=8, nprobe=2,
+                    centroids=centroids, assign=2).toPandas()
+    key = lambda df: sorted(map(tuple, df[["query_id", "neighbor_id"]].values.tolist()))  # noqa: E731
+    assert key(got) == key(want)
