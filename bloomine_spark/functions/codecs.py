@@ -59,9 +59,15 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 def _pack_scanlines(sub: np.ndarray, depth: int) -> bytes:
     """(hh, ww[, spp]) samples → filter-0 scanline bytes (one filter byte
-    per row; sub-byte depths packed MSB-first per spec §7.2)."""
+    per row; 16-bit big-endian sample pairs; sub-byte depths packed
+    MSB-first per spec §7.2)."""
     hh, ww = sub.shape[:2]
-    if depth == 8:
+    if depth == 16:
+        u16 = sub.reshape(hh, -1).astype(np.uint16)
+        flat = np.empty((hh, u16.shape[1] * 2), dtype=np.uint8)
+        flat[:, 0::2] = (u16 >> 8).astype(np.uint8)
+        flat[:, 1::2] = (u16 & 0xFF).astype(np.uint8)
+    elif depth == 8:
         flat = sub.reshape(hh, -1)
     else:
         per = 8 // depth
@@ -87,9 +93,13 @@ def _png_idat(img: np.ndarray, depth: int, interlace: bool) -> bytes:
 
 
 def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
-    """8-bit PNG from (H,W) gray, (H,W,3) RGB or (H,W,4) RGBA uint8;
-    ``interlace=True`` writes Adam7 passes (filter 0 throughout)."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    """PNG from (H,W) gray, (H,W,3) RGB or (H,W,4) RGBA — uint8 writes an
+    8-bit stream, uint16 a 16-bit (big-endian) one; ``interlace=True``
+    writes Adam7 passes (filter 0 throughout)."""
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = np.ascontiguousarray(
+        img, dtype=np.uint16 if depth == 16 else np.uint8
+    )
     if img.ndim == 2:
         color_type = 0
         h, w = img.shape
@@ -97,12 +107,14 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
         color_type = 2 if img.shape[2] == 3 else 6
         h, w = img.shape[:2]
     else:
-        raise ValueError("expected (H,W), (H,W,3) or (H,W,4) uint8")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+        raise ValueError("expected (H,W), (H,W,3) or (H,W,4)")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+    )
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(_png_idat(img, 8, interlace), 6))
+        + _chunk(b"IDAT", zlib.compress(_png_idat(img, depth, interlace), 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -197,10 +209,15 @@ def _rows_to_samples(
     out: np.ndarray, h: int, w: int, spp: int, depth: int
 ) -> np.ndarray:
     """Unfiltered scanline bytes → (h, w, spp) samples (or (h, w) indices
-    for sub-byte depths): depth 8 is a reshape; depths 1/2/4 unpack MSB-
-    first bit groups and drop row-padding bits."""
+    for sub-byte depths): depth 8 is a reshape; depth 16 recombines big-
+    endian byte pairs to uint16; depths 1/2/4 unpack MSB-first bit groups
+    and drop row-padding bits."""
     if depth == 8:
         return out.reshape(h, w, spp)
+    if depth == 16:
+        # big-endian sample pairs per spec §7.1
+        b = out.reshape(h, w, spp, 2).astype(np.uint16)
+        return (b[..., 0] << 8) | b[..., 1]
     bits = np.unpackbits(out, axis=1)  # (h, stride*8), MSB first
     groups = bits.reshape(h, -1, depth)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
@@ -253,9 +270,9 @@ def decode_png(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"palette PNG bit depth {depth}")
         spp = 1
     else:
-        if depth != 8:
+        if depth not in (8, 16):
             raise NotImplementedError(
-                f"only 8-bit channels supported for color type {color_type}"
+                f"bit depth {depth} for color type {color_type} (8/16 only)"
             )
         spp = _CHANNELS.get(color_type)
         if spp is None:
@@ -264,7 +281,7 @@ def decode_png(data: bytes) -> np.ndarray:
     bpp = max(1, bits_pp // 8)
     buf = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
 
-    img = np.zeros((h, w, spp), dtype=np.uint8)
+    img = np.zeros((h, w, spp), dtype=np.uint16 if depth == 16 else np.uint8)
     passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
     off = 0
     for x0, y0, dx, dy in passes:

@@ -713,3 +713,25 @@ def test_png_mixed_media_pipeline(spark):
         want = img.astype(np.float64).mean()
         got = np.mean(row["features"])
         assert abs(got - want) < 1.0, (row["media_id"], got, want)
+
+
+def test_png_16bit_roundtrip_and_jdk_interop():
+    """16-bit channels (the last non-exotic PNG decode gap): big-endian
+    sample pairs through the shared unfilter path (bpp=2*spp), returned
+    as uint16. Roundtrip exact for gray/RGB/RGBA x interlace; the JDK's
+    TYPE_USHORT_GRAY fixture (tests/data/jdk_gray16.png, generator
+    Gen16.java) decodes pixel-exact."""
+    rng = np.random.default_rng(16)
+    for shape in ((13, 17), (9, 5, 3), (7, 11, 4)):
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+        for il in (False, True):
+            dec = codecs.decode_png(codecs.encode_png(img, interlace=il))
+            assert dec.dtype == np.uint16 and (dec == img).all(), (shape, il)
+    src = np.array(
+        [[int(v) for v in l.split(",")]
+         for l in open(_data("jdk_gray16_src.txt"))],
+        dtype=np.uint16,
+    )
+    dec = codecs.decode_png(open(_data("jdk_gray16.png"), "rb").read())
+    assert dec.dtype == np.uint16 and dec.shape == src.shape
+    assert (dec == src).all()
