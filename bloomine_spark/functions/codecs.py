@@ -4,9 +4,12 @@ external library.
 The container ships no PIL/opencv/ffmpeg, but several real interchange
 formats are fully decodable with the stdlib + numpy:
 
-- PNG (8-bit gray/RGB/gray+alpha/RGBA, palette type 3 at depth 1/2/4/8
-  with tRNS, Adam7 interlaced or not): zlib inflate + scanline
+- PNG (8/16-bit gray/RGB/gray+alpha/RGBA, palette type 3 at depth
+  1/2/4/8 with tRNS, Adam7 interlaced or not): zlib inflate + scanline
   unfiltering (all five filter types per the PNG spec §9).
+- GIF 87a/89a: LZW decode/encode (variable code width, 4096-reset),
+  4-pass interlace, transparency, multi-frame compositing with disposal
+  methods 0-3 (gif_frames), single-frame GIF89a encoder.
 - BMP (24-bit uncompressed BI_RGB).
 - PPM (binary P6).
 - WAV (8/16-bit PCM via the stdlib ``wave`` module).
@@ -305,6 +308,274 @@ def decode_png(data: bytes) -> np.ndarray:
             return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
         return rgb
     return img[:, :, 0] if spp == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): palette + LZW, interlace, transparency, multi-frame
+# ---------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, n_expected: int) -> np.ndarray:
+    """GIF-variant LZW (spec appendix F): variable code width starting at
+    mcs+1, LSB-first bit packing, CLEAR/EOI codes, dictionary capped at
+    4096. Sequential by nature (each code extends the dictionary built by
+    every previous one), so this is a per-image Python loop — GIF payloads
+    are small and the decode rides inside the Arrow batch kernel like
+    every other codec here."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    code_size = mcs + 1
+    # dictionary as (prefix_code, last_byte) pairs; -1 prefix = root
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    for i in range(clear):
+        suffix[i] = i
+    next_code = eoi + 1
+
+    out = np.empty(n_expected, dtype=np.uint8)
+    n_out = 0
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = -1
+    stack = bytearray()
+    while n_out < n_expected:
+        while nbits < code_size:
+            if pos >= len(data):
+                # truncated stream: some writers omit the final EOI
+                return out[:n_out]
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            next_code = eoi + 1
+            code_size = mcs + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            out[n_out] = suffix[code]
+            n_out += 1
+            prev = code
+            continue
+        # materialize the string for `code` (or prev+prev[0] for the
+        # not-yet-defined next code)
+        stack.clear()
+        c = code
+        if code >= next_code:  # the KwKwK case
+            c = prev
+            deferred = True
+        else:
+            deferred = False
+        while c >= 0:
+            stack.append(int(suffix[c]))
+            c = int(prefix[c])
+        first = stack[-1]
+        entry_len = len(stack) + (1 if deferred else 0)
+        end = min(n_out + entry_len, n_expected)
+        i = n_out
+        for b in reversed(stack):
+            if i >= end:
+                break
+            out[i] = b
+            i += 1
+        if deferred and i < end:
+            out[i] = first
+            i += 1
+        n_out = i
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    return out[:n_out]
+
+
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF LZW encoder (dictionary reset at 4096), LSB-first packing."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(-1, int(v)): int(v) for v in range(clear)}
+    code_size = mcs + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    prev = -1
+    for v in map(int, indices):
+        key = (prev, v)
+        cur = table.get(key)
+        if cur is not None:
+            prev = cur
+            continue
+        emit(prev, code_size)
+        table[key] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = {(-1, int(x)): int(x) for x in range(clear)}
+            code_size = mcs + 1
+            next_code = eoi + 1
+        prev = v
+    if prev >= 0:
+        emit(prev, code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_frames(data: bytes):
+    """Decode every frame of a GIF, composited onto the logical-screen
+    canvas honoring disposal methods 0/1 (keep), 2 (restore background)
+    and 3 (restore previous). Yields (H, W, 4) uint8 RGBA frames (alpha 0
+    only where nothing has ever been drawn or the transparent index
+    shows through)."""
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    w, h, flags, bg_idx, _ = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    transparent = None
+    disposal = 0
+    frames = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                blk = data[pos + 1:pos + 1 + data[pos]]
+                packed = blk[0]
+                disposal = (packed >> 2) & 7
+                transparent = blk[3] if packed & 1 else None
+            # skip sub-blocks
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        x0, y0, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+        pos += 10
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            lct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if lct is None:
+            raise ValueError("GIF image with no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(mcs, bytes(lzw), iw * ih)
+        if len(idx) < iw * ih:  # pad truncated frames with bg
+            idx = np.concatenate(
+                [idx, np.full(iw * ih - len(idx), bg_idx, dtype=np.uint8)]
+            )
+        grid = np.empty((ih, iw), dtype=np.uint8)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            rows = np.concatenate(
+                [np.arange(start, ih, step)
+                 for start, step in _GIF_INTERLACE_PASSES]
+            )
+            grid[rows] = idx.reshape(ih, iw)
+        else:
+            grid[:] = idx.reshape(ih, iw)
+        before = canvas.copy() if disposal == 3 else None
+        rgba = np.dstack([lct[grid], np.full((ih, iw), 255, np.uint8)])
+        if transparent is not None:
+            mask = grid == transparent
+            rgba[mask] = canvas[y0:y0 + ih, x0:x0 + iw][mask]
+        canvas[y0:y0 + ih, x0:x0 + iw] = rgba
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[y0:y0 + ih, x0:x0 + iw] = 0
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal = 0
+        transparent = None
+    return frames
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First composited frame as (H,W,3) RGB uint8 (alpha dropped — a
+    single-frame GIF's canvas is fully painted)."""
+    frames = gif_frames(data)
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames[0][:, :, :3]
+
+
+def encode_gif(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    transparent: int | None = None,
+) -> bytes:
+    """Single-frame GIF89a from (H,W) uint8 palette indices + (N,3)
+    palette (N padded to a power of two)."""
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("expected (H,W) indices and (N,3) palette")
+    h, w = idx.shape
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << bits
+    if idx.max(initial=0) >= n:
+        raise ValueError("palette index out of range")
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7) | ((bits - 1) << 4), 0, 0)
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent & 0xFF, 0])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    mcs = max(2, bits)
+    out.append(mcs)
+    payload = _gif_lzw_encode(idx.ravel(), mcs)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

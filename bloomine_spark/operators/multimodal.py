@@ -3,7 +3,8 @@ typed metadata, processed by Arrow-batched kernels.
 
 Decode is REAL for formats the stdlib can handle (see
 ``bloomine_spark.functions.codecs``): PNG (zlib inflate + scanline
-unfiltering), 24-bit BMP, binary PPM, PCM WAV, baseline JPEG (SOF0
+unfiltering, palette/Adam7/16-bit), GIF (LZW, interlace, frames),
+24-bit BMP, binary PPM, PCM WAV, baseline JPEG (SOF0
 Huffman + IDCT, any 1/2-factor chroma subsampling), and the RFV1
 length-prefixed frame container for video sampling. Formats that genuinely
 require external codec libraries (MP4/H.264, MP3 — none
@@ -47,7 +48,7 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-_REAL_IMAGE_DECODERS = ("auto", "png", "bmp", "ppm", "jpeg")
+_REAL_IMAGE_DECODERS = ("auto", "png", "gif", "bmp", "ppm", "jpeg")
 
 
 def _synthetic_image(rid: int, seed: int) -> np.ndarray:
@@ -75,7 +76,7 @@ def synthetic_media(
     row — the heterogeneous shape of a real web-corpus media column.
     """
     if codec not in (
-        "fake-raw", "png", "bmp", "ppm", "jpeg", "png-palette",
+        "fake-raw", "png", "bmp", "ppm", "jpeg", "gif", "png-palette",
         "png-interlaced", "png-mixed",
     ):
         raise ValueError(f"unknown codec {codec!r}")
@@ -109,6 +110,15 @@ def synthetic_media(
                     payload = codecs.encode_png_palette(
                         (img >> 4).astype(np.uint8), plte, bit_depth=4,
                         interlace=bool(int(rid) % 2),
+                    )
+                elif c == "gif":
+                    # 16-level gray palette, same quantization contract as
+                    # png-palette: decode reproduces (img >> 4) * 17
+                    plte = np.repeat(
+                        (np.arange(16, dtype=np.uint8) * 17)[:, None], 3, axis=1
+                    )
+                    payload = codecs.encode_gif(
+                        (img >> 4).astype(np.uint8), plte
                     )
                 elif c == "jpeg":
                     payload = codecs.encode_jpeg(img, quality=92)
@@ -145,6 +155,8 @@ def _decode_image(payload: bytes, decoder: str) -> np.ndarray:
     if decoder == "auto":
         if payload[:8] == codecs.PNG_SIG:
             decoder = "png"
+        elif payload[:6] in codecs.GIF_SIGS:
+            decoder = "gif"
         elif payload[:2] == b"BM":
             decoder = "bmp"
         elif payload[:2] == b"P6":
@@ -155,11 +167,12 @@ def _decode_image(payload: bytes, decoder: str) -> np.ndarray:
             raise NotImplementedError(
                 "unrecognized image payload — WEBP/HEIC/... require external "
                 "codec libraries (PIL/opencv) not shipped in this container; "
-                "supported stdlib formats: PNG, BMP(24-bit), PPM(P6), "
+                "supported stdlib formats: PNG, GIF, BMP(24-bit), PPM(P6), "
                 "baseline JPEG"
             )
     img = {
         "png": codecs.decode_png,
+        "gif": codecs.decode_gif,
         "bmp": codecs.decode_bmp,
         "ppm": codecs.decode_ppm,
         "jpeg": codecs.decode_jpeg,

@@ -735,3 +735,144 @@ def test_png_16bit_roundtrip_and_jdk_interop():
     dec = codecs.decode_png(open(_data("jdk_gray16.png"), "rb").read())
     assert dec.dtype == np.uint16 and dec.shape == src.shape
     assert (dec == src).all()
+
+
+def test_gif_roundtrip_and_jdk_interop(tmp_path):
+    """GIF87a/89a: our encoder's stream decodes exactly, the JDK's
+    TYPE_BYTE_INDEXED GIF fixture (tests/data/jdk_indexed.gif, generator
+    GenGif.java) decodes pixel-exact, and the JDK decodes OUR stream back
+    to the same pixels — interop in both directions."""
+    import subprocess
+
+    rng = np.random.default_rng(7)
+    for shape, ncol in (((17, 23), 16), ((5, 7), 4), ((60, 40), 256)):
+        plte = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, shape, dtype=np.uint8)
+        dec = codecs.decode_gif(codecs.encode_gif(idx, plte))
+        assert (dec == plte[idx]).all(), (shape, ncol)
+
+    rgb = np.array(
+        [[[int(v) for v in px.split(",")] for px in l.strip().split(";")]
+         for l in open(_data("jdk_indexed_gif_rgb.txt"))],
+        dtype=np.uint8,
+    )
+    dec = codecs.decode_gif(open(_data("jdk_indexed.gif"), "rb").read())
+    assert dec.shape == rgb.shape and (dec == rgb).all()
+
+    # reverse direction: javac a minimal ImageIO reader at test time
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (11, 13), dtype=np.uint8)
+    ours = tmp_path / "ours.gif"
+    ours.write_bytes(codecs.encode_gif(idx, plte))
+    src = (
+        "import javax.imageio.ImageIO;import java.awt.image.BufferedImage;"
+        "import java.io.File;public class DecG{public static void main"
+        "(String[] a)throws Exception{BufferedImage i=ImageIO.read(new "
+        "File(a[0]));StringBuilder s=new StringBuilder();for(int y=0;"
+        "y<i.getHeight();y++)for(int x=0;x<i.getWidth();x++){int v="
+        "i.getRGB(x,y);s.append(((v>>16)&255)+\",\"+((v>>8)&255)+\",\""
+        "+(v&255)+\"\\n\");}System.out.print(s);}}"
+    )
+    (tmp_path / "DecG.java").write_text(src)
+    subprocess.run(["javac", "DecG.java"], cwd=tmp_path, check=True,
+                   capture_output=True)
+    r = subprocess.run(["java", "DecG", str(ours)], cwd=tmp_path,
+                       check=True, capture_output=True, text=True)
+    px = np.array(
+        [[int(v) for v in l.split(",")] for l in r.stdout.strip().split("\n")],
+        dtype=np.uint8,
+    ).reshape(11, 13, 3)
+    assert (px == plte[idx]).all()
+
+
+def test_gif_interlaced_decode():
+    """4-pass GIF interlace: pack rows in pass order ourselves (the
+    encoder writes sequential), set the interlace flag, decode must
+    un-weave back to the source."""
+    import struct as st
+
+    rng = np.random.default_rng(8)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (23, 9), dtype=np.uint8)
+    base = codecs.encode_gif(idx, plte)
+    h, w = idx.shape
+    rows = np.concatenate(
+        [np.arange(s0, h, st0) for s0, st0 in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    woven = idx[rows]
+    # rebuild: header+GCT from base, new image descriptor w/ interlace bit
+    gct_end = 13 + 3 * 16
+    out = bytearray(base[:gct_end])
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0x40)
+    mcs = 4
+    out.append(mcs)
+    payload = codecs._gif_lzw_encode(woven.ravel(), mcs)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    dec = codecs.decode_gif(bytes(out))
+    assert (dec == plte[idx]).all()
+
+
+def test_gif_multiframe_transparency_disposal():
+    """Animated GIF compositing: frame 2 is a sub-rect with a transparent
+    index (shows frame 1 through) and disposal=2 (restore background
+    after), so frame 3 sees the rect cleared."""
+    import struct as st
+
+    plte = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                    dtype=np.uint8)
+    f1 = np.zeros((8, 8), dtype=np.uint8)
+    f1[:] = 1
+    base = bytearray(codecs.encode_gif(f1, plte))
+    assert base[-2:] == b"\x00\x3b"
+    body = bytearray(base[:-1])  # drop trailer, keep first frame
+
+    # frame 2: 4x4 rect at (2,2), color 2 except a transparent hole
+    f2 = np.full((4, 4), 2, dtype=np.uint8)
+    f2[1, 1] = 3  # transparent index
+    body += bytes([0x21, 0xF9, 4, (2 << 2) | 1, 0, 0, 3, 0])  # disposal=2
+    body += b"\x2c" + st.pack("<HHHHB", 2, 2, 4, 4, 0)
+    body.append(2)
+    payload = codecs._gif_lzw_encode(f2.ravel(), 2)
+    body.append(len(payload))
+    body += payload + b"\x00"
+    # frame 3: full-frame transparent (reveals post-disposal canvas)
+    f3 = np.full((8, 8), 3, dtype=np.uint8)
+    body += bytes([0x21, 0xF9, 4, 1, 0, 0, 3, 0])
+    body += b"\x2c" + st.pack("<HHHHB", 0, 0, 8, 8, 0)
+    body.append(2)
+    payload = codecs._gif_lzw_encode(f3.ravel(), 2)
+    body.append(len(payload))
+    body += payload + b"\x00\x3b"
+
+    frames = codecs.gif_frames(bytes(body))
+    assert len(frames) == 3
+    assert (frames[0][:, :, :3] == plte[1]).all()
+    # frame 2: rect painted except the hole, which shows frame 1's red
+    assert (frames[1][3, 3, :3] == plte[1]).all()
+    assert (frames[1][2, 2, :3] == plte[2]).all()
+    assert (frames[1][0, 0, :3] == plte[1]).all()
+    # frame 3: disposal=2 cleared the rect (alpha 0 there), rest shows red
+    assert (frames[2][0, 0, :3] == plte[1]).all()
+    assert frames[2][3, 3, 3] == 0  # cleared by disposal, transparent f3
+    assert (frames[2][7, 7, :3] == plte[1]).all()
+
+
+def test_gif_media_pipeline(spark):
+    from bloomine_spark.operators.multimodal import (
+        _synthetic_image,
+        decode_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 8, codec="gif")
+    feats = decode_image_features(media, decoder="auto", grid=2).toPandas()
+    assert len(feats) == 8
+    for _, row in feats.iterrows():
+        rid = int(row["media_id"][1:])
+        img = ((_synthetic_image(rid, 42) >> 4) * 17).astype(np.uint8)
+        assert (row["height"], row["width"]) == img.shape
+        assert abs(np.mean(row["features"]) - img.mean()) < 1.0
