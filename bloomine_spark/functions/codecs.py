@@ -534,6 +534,47 @@ def gif_frames(data: bytes):
     return frames
 
 
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 10,
+) -> bytes:
+    """Animated GIF89a from a list of (H,W) uint8 index frames sharing one
+    palette: NETSCAPE loop block + per-frame graphic control (disposal=1,
+    ``delay_cs`` hundredths of a second)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = np.ascontiguousarray(palette, dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bits - 1) & 7) | ((bits - 1) << 4), 0, 0
+    )
+    out += pal.tobytes()
+    # NETSCAPE2.0 infinite-loop extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(2, bits)
+    for idx in frames:
+        idx = np.ascontiguousarray(idx, dtype=np.uint8)
+        if idx.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        out += bytes([0x21, 0xF9, 4, 1 << 2, delay_cs & 0xFF,
+                      (delay_cs >> 8) & 0xFF, 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        payload = _gif_lzw_encode(idx.ravel(), mcs)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """First composited frame as (H,W,3) RGB uint8 (alpha dropped — a
     single-frame GIF's canvas is fully painted)."""

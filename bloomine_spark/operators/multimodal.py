@@ -494,9 +494,12 @@ def sample_video_frames(
     """Emit every ``every_n``-th frame of each clip as its own row.
 
     decoder='rfv1' REALLY parses the length-prefixed container (frames stay
-    encoded — downstream decode_image_features consumes them); 'stub' is
-    the integration point for MP4/H.264 which require ffmpeg."""
-    if decoder not in ("rfv1", "stub"):
+    encoded — downstream decode_image_features consumes them); 'gif'
+    composites an animated GIF's frames (disposal-aware, codecs.gif_frames)
+    and re-emits each sampled frame as PNG bytes so the downstream feature
+    kernel is format-agnostic; 'auto' sniffs per payload; 'stub' is the
+    integration point for MP4/H.264 which require ffmpeg."""
+    if decoder not in ("rfv1", "gif", "auto", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
     schema = T.StructType(
         [
@@ -517,7 +520,19 @@ def sample_video_frames(
                 )
             out = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for idx, frame in codecs.iter_frames(bytes(payload)):
+                payload = bytes(payload)
+                kind = decoder
+                if kind == "auto":
+                    kind = ("gif" if payload[:6] in codecs.GIF_SIGS
+                            else "rfv1")
+                if kind == "gif":
+                    frames = (
+                        (i, codecs.encode_png(f[:, :, :3]))
+                        for i, f in enumerate(codecs.gif_frames(payload))
+                    )
+                else:
+                    frames = codecs.iter_frames(payload)
+                for idx, frame in frames:
                     if idx % every_n == 0:
                         out["media_id"].append(mid)
                         out["frame_idx"].append(idx)

@@ -876,3 +876,52 @@ def test_gif_media_pipeline(spark):
         img = ((_synthetic_image(rid, 42) >> 4) * 17).astype(np.uint8)
         assert (row["height"], row["width"]) == img.shape
         assert abs(np.mean(row["features"]) - img.mean()) < 1.0
+
+
+def test_gif_animation_frame_sampling_pipeline(spark):
+    """Animated GIFs as a video source: sample_video_frames(decoder='auto')
+    mixes RFV1 clips and animated GIFs in one batch, composites GIF frames
+    disposal-aware, re-encodes sampled frames as PNG, and the downstream
+    feature kernel consumes them format-agnostically."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(6)
+    plte = np.repeat((np.arange(16, dtype=np.uint8) * 17)[:, None], 3, axis=1)
+    gif_src = [rng.integers(0, 16, (9, 12), dtype=np.uint8) for _ in range(7)]
+    gif_payload = codecs.encode_gif_animation(gif_src, plte)
+    rfv_frames = [
+        codecs.encode_png(rng.integers(0, 256, (9, 12), dtype=np.uint8))
+        for _ in range(7)
+    ]
+    rfv_payload = codecs.encode_frames(rfv_frames)
+    media = spark.createDataFrame(
+        pd.DataFrame([
+            {"media_id": "g0", "media_type": "video",
+             "payload": gif_payload, "meta": {}},
+            {"media_id": "v0", "media_type": "video",
+             "payload": rfv_payload, "meta": {}},
+        ]),
+        schema=MEDIA_SCHEMA,
+    )
+    sampled = sample_video_frames(media, every_n=3, decoder="auto")
+    pdf = sampled.toPandas()
+    assert sorted(pdf["frame_idx"]) == [0, 0, 3, 3, 6, 6]
+    # sampled GIF frames decode to the composited source pixels
+    g3 = bytes(pdf[(pdf.media_id == "g0") & (pdf.frame_idx == 3)]
+               ["frame"].iloc[0])
+    assert (codecs.decode_png(g3) == plte[gif_src[3]]).all()
+    # and the whole sampled set feeds the image-feature kernel
+    frames_media = sampled.select(
+        F.col("media_id"), F.lit("image").alias("media_type"),
+        F.col("frame").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = decode_image_features(frames_media, decoder="auto", grid=2)
+    assert feats.count() == 6
