@@ -187,8 +187,8 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode images and extract a grid-pooled feature vector per image.
 
-    decoder: 'auto' (sniff PNG/BMP/PPM/JPEG magic), explicit
-    'png'/'bmp'/'ppm'/'jpeg', 'fake' (round-1 synthetic raw format), or
+    decoder: 'auto' (sniff PNG/GIF/BMP/PPM/JPEG magic), explicit
+    'png'/'gif'/'bmp'/'ppm'/'jpeg', 'fake' (round-1 synthetic raw format), or
     'stub' — the marked integration point that raises for formats needing
     external codecs (WEBP/HEIC...); baseline AND progressive JPEG decode natively.
     """
@@ -205,7 +205,7 @@ def decode_image_features(
                     raise NotImplementedError(
                         "this decoder slot is for formats that need external "
                         "codecs (WEBP/HEIC via PIL, not in this container); "
-                        "PNG/BMP/PPM/baseline-JPEG decode natively via "
+                        "PNG/GIF/BMP/PPM/baseline-JPEG decode natively via "
                         "decoder='auto'"
                     )
                 img = _decode_image(bytes(payload), decoder)
