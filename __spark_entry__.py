@@ -1060,13 +1060,21 @@ def _q_doc_fingerprint_md5(spark, sf_dir):
 
 
 def _q_doc_fingerprint_winnow(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints (hash-based → rows-only)."""
+    """Winnowing fingerprints, SQL-portable variant: md5-prefix k-gram
+    hashes + window minima as PURE Catalyst expressions (whole-stage
+    codegen, no Python), oracle-HASH-checked fingerprint-for-fingerprint
+    against DuckDB's identical md5 (r6 promotion; the numpy rolling-hash
+    variant `fingerprint_winnow` remains the throughput path and is
+    pytest-gated)."""
     _ship_pkg(spark)
-    from bloomine_spark.operators.textops import fingerprint_winnow
+    from bloomine_spark.operators.textops import fingerprint_winnow_sql
     from bloomine_spark.sources.tables import load_table
 
-    return fingerprint_winnow(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.size("fingerprints").alias("n_fingerprints"), "min_fp"
+    return fingerprint_winnow_sql(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.array_join("fingerprints", "|").alias("fingerprints"),
+        "n_fingerprints",
+        "min_fp",
     )
 
 
@@ -1723,6 +1731,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                md5(lower(trim(text))) AS fingerprint
         FROM documents
+    """
+
+    # Winnowing (Schleimer et al. 2003) with SQL-portable hashes: k-gram
+    # hash = first 16 hex chars of md5 (identical in Spark and DuckDB),
+    # window=8 minima, distinct+sorted. Mirrors fingerprint_winnow_sql
+    # expression-for-expression; slices are 1-based inclusive in both
+    # engines (ws[i+1:i+4] == F.slice(words, i+1, 4)).
+    sql["doc_fingerprint_winnow"] = """
+        WITH w AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 string_split(text, ' ') AS ws
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 4
+        ), kg AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(ws) - 3),
+                   i -> substring(md5(array_to_string(ws[i + 1 : i + 4], ' ')),
+                                  1, 16)) AS kh
+          FROM w
+        ), wins AS (
+          SELECT doc_id,
+                 CASE WHEN len(kh) >= 8 THEN
+                   list_transform(range(0, len(kh) - 7),
+                     j -> list_min(kh[j + 1 : j + 8]))
+                 ELSE [list_min(kh)] END AS mins
+          FROM kg
+        ), fp AS (
+          SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM wins
+        )
+        SELECT doc_id,
+               array_to_string(fps, '|') AS fingerprints,
+               CAST(len(fps) AS INT) AS n_fingerprints,
+               fps[1] AS min_fp
+        FROM fp
     """
 
     sql["repetition_scores"] = """

@@ -141,6 +141,54 @@ def fingerprint_winnow(
     return pre.mapInPandas(kernel, schema=schema)
 
 
+def fingerprint_winnow_sql(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing with SQL-PORTABLE hashes: k-gram hash = first 16 hex
+    chars of md5, window minima and dedup all as Catalyst expressions —
+    the entire operator is whole-stage codegen, zero Python, and every
+    fingerprint is bit-reproducible by any engine with md5 (the DuckDB
+    oracle hash-checks it end to end). Companion to fingerprint_winnow
+    (numpy rolling hash — faster per byte, but its hash is private to
+    this library so no external oracle can recompute it).
+
+    Returns (doc_id, fingerprints sorted array<string>, n_fingerprints,
+    min_fp) for docs with ≥ k words; the scheme is Schleimer et al. 2003
+    winnowing with lexicographic-min selection over hex strings (uniform
+    hash, so min-over-hex is the same sampling rule as min-over-int)."""
+    words = F.split(F.col(text_col), " ")
+    kg = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 16
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pre = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), kg.alias("_kh")
+    ).filter(F.size("_kh") > 0)
+    wins = F.when(
+        F.size("_kh") >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_kh") - window),
+            lambda j: F.array_min(F.slice(F.col("_kh"), j + 1, window)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("_kh"))))
+    return (
+        pre.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(wins)).alias("fingerprints"),
+        )
+        .withColumn("n_fingerprints", F.size("fingerprints"))
+        .withColumn("min_fp", F.element_at("fingerprints", 1))
+    )
+
+
 # PII patterns kept deliberately simple and ANSI-regex portable: the SAME
 # pattern strings run in Spark's regexp_replace and DuckDB's (oracle), so
 # the scrub is hash-checkable end-to-end. Order matters: emails first

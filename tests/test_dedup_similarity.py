@@ -371,6 +371,40 @@ def test_winnow_min_fp_consistent(spark):
     assert (got["min_fp"] < 0).any()
 
 
+def test_winnow_sql_guarantees(spark):
+    """fingerprint_winnow_sql (the oracle-hash-checked Catalyst variant):
+    (a) winnowing's coverage guarantee — any shared word run of length
+    >= window + k - 1 (= 11 at defaults) yields >= 1 shared fingerprint;
+    (b) a doc with k <= n_words < k + window - 1 has exactly one
+    fingerprint; (c) fingerprints are sorted distinct, min_fp is first;
+    (d) docs shorter than k words are dropped."""
+    from bloomine_spark.operators.textops import fingerprint_winnow_sql
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, shared + " seven eight nine ten eleven twelve"),
+        (3, "tiny little doc here"),          # 4 words -> 1 k-gram
+        (4, "way too short"),                 # 3 words -> dropped
+        (5, "a completely unrelated document about parquet shuffles and "
+            "broadcast joins that shares no run with the others at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in fingerprint_winnow_sql(docs).collect()
+    }
+    assert set(got) == {"1", "2", "3", "5"}                      # (d)
+    assert set(got["1"]["fingerprints"]) & set(got["2"]["fingerprints"])  # (a)
+    assert not set(got["1"]["fingerprints"]) & set(got["5"]["fingerprints"])
+    assert got["3"]["n_fingerprints"] == 1                       # (b)
+    for r in got.values():                                       # (c)
+        fps = r["fingerprints"]
+        assert fps == sorted(set(fps))
+        assert r["min_fp"] == fps[0]
+        assert r["n_fingerprints"] == len(fps)
+
+
 def test_contamination_screen_planted(spark):
     """A train doc that embeds an 8-gram from the eval set is flagged with
     the exact distinct-shared-shingle count; clean docs are untouched and
