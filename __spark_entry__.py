@@ -749,6 +749,115 @@ def _q_theta_tokens_setops(spark, sf_dir):
     )
 
 
+def _q_cms_relational_topk(spark, sf_dir):
+    """Count-min sketch as relational algebra (sketch/relational.py):
+    md5-derived buckets make the sketch ENGINE-PORTABLE, so the DuckDB
+    oracle rebuilds the identical d=4 × w=4096 count table and reproduces
+    every probe estimate bit-for-bit — INCLUDING collision inflation (the
+    oracle shares the sketch, r6 rule). The d·w count table is O(1) in
+    corpus size and broadcast-joins to the probe keys; the xxhash numpy
+    kernel (sketch/cms.py, `cms_token_freq_topk`) remains the throughput
+    path. Probe keys = exact top-20 3-grams, deterministic tiebreak."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import (
+        cms_relational_counts,
+        cms_relational_estimates,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(_kgram_str_expr(3)).alias("gram"))
+    counts = cms_relational_counts(grams, "gram", d=4, w=4096)
+    keys = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), F.asc("gram"))
+        .limit(20)
+        .select("gram")
+    )
+    return cms_relational_estimates(counts, keys, "gram", d=4, w=4096)
+
+
+def _q_kmv_relational_setops(spark, sf_dir):
+    """KMV/theta set algebra as relational algebra: k=256 smallest
+    distinct md5-63bit hashes per source (a bounded window after a
+    distinct — only (group, hash) pairs shuffle), theta = k-th smallest
+    of the union, union/intersect/difference estimated below theta.
+    Integer columns (theta, raw below-theta counts) pin the hash match
+    exactly; the rounded float estimates carry the semantics. The xxhash
+    theta kernel (`theta_tokens_setops`) remains the throughput path."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import (
+        kmv_relational,
+        kmv_set_estimates,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    grams = docs.select("source", F.explode(_kgram_str_expr(3)).alias("gram"))
+    kmv = kmv_relational(grams, "source", "gram", k=256, presalt=8)
+    return kmv_set_estimates(kmv, "source", "src0", "src1", k=256)
+
+
+def _q_hll_relational_per_source(spark, sf_dir):
+    """HyperLogLog as relational algebra: per-source registers (j, mj)
+    from the portable md5-63bit hash, harmonic sum in EXACT scaled-integer
+    arithmetic (decimal(38,0) / HUGEINT — no float summation order),
+    linear-counting small-range branch. Integer register pins (n_nonzero,
+    sum_rho, checksum) hash-match exactly; est_distinct reproduces to the
+    cent in DuckDB. The xxhash numpy HLL (`hll_distinct_kgrams_per_source`)
+    remains the throughput path; shared semantics, two hash families."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import (
+        hll_relational_estimates,
+        hll_relational_registers,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("source", F.explode(_kgram_str_expr(3)).alias("gram"))
+    regs = hll_relational_registers(grams, "source", "gram", p=12)
+    return hll_relational_estimates(regs, "source", p=12)
+
+
+def _q_minhash_relational_jaccard(spark, sf_dir):
+    """MinHash as relational algebra: 32-permutation signature per source
+    (min of md5-63bit of 'perm:gram'; at most 32 rows per group shuffle),
+    Jaccard(src0, src1) = matching fraction — n_match is the integer pin,
+    est_jaccard is exact in binary (power-of-two denominator). The xxhash
+    banded MinHash-LSH (`minhash_lsh_dups`) remains the production dedup
+    path; this pins the signature/estimator semantics to an oracle."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import (
+        minhash_relational,
+        minhash_relational_jaccard,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    grams = docs.select("source", F.explode(_kgram_str_expr(3)).alias("gram"))
+    sigs = minhash_relational(grams, "source", "gram", n_perm=32)
+    return minhash_relational_jaccard(sigs, "source", "src0", "src1", 32)
+
+
+def _q_simhash_relational(spark, sf_dir):
+    """64-bit SimHash per doc as pure Catalyst expressions over the
+    portable md5-63bit word hash — every fingerprint hash-checked against
+    DuckDB's identical computation (63 bit-count aggregates, tie→0). The
+    xxhash banded near-dup pair path (`simhash_dups`) remains the
+    production operator; this pins its fingerprint SEMANTICS to an
+    external oracle."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import simhash_relational
+    from bloomine_spark.sources.tables import load_table
+
+    return simhash_relational(load_table(spark, sf_dir, "documents"))
+
+
 def _q_bloom_semi_join_orders(spark, sf_dir):
     """F1-as-join: Bloom prefilter built from high-value orders cuts the
     lineitem side BEFORE the shuffle; the exact semi-join that follows
@@ -1175,6 +1284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_token_topk": _q_mg_token_topk,
         "distinct_tokens_setops_exact": _q_distinct_tokens_setops_exact,
         "theta_tokens_setops": _q_theta_tokens_setops,
+        "cms_relational_topk": _q_cms_relational_topk,
+        "kmv_relational_setops": _q_kmv_relational_setops,
+        "simhash_relational": _q_simhash_relational,
+        "hll_relational_per_source": _q_hll_relational_per_source,
+        "minhash_relational_jaccard": _q_minhash_relational_jaccard,
         "jaccard_sources_exact": _q_jaccard_sources_exact,
         "minhash_jaccard_sources": _q_minhash_jaccard_sources,
         "curate_training_docs": _q_curate_training_docs,
@@ -1765,6 +1879,182 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(fps) AS INT) AS n_fingerprints,
                fps[1] AS min_fp
         FROM fp
+    """
+
+    # Relational CMS: DuckDB rebuilds the IDENTICAL d=4 × w=4096 sketch
+    # (same md5 buckets) and reproduces every estimate including collision
+    # inflation — the oracle shares the sketch.
+    sql["cms_relational_topk"] = """
+        WITH w AS (
+          SELECT string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), g AS (
+          SELECT array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+          FROM w, unnest(range(0, len(ws) - 2)) AS u(i)
+        ), st AS (
+          SELECT gram, s FROM g, unnest([0, 1, 2, 3]) AS t(s)
+        ), counts AS (
+          SELECT s,
+                 ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || gram),
+                                    1, 8))::BIGINT % 4096 AS b,
+                 COUNT(*) AS cnt
+          FROM st GROUP BY 1, 2
+        ), keys AS (
+          SELECT gram FROM (
+            SELECT gram, COUNT(*) AS f FROM g GROUP BY 1
+            ORDER BY f DESC, gram ASC LIMIT 20)
+        ), probe AS (
+          SELECT k.gram, t.s,
+                 ('0x' || substring(md5(CAST(t.s AS VARCHAR) || ':' || k.gram),
+                                    1, 8))::BIGINT % 4096 AS b
+          FROM keys k, unnest([0, 1, 2, 3]) AS t(s)
+        )
+        SELECT p.gram, CAST(MIN(c.cnt) AS BIGINT) AS est_freq
+        FROM probe p JOIN counts c ON p.s = c.s AND p.b = c.b
+        GROUP BY p.gram
+    """
+
+    # Relational KMV/theta: k=256 smallest distinct 63-bit md5 hashes per
+    # source, theta = k-th smallest of the union, set ops below theta.
+    # Integer theta + raw counts pin the hash match; floats are the
+    # identical IEEE arithmetic in both engines.
+    sql["kmv_relational_setops"] = """
+        WITH w AS (
+          SELECT source, string_split(text, ' ') AS ws FROM documents
+          WHERE source IN ('src0', 'src1')
+            AND len(string_split(text, ' ')) >= 3
+        ), g AS (
+          SELECT DISTINCT source,
+                 ('0x' || translate(substring(md5(gram), 1, 1),
+                                    '89abcdef', '01234567')
+                   || substring(md5(gram), 2, 15))::BIGINT AS hv
+          FROM (SELECT source, array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+                FROM w, unnest(range(0, len(ws) - 2)) AS u(i))
+        ), km AS (
+          SELECT source, hv FROM (
+            SELECT source, hv,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM g) WHERE rn <= 256
+        ), uk AS (
+          SELECT hv FROM (SELECT DISTINCT hv FROM km ORDER BY hv LIMIT 256)
+        ), th AS (SELECT MAX(hv) AS theta FROM uk),
+        tagged AS (
+          SELECT u.hv,
+                 CASE WHEN a.hv IS NULL THEN 0 ELSE 1 END AS in_a,
+                 CASE WHEN b.hv IS NULL THEN 0 ELSE 1 END AS in_b
+          FROM uk u
+          LEFT JOIN (SELECT hv FROM km WHERE source = 'src0') a
+            ON u.hv = a.hv
+          LEFT JOIN (SELECT hv FROM km WHERE source = 'src1') b
+            ON u.hv = b.hv
+        )
+        SELECT CAST(theta AS BIGINT) AS theta,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS raw_intersect,
+               CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS raw_a_not_b,
+               ROUND(255 / (theta / 9223372036854775808.0), 2) AS n_union,
+               ROUND(SUM(in_a * in_b)
+                     / (theta / 9223372036854775808.0), 2) AS n_intersect,
+               ROUND(SUM(in_a * (1 - in_b))
+                     / (theta / 9223372036854775808.0), 2) AS n_a_not_b
+        FROM tagged, th GROUP BY theta
+    """
+
+    # Relational HLL: register relation (j = hv mod 2^12, mj = max rho),
+    # harmonic sum in EXACT scaled-integer arithmetic (HUGEINT), linear
+    # counting on the small-range branch. c_raw = alpha_m * m^2 * 2^52.
+    _hll_c_raw = repr(0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * float(1 << 52))
+    sql["hll_relational_per_source"] = f"""
+        WITH w AS (
+          SELECT source, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), g AS (
+          SELECT source, array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+          FROM w, unnest(range(0, len(ws) - 2)) AS u(i)
+        ), h AS (
+          SELECT source,
+                 ('0x' || translate(substring(md5(gram), 1, 1),
+                                    '89abcdef', '01234567')
+                   || substring(md5(gram), 2, 15))::BIGINT AS hv
+          FROM g
+        ), regs AS (
+          SELECT source, hv % 4096 AS j,
+                 MAX(CASE WHEN (hv >> 12) = 0 THEN 52
+                     ELSE 52 - length(bin(hv >> 12)) END) AS mj
+          FROM h GROUP BY 1, 2
+        ), agg AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+                 CAST(SUM(mj) AS BIGINT) AS sum_rho,
+                 CAST(SUM(j * mj) AS BIGINT) AS reg_checksum,
+                 SUM((1::HUGEINT << CAST(52 - mj AS INTEGER))) AS s_nz
+          FROM regs GROUP BY 1
+        ), est AS (
+          SELECT source, n_nonzero, sum_rho, reg_checksum,
+                 {_hll_c_raw} / CAST(s_nz + (4096 - n_nonzero)
+                                     * (1::HUGEINT << 52) AS DOUBLE) AS raw,
+                 4096 - n_nonzero AS zeros
+          FROM agg
+        )
+        SELECT source, n_nonzero, sum_rho, reg_checksum,
+               ROUND(CASE WHEN zeros > 0 AND raw < 10240.0
+                     THEN 4096.0 * ln(4096.0 / zeros)
+                     ELSE raw END, 2) AS est_distinct
+        FROM est
+    """
+
+    # Relational MinHash: 32-permutation signature per source; Jaccard =
+    # matching fraction (exact in binary — power-of-two denominator).
+    sql["minhash_relational_jaccard"] = """
+        WITH w AS (
+          SELECT source, string_split(text, ' ') AS ws FROM documents
+          WHERE source IN ('src0', 'src1')
+            AND len(string_split(text, ' ')) >= 3
+        ), g AS (
+          SELECT source, array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+          FROM w, unnest(range(0, len(ws) - 2)) AS u(i)
+        ), st AS (
+          SELECT source, CAST(p AS VARCHAR) || ':' || gram AS sv, p
+          FROM g, unnest(range(0, 32)) AS t(p)
+        ), sig AS (
+          SELECT source, p AS perm,
+                 MIN(('0x' || translate(substring(md5(sv), 1, 1),
+                                        '89abcdef', '01234567')
+                      || substring(md5(sv), 2, 15))::BIGINT) AS minh
+          FROM st GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match,
+               CAST(32 AS BIGINT) AS n_perm,
+               SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) / 32.0
+                 AS est_jaccard
+        FROM (SELECT perm, minh FROM sig WHERE source = 'src0') a
+        JOIN (SELECT perm, minh FROM sig WHERE source = 'src1') b
+          USING (perm)
+    """
+
+    # Relational SimHash: 63 bit-count aggregates over the portable
+    # md5-63bit word hash; tie (count*2 == n) -> 0 in both engines.
+    sql["simhash_relational"] = """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || translate(substring(md5(wd), 1, 1),
+                                    '89abcdef', '01234567')
+                   || substring(md5(wd), 2, 15))::BIGINT AS hv
+          FROM w
+        ), b AS (
+          SELECT doc_id, i,
+                 CASE WHEN SUM((hv >> i) & 1) * 2 > COUNT(*)
+                      THEN CAST(1 AS BIGINT) << i ELSE 0 END AS term
+          FROM h, unnest(range(0, 63)) AS u(i)
+          GROUP BY doc_id, i
+        ), s AS (
+          SELECT doc_id, CAST(SUM(term) AS BIGINT) AS sim
+          FROM b GROUP BY doc_id
+        )
+        SELECT doc_id, lpad(lower(to_hex(sim)), 16, '0') AS simhash FROM s
     """
 
     sql["repetition_scores"] = """

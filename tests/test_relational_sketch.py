@@ -1,0 +1,214 @@
+"""Sketch-semantics tests for bloomine_spark.sketch.relational — the
+engine-portable (md5-hashed) relational variants that the DuckDB oracle
+hash-checks end to end. These tests pin the SKETCH guarantees the hash
+match alone doesn't state: CMS overcount-only + mergeability, KMV error
+bound at saturation, SimHash locality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomine_spark.sketch.relational import (
+    cms_relational_counts,
+    cms_relational_estimates,
+    kmv_relational,
+    kmv_set_estimates,
+    simhash_relational,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _grams(spark, n=500):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(n)
+    words = F.split(F.col("text"), " ")
+    expr = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.explode(expr).alias("gram"))
+
+
+def test_cms_overcount_only_and_exact_at_large_w(spark):
+    """CMS can only overcount (est >= exact, deterministically — min of d
+    counters each >= the true count), and with w >> distinct keys the
+    estimate IS the exact count."""
+    grams = _grams(spark).cache()
+    exact = {
+        r["gram"]: r["f"]
+        for r in grams.groupBy("gram").agg(F.count("*").alias("f")).collect()
+    }
+    keys = grams.select("gram").distinct()
+
+    tight = cms_relational_counts(grams, "gram", d=4, w=256)
+    est_tight = {
+        r["gram"]: r["est_freq"]
+        for r in cms_relational_estimates(tight, keys, "gram", d=4, w=256)
+        .collect()
+    }
+    assert set(est_tight) == set(exact)
+    assert all(est_tight[g] >= exact[g] for g in exact)
+    assert any(est_tight[g] > exact[g] for g in exact)  # collisions real
+
+    wide = cms_relational_counts(grams, "gram", d=4, w=1 << 20)
+    est_wide = {
+        r["gram"]: r["est_freq"]
+        for r in cms_relational_estimates(wide, keys, "gram", d=4, w=1 << 20)
+        .collect()
+    }
+    assert est_wide == exact
+
+
+def test_cms_counts_mergeable(spark):
+    """The (s, b) -> cnt relation is the sketch, and it merges by
+    elementwise SUM: counts(A) + counts(B) == counts(A union B). This is
+    the tree-reduce merge law the partial aggregation relies on."""
+    grams = _grams(spark).withColumn(
+        "half", (F.xxhash64("gram") % 2 == 0).cast("int")
+    ).cache()
+    full = cms_relational_counts(grams, "gram", d=2, w=128)
+    a = cms_relational_counts(grams.filter("half = 0"), "gram", d=2, w=128)
+    b = cms_relational_counts(grams.filter("half = 1"), "gram", d=2, w=128)
+    merged = (
+        a.union(b).groupBy("s", "b").agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r["s"], r["b"]): r["cnt"] for r in full.collect()}
+    want = {(r["s"], r["b"]): r["cnt"] for r in merged.collect()}
+    assert got == want
+
+
+def test_kmv_bound_at_saturation(spark):
+    """Two sources with a KNOWN overlap: 600 distinct items each, 200
+    shared. k=128 saturated (128 < 600). KMV union estimate within 5
+    relative standard errors (1/sqrt(k-1) ~ 8.9%); raw below-theta counts
+    are consistent (intersect + a_not_b <= k)."""
+    rows = [("a", f"item{i}") for i in range(600)] + [
+        ("b", f"item{i}") for i in range(400, 1000)
+    ]
+    items = spark.createDataFrame(rows, ["grp", "v"])
+    kmv = kmv_relational(items, "grp", "v", k=128)
+    got = kmv_set_estimates(kmv, "grp", "a", "b", k=128).collect()[0]
+    true_union = 1000.0
+    rse = 1.0 / (127.0**0.5)
+    assert abs(got["n_union"] - true_union) / true_union < 5 * rse
+    assert got["raw_intersect"] + got["raw_a_not_b"] <= 128
+    # intersection estimate should land near 200 (looser: within 50%)
+    assert 100 <= got["n_intersect"] <= 300
+
+
+def test_kmv_partition_invariant(spark):
+    """The KMV sketch is a pure function of the item SET: repartitioning
+    the input does not change a single row of the sketch."""
+    rows = [("a", f"tok{i % 700}") for i in range(5000)]
+    items = spark.createDataFrame(rows, ["grp", "v"])
+    k1 = kmv_relational(items.repartition(2), "grp", "v", k=64).collect()
+    k2 = kmv_relational(items.repartition(16, "v"), "grp", "v", k=64).collect()
+    assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
+
+
+def test_kmv_presalt_bit_identical(spark):
+    """presalt (the scale path: per-(group, hv mod P) pre-truncation
+    before the global window) must produce a BIT-IDENTICAL sketch — every
+    global top-k element is top-k within its own salt cell."""
+    rows = [("a", f"item{i}") for i in range(3000)] + [
+        ("b", f"other{i}") for i in range(2000)
+    ]
+    items = spark.createDataFrame(rows, ["grp", "v"])
+    plain = kmv_relational(items, "grp", "v", k=200).collect()
+    salted = kmv_relational(items, "grp", "v", k=200, presalt=8).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_hll_relational_bound_and_merge(spark):
+    """Relational HLL: estimate within 4 sigma (1.04/sqrt(m)) of the true
+    distinct count on the raw-estimate branch, exact-ish on the
+    linear-counting branch, and the register relation merges by
+    groupBy(j).max(mj) — merge(A, B) == sketch(A ∪ B) row for row."""
+    from bloomine_spark.sketch.relational import (
+        hll_relational_estimates,
+        hll_relational_registers,
+    )
+
+    n = 30000  # > 2.5m for m=1024 -> raw branch
+    items = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(n)], ["grp", "v"]
+    )
+    p = 10
+    regs = hll_relational_registers(items, "grp", "v", p=p)
+    est = hll_relational_estimates(regs, "grp", p=p).collect()[0]
+    sigma = 1.04 / (1 << p) ** 0.5
+    assert abs(est["est_distinct"] - n) / n < 4 * sigma
+
+    # small-range: 300 distinct << 2.5m -> linear counting, tight
+    small = spark.createDataFrame(
+        [("g", f"s{i}") for i in range(300)], ["grp", "v"]
+    )
+    est_s = hll_relational_estimates(
+        hll_relational_registers(small, "grp", "v", p=p), "grp", p=p
+    ).collect()[0]
+    assert abs(est_s["est_distinct"] - 300) / 300 < 0.1
+
+    # mergeability: union of register relations under max == registers of
+    # the unioned corpus (the tree-reduce merge law)
+    half_a = items.filter(F.xxhash64("v") % 2 == 0)
+    half_b = items.filter(F.xxhash64("v") % 2 != 0)
+    ra = hll_relational_registers(half_a, "grp", "v", p=p)
+    rb = hll_relational_registers(half_b, "grp", "v", p=p)
+    merged = (
+        ra.union(rb).groupBy("grp", "j").agg(F.max("mj").alias("mj"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs.collect())
+    )
+
+
+def test_minhash_relational_jaccard_accuracy(spark):
+    """Known overlap: |A|=|B|=600, |A∩B|=300, true J = 1/3. The 64-perm
+    estimate lands within 4*sqrt(J(1-J)/64) ~ 0.24; permutation of the
+    input rows does not change the signature."""
+    from bloomine_spark.sketch.relational import (
+        minhash_relational,
+        minhash_relational_jaccard,
+    )
+
+    rows = [("a", f"x{i}") for i in range(600)] + [
+        ("b", f"x{i}") for i in range(300, 900)
+    ]
+    items = spark.createDataFrame(rows, ["grp", "v"])
+    sigs = minhash_relational(items, "grp", "v", n_perm=64)
+    got = minhash_relational_jaccard(sigs, "grp", "a", "b", 64).collect()[0]
+    true_j = 300 / 900
+    se = (true_j * (1 - true_j) / 64) ** 0.5
+    assert abs(got["est_jaccard"] - true_j) < 4 * se
+    assert got["n_match"] == int(got["est_jaccard"] * 64)
+
+    sigs2 = minhash_relational(
+        items.repartition(16, "v"), "grp", "v", n_perm=64
+    )
+    assert sorted(map(tuple, sigs.collect())) == sorted(
+        map(tuple, sigs2.collect())
+    )
+
+
+def test_simhash_locality(spark):
+    """SimHash locality: identical docs get identical fingerprints; a
+    one-word edit moves few bits; an unrelated doc is far."""
+    base = " ".join(f"w{i}" for i in range(60))
+    edit = " ".join(("CHANGED" if i == 30 else f"w{i}") for i in range(60))
+    other = " ".join(f"z{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edit), (4, other)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: int(r["simhash"], 16) for r in
+           simhash_relational(docs).collect()}
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert got[1] == got[2]
+    assert 0 < ham(got[1], got[3]) <= 16
+    assert ham(got[1], got[4]) > 16
+    # top bit always clear (63-bit hash in a 64-bit frame)
+    assert all(v < (1 << 63) for v in got.values())
