@@ -333,7 +333,8 @@ def _q_distinct_kgrams_per_source_exact(spark, sf_dir):
 
 def _q_hll_distinct_kgrams_per_source(spark, sf_dir):
     """A2 + north rule: HLL estimate of distinct 3-gram count per source
-    (no oracle — approximate; bound-gated in tests/test_sketches.py)."""
+    (no oracle — approximate; bound-gated in tests/test_sketches.py;
+    oracle-HASH twin with portable hashing: hll_relational_per_source)."""
     _ship_pkg(spark)
     from bloomine_spark.sketch.core import estimates_df, sketch_agg
     from bloomine_spark.sources.tables import load_table
@@ -370,7 +371,8 @@ def _q_cms_token_freq_topk(spark, sf_dir):
     tokens. Probe keys come from the MG heavy-hitters sketch — both
     sketches are one-pass mergeable aggregations, so no exact wordcount or
     driver-side collect of the corpus is needed anywhere (no oracle —
-    approximate; ε–δ bound gated in tests)."""
+    approximate; ε–δ bound gated in tests; oracle-HASH twin with portable
+    hashing: cms_relational_topk)."""
     _ship_pkg(spark)
     import numpy as np
 
@@ -645,7 +647,8 @@ def _q_minhash_jaccard_sources(spark, sf_dir):
     bit-identical under any partition grouping), then all source pairs
     compare in O(num_perm) instead of a shingle self-join (no oracle —
     approximate; bound vs the exact companion gated in
-    tests/test_minhash_sketch.py)."""
+    tests/test_minhash_sketch.py; oracle-HASH twin with portable hashing:
+    minhash_relational_jaccard)."""
     _ship_pkg(spark)
     from bloomine_spark.sketch.core import STATE_COL, sketch_agg
     from bloomine_spark.sketch.minhash import MinHashSketch
@@ -712,7 +715,8 @@ def _q_theta_tokens_setops(spark, sf_dir):
     """North-rule theta sketch: the SAME set algebra estimated from two
     mergeable KMV sketches — union/intersection/difference compose on the
     sketches, O(k) state per group at any data volume (no oracle —
-    approximate; error bounds + exact companion gated in tests)."""
+    approximate; error bounds + exact companion gated in tests;
+    oracle-HASH twin with portable hashing: kmv_relational_setops)."""
     _ship_pkg(spark)
     from bloomine_spark.sketch.core import STATE_COL, sketch_agg
     from bloomine_spark.sketch.theta import (
@@ -1028,7 +1032,9 @@ def _q_minhash_lsh_dups(spark, sf_dir):
 
 
 def _q_simhash_dups(spark, sf_dir):
-    """SimHash hamming≤3 near-dup pairs via chunk banding (pytest-gated)."""
+    """SimHash hamming≤3 near-dup pairs via chunk banding (pytest-gated;
+    the fingerprint SEMANTICS are oracle-HASH-checked by the portable-hash
+    twin simhash_relational)."""
     _ship_pkg(spark)
     from bloomine_spark.operators.dedup import simhash_duplicates
     from bloomine_spark.sources.tables import load_table
