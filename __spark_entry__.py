@@ -1957,11 +1957,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(theta AS BIGINT) AS theta,
                CAST(SUM(in_a * in_b) AS BIGINT) AS raw_intersect,
                CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS raw_a_not_b,
-               ROUND(255 / (theta / 9223372036854775808.0), 2) AS n_union,
-               ROUND(SUM(in_a * in_b)
-                     / (theta / 9223372036854775808.0), 2) AS n_intersect,
-               ROUND(SUM(in_a * (1 - in_b))
-                     / (theta / 9223372036854775808.0), 2) AS n_a_not_b
+               ROUND(CASE WHEN COUNT(*) >= 256
+                     THEN 255 / (theta / 9223372036854775808.0)
+                     ELSE CAST(COUNT(*) AS DOUBLE) END, 2) AS n_union,
+               ROUND(CASE WHEN COUNT(*) >= 256
+                     THEN SUM(in_a * in_b)
+                          / (theta / 9223372036854775808.0)
+                     ELSE CAST(SUM(in_a * in_b) AS DOUBLE) END, 2)
+                 AS n_intersect,
+               ROUND(CASE WHEN COUNT(*) >= 256
+                     THEN SUM(in_a * (1 - in_b))
+                          / (theta / 9223372036854775808.0)
+                     ELSE CAST(SUM(in_a * (1 - in_b)) AS DOUBLE) END, 2)
+                 AS n_a_not_b
         FROM tagged, th GROUP BY theta
     """
 

@@ -164,6 +164,13 @@ def kmv_set_estimates(
       n_a_not_b    = |A\\B below theta| / (theta / 2^63)
     All arithmetic is integer/ratio on hash values — DuckDB reproduces it
     exactly (rounded to 2 decimals for float-repr stability).
+
+    Under-full rule (standard KMV): if the union holds fewer than k
+    distinct hashes, BOTH input sketches are necessarily complete sets
+    (union ⊇ each side, so |union| < k forces |A|,|B| < k) and the
+    estimates are the EXACT set-op counts — the (k-1)/theta formula
+    would otherwise bias high because theta is then the max hash, not a
+    k-th order statistic.
     """
     a = kmv.filter(F.col(group_col) == group_a).select("hv")
     b = kmv.filter(F.col(group_col) == group_b).select("hv")
@@ -188,33 +195,39 @@ def kmv_set_estimates(
             F.coalesce("in_b", F.lit(0)).alias("in_b"),
         )
     )
-    return tagged.groupBy("theta").agg(
+    agg = tagged.groupBy("theta").agg(
+        F.count("*").alias("_n_below"),
         F.sum(F.col("in_a") * F.col("in_b"))
         .cast("long")
         .alias("raw_intersect"),
         F.sum(F.col("in_a") * (1 - F.col("in_b")))
         .cast("long")
         .alias("raw_a_not_b"),
-        F.round((F.lit(k - 1)) / (F.col("theta") / F.lit(scale)), 2).alias(
-            "n_union"
-        ),
-        F.round(
-            F.sum(F.col("in_a") * F.col("in_b"))
-            / (F.col("theta") / F.lit(scale)),
-            2,
-        ).alias("n_intersect"),
-        F.round(
-            F.sum(F.col("in_a") * (1 - F.col("in_b")))
-            / (F.col("theta") / F.lit(scale)),
-            2,
-        ).alias("n_a_not_b"),
-    ).select(
+    )
+    frac = F.col("theta") / F.lit(scale)
+    full = F.col("_n_below") >= k
+    return agg.select(
         F.col("theta").cast("long").alias("theta"),
         "raw_intersect",
         "raw_a_not_b",
-        "n_union",
-        "n_intersect",
-        "n_a_not_b",
+        F.round(
+            F.when(full, F.lit(k - 1) / frac).otherwise(
+                F.col("_n_below").cast("double")
+            ),
+            2,
+        ).alias("n_union"),
+        F.round(
+            F.when(full, F.col("raw_intersect") / frac).otherwise(
+                F.col("raw_intersect").cast("double")
+            ),
+            2,
+        ).alias("n_intersect"),
+        F.round(
+            F.when(full, F.col("raw_a_not_b") / frac).otherwise(
+                F.col("raw_a_not_b").cast("double")
+            ),
+            2,
+        ).alias("n_a_not_b"),
     )
 
 

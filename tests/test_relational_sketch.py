@@ -108,6 +108,22 @@ def test_kmv_partition_invariant(spark):
     assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
 
 
+def test_kmv_underfull_exact(spark):
+    """If the union holds fewer than k distinct hashes, both sketches are
+    complete sets and kmv_set_estimates must return the EXACT set-op
+    counts (the (k-1)/theta formula would bias high)."""
+    rows = [("a", f"x{i}") for i in range(40)] + [
+        ("b", f"x{i}") for i in range(25, 60)
+    ]
+    items = spark.createDataFrame(rows, ["grp", "v"])
+    kmv = kmv_relational(items, "grp", "v", k=1024)
+    got = kmv_set_estimates(kmv, "grp", "a", "b", k=1024).collect()[0]
+    assert got["n_union"] == 60.0
+    assert got["n_intersect"] == 15.0
+    assert got["n_a_not_b"] == 25.0
+    assert got["raw_intersect"] == 15 and got["raw_a_not_b"] == 25
+
+
 def test_kmv_presalt_bit_identical(spark):
     """presalt (the scale path: per-(group, hv mod P) pre-truncation
     before the global window) must produce a BIT-IDENTICAL sketch — every
