@@ -805,6 +805,63 @@ def _q_kmv_relational_setops(spark, sf_dir):
     return kmv_set_estimates(kmv, "source", "src0", "src1", k=256)
 
 
+def _q_bloom_relational_screen(spark, sf_dir):
+    """The flagship prescreen (F1/F2, src/BFiltutils.hpp) as pure
+    relational algebra — the ONE sketch whose oracle could previously
+    only be satisfied by making FPs impossible (fp=1e-9 on the promoted
+    queries). Here the DuckDB oracle rebuilds the IDENTICAL m=16384,
+    k=3 bit array from src0's distinct 3-grams and reproduces every
+    per-source membership count INCLUDING the false positives.
+
+    Plan shape (100 TB framing): the bit relation is ≤ m rows and
+    broadcasts; each DISTINCT probe gram is evaluated once, membership
+    then joins back to the (source, gram) pairs; per-source counts are
+    one narrow groupBy. n_false_pos = n_pass − n_true pins the realized
+    collision noise; bits_set pins the built filter itself."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import (
+        bloom_relational_bits,
+        bloom_relational_probe,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    m, k = 16384, 3
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("source", F.explode(_kgram_str_expr(3)).alias("gram"))
+    target = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    bits = bloom_relational_bits(target, "gram", m=m, k=k)
+    n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+
+    probe_pairs = (
+        grams.filter(F.col("source") != "src0")
+        .select("source", "gram")
+        .distinct()
+    )
+    member = bloom_relational_probe(
+        bits, probe_pairs.select("gram").distinct(), "gram", m=m, k=k
+    )
+    truth = target.withColumn("_true", F.lit(1))
+    tagged = (
+        probe_pairs.join(member, "gram")
+        .join(F.broadcast(truth), "gram", "left")
+        .select(
+            "source",
+            F.col("might_contain").cast("int").alias("_pass"),
+            F.coalesce("_true", F.lit(0)).alias("_true"),
+        )
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_pass").cast("long").alias("n_pass"),
+            F.sum("_true").cast("long").alias("n_true"),
+            (F.sum("_pass") - F.sum("_true")).cast("long").alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+    )
+
+
 def _q_hll_relational_per_source(spark, sf_dir):
     """HyperLogLog as relational algebra: per-source registers (j, mj)
     from the portable md5-63bit hash, harmonic sum in EXACT scaled-integer
@@ -1292,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_tokens_setops": _q_theta_tokens_setops,
         "cms_relational_topk": _q_cms_relational_topk,
         "kmv_relational_setops": _q_kmv_relational_setops,
+        "bloom_relational_screen": _q_bloom_relational_screen,
         "simhash_relational": _q_simhash_relational,
         "hll_relational_per_source": _q_hll_relational_per_source,
         "minhash_relational_jaccard": _q_minhash_relational_jaccard,
@@ -1971,6 +2029,59 @@ def oracle_sql() -> dict[str, str]:
                      ELSE CAST(SUM(in_a * (1 - in_b)) AS DOUBLE) END, 2)
                  AS n_a_not_b
         FROM tagged, th GROUP BY theta
+    """
+
+    # Relational Bloom: DuckDB rebuilds the IDENTICAL m=16384 k=3 bit
+    # array from src0's distinct 3-grams (bit = md5(s:gram)[0:8] mod m,
+    # per-seed independent hashing) and reproduces every per-source
+    # membership count INCLUDING false positives — the oracle literally
+    # shares the bloom.
+    sql["bloom_relational_screen"] = """
+        WITH w AS (
+          SELECT source, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), g AS (
+          SELECT DISTINCT source,
+                 array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+          FROM w, unnest(range(0, len(ws) - 2)) AS u(i)
+        ), target AS (
+          SELECT DISTINCT gram FROM g WHERE source = 'src0'
+        ), bits AS (
+          SELECT DISTINCT
+                 ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || gram),
+                                    1, 8))::BIGINT % 16384 AS b
+          FROM target, unnest([0, 1, 2]) AS t(s)
+        ), nb AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits
+        ), pg AS (
+          SELECT DISTINCT gram FROM g WHERE source <> 'src0'
+        ), probe AS (
+          SELECT gram,
+                 ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || gram),
+                                    1, 8))::BIGINT % 16384 AS b
+          FROM pg, unnest([0, 1, 2]) AS t(s)
+        ), member AS (
+          SELECT p.gram,
+                 SUM(CASE WHEN bits.b IS NULL THEN 0 ELSE 1 END) = 3
+                   AS might_contain
+          FROM probe p LEFT JOIN bits ON p.b = bits.b
+          GROUP BY p.gram
+        ), tagged AS (
+          SELECT gp.source,
+                 CASE WHEN m.might_contain THEN 1 ELSE 0 END AS pass,
+                 CASE WHEN t.gram IS NULL THEN 0 ELSE 1 END AS istrue
+          FROM (SELECT source, gram FROM g WHERE source <> 'src0') gp
+          JOIN member m ON gp.gram = m.gram
+          LEFT JOIN target t ON gp.gram = t.gram
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(pass) AS BIGINT) AS n_pass,
+               CAST(SUM(istrue) AS BIGINT) AS n_true,
+               CAST(SUM(pass) - SUM(istrue) AS BIGINT) AS n_false_pos,
+               bits_set
+        FROM tagged, nb
+        GROUP BY source, bits_set
     """
 
     # Relational HLL: register relation (j = hv mod 2^12, mj = max rho),

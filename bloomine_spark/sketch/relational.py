@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bloom_relational_bits",
+    "bloom_relational_probe",
     "cms_relational_counts",
     "cms_relational_estimates",
     "hll_relational_estimates",
@@ -54,6 +56,58 @@ def _bucket32(seed_col, value_col, w: int):
     h = F.md5(F.concat_ws(":", seed_col.cast("string"), value_col))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(w)).alias(
         "b"
+    )
+
+
+def bloom_relational_bits(
+    items: DataFrame, item_col: str, m: int = 16384, k: int = 3
+) -> DataFrame:
+    """Bloom filter as a relation of set bit positions.
+
+    The reference's core sketch (src/BFiltutils.hpp build; sizing quirks
+    live in sketch/bloom.py) re-expressed as pure Catalyst algebra: each
+    inserted item sets k bits, bit_s = md5(s:item)[0:8] mod m — k
+    INDEPENDENT seeded hashes rather than (h1 + s*h2) mod m double
+    hashing, which at composite m degenerates to a short probe cycle
+    (the realized-FPP pathology documented on sketch/bloom.py's kernel;
+    per-seed independent hashing is immune by construction).
+
+    The returned (b) relation IS the filter: at most min(m, n*k) rows at
+    ANY corpus size, built in one scan (seed explode is map-side, the
+    distinct shuffles bounded-by-m bit ids), mergeable with another
+    filter by union+distinct. The DuckDB oracle rebuilds the identical
+    bit set, so membership — INCLUDING false positives — hash-checks.
+    """
+    stream = items.select(
+        F.col(item_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("s"),
+    )
+    return stream.select(_bucket32(F.col("s"), F.col("_v"), m)).distinct()
+
+
+def bloom_relational_probe(
+    bits: DataFrame, probes: DataFrame, probe_col: str, m: int = 16384, k: int = 3
+) -> DataFrame:
+    """Probe the relational Bloom filter: an item might_contain iff ALL
+    k of its probe positions are set. Each probe row joins the (tiny,
+    broadcast) bit relation; pass = every seed's position hit. Duplicate
+    positions across seeds count once per seed, mirroring the kernel's
+    per-probe semantics — n_hit == k is the membership rule either way.
+    Returns (probe_col, might_contain); false positives fall out of the
+    shared bit layout and are exactly reproducible by the oracle."""
+    p = probes.select(
+        F.col(probe_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("s"),
+    ).select(probe_col, _bucket32(F.col("s"), F.col(probe_col), m))
+    hit = bits.withColumn("_hit", F.lit(1))
+    return (
+        p.join(F.broadcast(hit), "b", "left")
+        .groupBy(probe_col)
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("_n_hit"))
+        .select(
+            probe_col,
+            (F.col("_n_hit") == k).alias("might_contain"),
+        )
     )
 
 

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from bloomine_spark.sketch.relational import (
+    bloom_relational_bits,
+    bloom_relational_probe,
     cms_relational_counts,
     cms_relational_estimates,
     kmv_relational,
@@ -29,6 +31,48 @@ def _grams(spark, n=500):
         ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(F.explode(expr).alias("gram"))
+
+
+def test_bloom_relational_laws(spark):
+    """The relational Bloom filter's guarantees: (1) ZERO false
+    negatives — every inserted item passes the probe; (2) merge law —
+    the filter of a union is the distinct-union of the filters; (3) the
+    realized FP rate on disjoint probes tracks (bits_set/m)^k (binomial
+    tolerance), and is NONZERO when the fill predicts it."""
+    m, k = 4096, 3
+    members = spark.createDataFrame(
+        [(f"in{i}",) for i in range(1500)], ["v"]
+    )
+    others = spark.createDataFrame(
+        [(f"out{i}",) for i in range(4000)], ["v"]
+    )
+    bits = bloom_relational_bits(members, "v", m=m, k=k).cache()
+
+    got = bloom_relational_probe(bits, members, "v", m=m, k=k)
+    assert got.filter(~F.col("might_contain")).count() == 0  # no FNs
+
+    half_a = members.filter(F.col("v") < "in5")
+    half_b = members.subtract(half_a)
+    merged = (
+        bloom_relational_bits(half_a, "v", m=m, k=k)
+        .union(bloom_relational_bits(half_b, "v", m=m, k=k))
+        .distinct()
+    )
+    assert merged.subtract(bits).count() == 0
+    assert bits.subtract(merged).count() == 0
+
+    fill = bits.count() / m
+    expected_fpp = fill**k
+    n_fp = (
+        bloom_relational_probe(bits, others, "v", m=m, k=k)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    observed = n_fp / 4000
+    sigma = (expected_fpp * (1 - expected_fpp) / 4000) ** 0.5
+    assert expected_fpp > 0.02  # the fixture is sized to realize FPs
+    assert n_fp > 0
+    assert abs(observed - expected_fpp) < 6 * sigma + 0.01
 
 
 def test_cms_overcount_only_and_exact_at_large_w(spark):
