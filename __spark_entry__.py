@@ -862,6 +862,23 @@ def _q_bloom_relational_screen(spark, sf_dir):
     )
 
 
+def _q_sample_quantiles_relational(spark, sf_dir):
+    """Quantile-sketch twin the oracle can hash-check: per-source
+    bottom-k=256-by-md5(doc_id) row sample (mergeable, bounded state),
+    quantiles by explicit rank arithmetic (value at 1 + floor((n-1)q)
+    under (value, hash) order — no interpolation). Row-aligned with
+    `ntok_quantiles_per_source_exact` and the KLL/t-digest kernels; the
+    O(1/sqrt(k)) rank-error bound is pytest-gated against the exact
+    companion."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import sample_quantiles_relational
+
+    seqs = _docs_tokens(spark, sf_dir)
+    return sample_quantiles_relational(
+        seqs, "source", "n_tok", "doc_id", k=256, presalt=8
+    )
+
+
 def _q_hll_relational_per_source(spark, sf_dir):
     """HyperLogLog as relational algebra: per-source registers (j, mj)
     from the portable md5-63bit hash, harmonic sum in EXACT scaled-integer
@@ -1350,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_relational_topk": _q_cms_relational_topk,
         "kmv_relational_setops": _q_kmv_relational_setops,
         "bloom_relational_screen": _q_bloom_relational_screen,
+        "sample_quantiles_relational": _q_sample_quantiles_relational,
         "simhash_relational": _q_simhash_relational,
         "hll_relational_per_source": _q_hll_relational_per_source,
         "minhash_relational_jaccard": _q_minhash_relational_jaccard,
@@ -2082,6 +2100,44 @@ def oracle_sql() -> dict[str, str]:
                bits_set
         FROM tagged, nb
         GROUP BY source, bits_set
+    """
+
+    # Relational sample-quantile sketch: bottom-k=256 rows by md5(doc_id)
+    # per source, quantile = value at rank 1 + floor((n-1)q) under
+    # (value, hash) order. All selected values are exact integers; the
+    # 0.25/0.5/0.75 multipliers are binary-exact so floor() agrees
+    # across engines.
+    sql["sample_quantiles_relational"] = """
+        WITH d AS (
+          SELECT source,
+                 len(string_split(text, ' ')) AS n_tok,
+                 ('0x' || translate(substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 1),
+                                    '89abcdef', '01234567')
+                   || substring(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT
+                   AS hv
+          FROM documents
+        ), samp AS (
+          SELECT source, n_tok, hv FROM (
+            SELECT source, n_tok, hv,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM d) WHERE rn <= 256
+        ), ranked AS (
+          SELECT source, n_tok,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_tok, hv) AS rnk,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM samp
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(MAX(CASE WHEN rnk = 1 + FLOOR((n - 1) * 0.25)
+                        THEN n_tok END) AS BIGINT) AS p25,
+               CAST(MAX(CASE WHEN rnk = 1 + FLOOR((n - 1) * 0.5)
+                        THEN n_tok END) AS BIGINT) AS p50,
+               CAST(MAX(CASE WHEN rnk = 1 + FLOOR((n - 1) * 0.75)
+                        THEN n_tok END) AS BIGINT) AS p75
+        FROM ranked GROUP BY source
     """
 
     # Relational HLL: register relation (j = hv mod 2^12, mj = max rho),

@@ -47,6 +47,7 @@ __all__ = [
     "kmv_set_estimates",
     "minhash_relational",
     "minhash_relational_jaccard",
+    "sample_quantiles_relational",
     "simhash_relational",
 ]
 
@@ -365,6 +366,77 @@ def hll_relational_estimates(
         "sum_rho",
         "reg_checksum",
         F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def sample_quantiles_relational(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    presalt: int | None = None,
+) -> DataFrame:
+    """Quantile sketch as relational algebra: a bottom-k-by-hash ROW
+    sample per group (the KMV idea applied to rows rather than distinct
+    values — keep the k rows whose md5(key) hashes smallest), then
+    EXPLICIT rank-arithmetic quantiles over the sample: the q-quantile
+    is the sample value at 1-based rank 1 + floor((n-1)·q) under
+    (value, hash) ordering. No interpolation, so every engine selects
+    the EXACT same value and the DuckDB oracle hash-checks the output —
+    the hash-checkable twin of the KLL/t-digest kernels (whose
+    compaction is order/RNG-dependent and only bound-checkable).
+
+    Sketch properties: mergeable (union two groups' samples and
+    re-truncate to the k smallest hashes — associative, order-free);
+    bounded O(k) state per group; sample-quantile rank error is
+    O(1/sqrt(k)) w.h.p. (Chernoff on the binomial count of sampled rows
+    below the true quantile) — bound-gated in pytest against the exact
+    companion. `presalt` is the same bit-identical scale path as
+    kmv_relational: pre-truncate per (group, hv mod P) cell so no single
+    window sorts a whole group.
+    """
+    from pyspark.sql import Window
+
+    hashed = rows.select(
+        F.col(group_col),
+        F.col(value_col).alias("_val"),
+        _hash63(F.col(key_col).cast("string")).alias("hv"),
+    )
+    if presalt and presalt > 1:
+        cell = Window.partitionBy(
+            group_col, F.pmod(F.col("hv"), F.lit(presalt))
+        ).orderBy("hv")
+        hashed = (
+            hashed.withColumn("_crn", F.row_number().over(cell))
+            .filter(F.col("_crn") <= k)
+            .drop("_crn")
+        )
+    win = Window.partitionBy(group_col).orderBy("hv")
+    samp = (
+        hashed.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+    )
+    rank_w = Window.partitionBy(group_col).orderBy("_val", "hv")
+    n_w = Window.partitionBy(group_col)
+    ranked = samp.withColumn("rnk", F.row_number().over(rank_w)).withColumn(
+        "n", F.count("*").over(n_w)
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rnk")
+                == F.lit(1) + F.floor((F.col("n") - 1) * F.lit(q)),
+                F.col("_val"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("k_used"), *picks
     )
 
 

