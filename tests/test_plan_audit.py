@@ -113,6 +113,23 @@ def test_bloom_semi_join_plan(spark):
 
 
 @needs_data
+def test_bloom_relational_screen_plan(spark):
+    """The relational Bloom prescreen must keep the bit relation on the
+    broadcast side everywhere: every equi-join broadcast-hash (the ≤m-row
+    filter and the distinct-gram membership both stay small), no
+    sort-merge, no cartesian — the only nested-loop joins are the
+    single-row bits_set attach."""
+    import __spark_entry__ as em
+
+    q = em.queries()["bloom_relational_screen"](spark, SF)
+    facts = plan_facts(q)
+    assert "SortMergeJoin" not in facts.join_strategies
+    assert "CartesianProduct" not in facts.join_strategies
+    assert facts.join_strategies.count("BroadcastHashJoin") >= 3
+    assert not facts.has_python_eval  # pure Catalyst, no Python in the plan
+
+
+@needs_data
 def test_curate_training_docs_plan(spark):
     import __spark_entry__ as em
 
