@@ -879,6 +879,44 @@ def _q_sample_quantiles_relational(spark, sf_dir):
     )
 
 
+def _q_pack_context_windows(spark, sf_dir):
+    """LLM-pretraining sequence packing: documents laid end-to-end per
+    source (numeric doc_id order — identical in both engines), token
+    stream cut every 512 tokens. One sort-window cumsum per source, a
+    map-side explode into spanned chunks, one narrow (source, chunk_id)
+    aggregation. Every chunk's n_tokens is exactly 512 except each
+    source's final partial chunk — conservation + fullness are
+    pytest-gated; the oracle hash-checks every chunk row."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.packing import pack_context_windows
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    return pack_context_windows(
+        docs, 512, group_col="source", order_col="doc_id", ntok_col="n_tok"
+    )
+
+
+def _q_hash_split_assign(spark, sf_dir):
+    """Deterministic 98/1/1 corpus split (bucket = md5(doc_id) mod 100) —
+    the reproducible train/val/test primitive; a doc's split is a pure
+    function of its id, so assignments survive corpus growth and engine
+    swaps. Aggregated per (source, split) for the oracle hash."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.packing import hash_split
+    from bloomine_spark.sources.tables import load_table
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def _q_hll_relational_per_source(spark, sf_dir):
     """HyperLogLog as relational algebra: per-source registers (j, mj)
     from the portable md5-63bit hash, harmonic sum in EXACT scaled-integer
@@ -1368,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_relational_setops": _q_kmv_relational_setops,
         "bloom_relational_screen": _q_bloom_relational_screen,
         "sample_quantiles_relational": _q_sample_quantiles_relational,
+        "pack_context_windows": _q_pack_context_windows,
+        "hash_split_assign": _q_hash_split_assign,
         "simhash_relational": _q_simhash_relational,
         "hll_relational_per_source": _q_hll_relational_per_source,
         "minhash_relational_jaccard": _q_minhash_relational_jaccard,
@@ -2138,6 +2178,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(CASE WHEN rnk = 1 + FLOOR((n - 1) * 0.75)
                         THEN n_tok END) AS BIGINT) AS p75
         FROM ranked GROUP BY source
+    """
+
+    # Sequence packing: cumulative token offsets per source (numeric
+    # doc_id order), chunk every 512 tokens, per-chunk doc/token/split
+    # counts. Pure integer arithmetic except floor(x / 512.0), which is
+    # exact in IEEE for these magnitudes.
+    sql["pack_context_windows"] = """
+        WITH d AS (
+          SELECT source, doc_id,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0
+        ), spans AS (
+          SELECT source,
+                 SUM(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS s,
+                 SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS e
+          FROM d
+        ), per AS (
+          SELECT source, s, e,
+                 CAST(FLOOR(s / 512.0) AS BIGINT) AS c0,
+                 chunk_id
+          FROM spans,
+               unnest(range(CAST(FLOOR(s / 512.0) AS BIGINT),
+                            CAST(FLOOR((e - 1) / 512.0) AS BIGINT) + 1))
+                 AS u(chunk_id)
+        )
+        SELECT source,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(e, (chunk_id + 1) * 512)
+                        - GREATEST(s, chunk_id * 512)) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN chunk_id > c0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_split_docs
+        FROM per GROUP BY source, chunk_id
+    """
+
+    # Deterministic hash split: bucket = md5(doc_id)[0:8] mod 100,
+    # train < 98 <= val < 99 <= test.
+    sql["hash_split_assign"] = """
+        SELECT source,
+               CASE WHEN b < 98 THEN 'train'
+                    WHEN b < 99 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+          SELECT source, n_chars,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS b
+          FROM documents
+        ) GROUP BY 1, 2
     """
 
     # Relational HLL: register relation (j = hv mod 2^12, mj = max rho),

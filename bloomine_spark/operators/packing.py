@@ -1,0 +1,114 @@
+"""Training-batch assembly operators: sequence packing and deterministic
+corpus splitting — the two steps between a curated corpus and a
+pretraining data loader.
+
+Both are pure Catalyst algebra (no Python in the plan) and fully
+deterministic, so the DuckDB oracle hash-checks their exact output and a
+re-run of a 100 TB job reproduces the same batches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "pack_context_windows"]
+
+
+def pack_context_windows(
+    docs: DataFrame,
+    window_tokens: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: per group, documents are laid
+    end-to-end in `order_col` order and the token stream is cut every
+    `window_tokens` tokens — the standard LLM-pretraining packing (every
+    context window is exactly full; documents crossing a boundary are
+    split across the adjacent windows).
+
+    Returns one row per (group, chunk_id) with
+      n_docs        number of documents contributing ≥1 token
+      n_tokens      tokens in the chunk (== window_tokens except the
+                    group's final partial chunk)
+      n_split_docs  documents that cross INTO this chunk from the
+                    previous one (the packing's fragmentation cost)
+
+    Plan shape (100 TB framing): one cumulative-sum window per group
+    (sort-based, the same cost class as any ordered scan — Spark range-
+    partitions by the window key so groups parallelize), then a map-side
+    explode of each doc into the 1-2+ chunks it spans (a doc spans
+    ceil(n_tok / window) + 1 chunks at most) and one narrow
+    (group, chunk_id) aggregation. No driver-side state, no Python.
+    """
+    L = window_tokens
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    spans = (
+        docs.select(
+            F.col(group_col),
+            F.col(order_col),
+            F.col(ntok_col).cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("_end", F.sum("_n").over(w))
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+        .withColumn("_c0", F.floor(F.col("_start") / L))
+        .withColumn("_c1", F.floor((F.col("_end") - 1) / L))
+    )
+    per_chunk = spans.select(
+        group_col,
+        "_start",
+        "_end",
+        "_c0",
+        F.explode(F.sequence(F.col("_c0"), F.col("_c1"))).alias("chunk_id"),
+    ).select(
+        group_col,
+        "chunk_id",
+        F.greatest(F.col("_start"), F.col("chunk_id") * L).alias("_s"),
+        F.least(F.col("_end"), (F.col("chunk_id") + 1) * L).alias("_e"),
+        (F.col("chunk_id") > F.col("_c0")).cast("int").alias("_split_in"),
+    )
+    return per_chunk.groupBy(group_col, "chunk_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("n_tokens"),
+        F.sum("_split_in").cast("long").alias("n_split_docs"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 98),
+        ("val", 1),
+        ("test", 1),
+    ),
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic corpus split: bucket = md5(key) mod `buckets`,
+    assigned to named splits by cumulative bucket ranges (98/1/1 by
+    default). The assignment is a pure function of the key — stable
+    across runs, partitionings, engines, and corpus growth (a doc never
+    migrates between splits when new docs arrive), which is what makes
+    train/test contamination auditable. Appends a `split` column.
+
+    The md5-bucket arithmetic is the same engine-portable form as
+    sketch/relational.py, so the oracle reproduces every assignment.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long") % F.lit(buckets)
+    expr = None
+    lo = 0
+    for name, width in splits:
+        cond = h < F.lit(lo + width)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+        lo += width
+    if lo != buckets:
+        raise ValueError(f"split widths sum to {lo}, expected {buckets}")
+    return docs.withColumn("split", expr)
