@@ -917,6 +917,55 @@ def _q_hash_split_assign(spark, sf_dir):
     )
 
 
+def _mixture_docs(spark, sf_dir):
+    from bloomine_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+
+
+def _q_source_mixture_plan(spark, sf_dir):
+    """Temperature-weighted mixture plan (weight ∝ tokens^0.5, budget =
+    3/2 of the corpus): per-source token quota, effective epochs, and
+    the integer md5-bucket threshold that realizes the fractional
+    epoch. The doubles hash-check because every float op is pinned —
+    IEEE sqrt, ordered cumulative-sum normalization, one fixed
+    expression order — over integer token counts."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.mixture import temperature_mixture_plan
+
+    return temperature_mixture_plan(_mixture_docs(spark, sf_dir))
+
+
+def _q_epoch_pack_chunks(spark, sf_dir):
+    """End-to-end epoch assembly: temperature mixture (∝ sqrt tokens,
+    3/2-corpus budget) → deterministic per-doc copy counts → map-side
+    epoch explode → concat-and-chunk packing into 512-token windows in
+    (epoch, doc_id) order. The whole pipeline is one tiny per-source
+    aggregate + a broadcast join + one per-source sort window — the
+    shape that survives 100 TB. Every chunk row hash-checks."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.mixture import (
+        explode_epochs,
+        realize_mixture,
+        temperature_mixture_plan,
+    )
+    from bloomine_spark.operators.packing import pack_context_windows
+
+    docs = _mixture_docs(spark, sf_dir)
+    plan = temperature_mixture_plan(docs)
+    copies = explode_epochs(realize_mixture(docs, plan))
+    ordered = copies.withColumn(
+        "ord", F.col("epoch").cast("long") * F.lit(1099511627776) + F.col("doc_id")
+    )
+    return pack_context_windows(
+        ordered, 512, group_col="source", order_col="ord", ntok_col="n_tok"
+    )
+
+
 def _q_hll_relational_per_source(spark, sf_dir):
     """HyperLogLog as relational algebra: per-source registers (j, mj)
     from the portable md5-63bit hash, harmonic sum in EXACT scaled-integer
@@ -1408,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quantiles_relational": _q_sample_quantiles_relational,
         "pack_context_windows": _q_pack_context_windows,
         "hash_split_assign": _q_hash_split_assign,
+        "source_mixture_plan": _q_source_mixture_plan,
+        "epoch_pack_chunks": _q_epoch_pack_chunks,
         "simhash_relational": _q_simhash_relational,
         "hll_relational_per_source": _q_hll_relational_per_source,
         "minhash_relational_jaccard": _q_minhash_relational_jaccard,
@@ -2230,6 +2281,94 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ) GROUP BY 1, 2
     """
+
+    # Temperature mixture plan: weight = sqrt(tok) (IEEE correctly
+    # rounded), normalization via ORDERED cumulative sum (one fixed
+    # sequence of double additions in both engines), budget = integer
+    # 3/2 of corpus tokens. Every double is bit-identical to Spark's by
+    # construction, so the plan row hashes match exactly.
+    _mix_plan_cte = """
+        WITH d AS (
+          SELECT source, doc_id, len(string_split(text, ' ')) AS n
+          FROM documents
+        ), s AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS tok FROM d GROUP BY source
+        ), c AS (
+          SELECT source, tok,
+                 sqrt(CAST(tok AS DOUBLE)) AS weight,
+                 SUM(sqrt(CAST(tok AS DOUBLE))) OVER
+                   (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS wcum,
+                 SUM(tok) OVER () AS toktot
+          FROM s
+        ), p AS (
+          SELECT source, tok, weight,
+                 CAST(toktot * 3 // 2 AS DOUBLE) * weight
+                   / (MAX(wcum) OVER ()) AS quota
+          FROM c
+        ), e AS (
+          SELECT source, tok, weight, quota,
+                 quota / CAST(tok AS DOUBLE) AS epochs
+          FROM p
+        ), plan AS (
+          SELECT source, tok, weight, quota, epochs,
+                 CAST(FLOOR(epochs) AS BIGINT) AS n_full,
+                 CAST(FLOOR((epochs
+                       - CAST(CAST(FLOOR(epochs) AS BIGINT) AS DOUBLE))
+                      * 4294967296.0) AS BIGINT) AS frac_thr
+          FROM e
+        )
+    """
+    sql["source_mixture_plan"] = (
+        _mix_plan_cte
+        + """
+        SELECT source, tok, weight, quota, epochs, n_full, frac_thr
+        FROM plan
+    """
+    )
+
+    # End-to-end epoch assembly: realized copy counts (integer md5
+    # bucket vs frac_thr), epoch explode, then the same concat-and-chunk
+    # packing as pack_context_windows in (epoch, doc_id) order.
+    sql["epoch_pack_chunks"] = (
+        _mix_plan_cte
+        + """
+        , r AS (
+          SELECT d.source, d.doc_id, d.n,
+                 f.n_full + CASE WHEN
+                   (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT) < f.frac_thr THEN 1 ELSE 0 END AS n_copies
+          FROM d JOIN plan f USING (source)
+        ), x AS (
+          SELECT source,
+                 epoch * 1099511627776 + doc_id AS ord,
+                 n
+          FROM r, unnest(range(0, n_copies)) AS u(epoch)
+          WHERE n > 0
+        ), spans AS (
+          SELECT source,
+                 SUM(n) OVER (PARTITION BY source ORDER BY ord) - n AS s,
+                 SUM(n) OVER (PARTITION BY source ORDER BY ord) AS e
+          FROM x
+        ), per AS (
+          SELECT source, s, e,
+                 CAST(FLOOR(s / 512.0) AS BIGINT) AS c0,
+                 chunk_id
+          FROM spans,
+               unnest(range(CAST(FLOOR(s / 512.0) AS BIGINT),
+                            CAST(FLOOR((e - 1) / 512.0) AS BIGINT) + 1))
+                 AS u(chunk_id)
+        )
+        SELECT source,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(e, (chunk_id + 1) * 512)
+                        - GREATEST(s, chunk_id * 512)) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN chunk_id > c0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_split_docs
+        FROM per GROUP BY source, chunk_id
+    """
+    )
 
     # Relational HLL: register relation (j = hv mod 2^12, mj = max rho),
     # harmonic sum in EXACT scaled-integer arithmetic (HUGEINT), linear

@@ -1,0 +1,139 @@
+"""Temperature-mixture invariants: quota allocation, realized-token
+concentration, partition invariance, copy-count determinism, and the
+alpha endpoints (alpha=1 ⇒ every source gets the same epoch multiplier;
+alpha=0.5 upweights small sources)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomine_spark.operators.mixture import (
+    explode_epochs,
+    realize_mixture,
+    temperature_mixture_plan,
+)
+
+
+def _docs(spark):
+    rows = (
+        [("big", i, 50 + (i * 31) % 100) for i in range(600)]
+        + [("mid", i, 40 + (i * 17) % 80) for i in range(150)]
+        + [("small", i, 30 + (i * 7) % 60) for i in range(30)]
+    )
+    return spark.createDataFrame(rows, ["source", "doc_id", "n_tok"])
+
+
+def test_plan_quota_allocation(spark):
+    docs = _docs(spark)
+    plan = {r["source"]: r for r in temperature_mixture_plan(docs).collect()}
+    toks = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    total = sum(toks.values())
+    budget = total * 3 // 2
+    wsum = sum(math.sqrt(t) for t in toks.values())
+    for src, r in plan.items():
+        assert r["tok"] == toks[src]
+        assert r["weight"] == pytest.approx(math.sqrt(toks[src]), rel=1e-12)
+        assert r["quota"] == pytest.approx(
+            budget * math.sqrt(toks[src]) / wsum, rel=1e-9
+        )
+        assert r["epochs"] == pytest.approx(r["quota"] / r["tok"], rel=1e-12)
+        assert r["n_full"] == math.floor(r["epochs"])
+        assert 0 <= r["frac_thr"] < 2**32
+    # quotas exhaust the budget
+    assert sum(r["quota"] for r in plan.values()) == pytest.approx(
+        budget, rel=1e-9
+    )
+    # sqrt temperature: the small source gets MORE epochs than the big one
+    assert plan["small"]["epochs"] > plan["mid"]["epochs"] > plan["big"]["epochs"]
+
+
+def test_alpha_one_is_uniform_epochs(spark):
+    plan = temperature_mixture_plan(_docs(spark), alpha=1.0).collect()
+    es = [r["epochs"] for r in plan]
+    assert all(e == pytest.approx(es[0], rel=1e-12) for e in es)
+    assert es[0] == pytest.approx(1.5, rel=1e-6)
+
+
+def test_realized_tokens_near_quota(spark):
+    docs = _docs(spark)
+    plan = temperature_mixture_plan(docs)
+    got = {
+        r["source"]: r
+        for r in realize_mixture(docs, plan)
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_tok") * F.col("n_copies")).alias("rt"),
+            F.max("n_copies").alias("mx"),
+            F.min("n_copies").alias("mn"),
+        )
+        .collect()
+    }
+    for r in temperature_mixture_plan(docs).collect():
+        rt = got[r["source"]]["rt"]
+        # realized tokens are a Bernoulli(frac) thinning of one extra
+        # epoch: sd ≈ max_tok·√(n/4) ≈ 1.8k on the big source — gate at
+        # 5% relative, ~3σ here
+        assert abs(rt - r["quota"]) < 0.05 * r["quota"], (
+            r["source"],
+            rt,
+            r["quota"],
+        )
+        assert got[r["source"]]["mx"] - got[r["source"]]["mn"] <= 1
+        assert got[r["source"]]["mn"] >= r["n_full"]
+
+
+def test_partition_and_rerun_invariance(spark):
+    docs = _docs(spark)
+    a = sorted(
+        map(
+            tuple,
+            realize_mixture(
+                docs.repartition(17), temperature_mixture_plan(docs.repartition(17))
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            realize_mixture(
+                docs.coalesce(1), temperature_mixture_plan(docs.coalesce(1))
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_explode_epochs_counts(spark):
+    docs = _docs(spark)
+    realized = realize_mixture(docs, temperature_mixture_plan(docs)).cache()
+    n_rows = explode_epochs(realized).count()
+    want = realized.agg(F.sum("n_copies")).collect()[0][0]
+    assert n_rows == want
+    # epoch ids are 0..n_copies-1 per doc
+    mx = (
+        explode_epochs(realized)
+        .groupBy("source", "doc_id")
+        .agg(F.max("epoch").alias("m"), F.count("*").alias("c"))
+        .filter(F.col("m") != F.col("c") - 1)
+        .count()
+    )
+    assert mx == 0
+
+
+def test_fixed_budget_and_zero_copy_drop(spark):
+    docs = _docs(spark)
+    total = docs.agg(F.sum("n_tok")).collect()[0][0]
+    # budget = an eighth of the corpus: every source lands below one
+    # epoch (sqrt upweighting pushes the small source to ~0.55 — at a
+    # quarter it would EXCEED one), so realization DROPS the
+    # deterministic complement
+    plan = temperature_mixture_plan(docs, token_budget=total // 8)
+    for r in plan.collect():
+        assert r["n_full"] == 0 and 0 < r["frac_thr"] < 2**32
+    kept = realize_mixture(docs, plan)
+    assert 0 < kept.count() < docs.count()
+    assert kept.filter(F.col("n_copies") != 1).count() == 0
