@@ -272,3 +272,52 @@ def test_dedup_groups_plan(spark):
     )
     out = dedup_groups(docs, pairs, quality_col="q")
     assert_no_cartesian(out)
+
+
+@needs_data
+def test_packing_plan_single_exchange(spark):
+    """Sequence packing must cost exactly ONE shuffle: the per-source
+    window sort's hash(source) partitioning is a subset of the
+    (source, chunk_id) grouping keys, so Catalyst reuses it for the
+    final aggregate — the property that makes packing an ordered-scan-
+    class job at 100 TB. Zero Python nodes; unused doc columns pruned."""
+    import __spark_entry__ as em
+
+    q = em.queries()["pack_context_windows"](spark, SF)
+    facts = plan_facts(q)
+    assert facts.n_exchanges == 1, facts.text
+    assert not facts.has_python_eval
+    assert_columns_pruned(q, {"lang", "n_chars", "ts"})
+
+
+@needs_data
+def test_hash_split_plan(spark):
+    """Deterministic split is scan + map + one partial-agg shuffle."""
+    import __spark_entry__ as em
+
+    q = em.queries()["hash_split_assign"](spark, SF)
+    facts = plan_facts(q)
+    assert facts.n_exchanges == 1, facts.text
+    assert not facts.has_python_eval
+    assert_columns_pruned(q, {"text", "lang", "ts"})
+
+
+@needs_data
+def test_mixture_and_epoch_pack_plans(spark):
+    """The mixture plan is a per-source aggregate + a deliberately
+    single-partition window over the tiny source table (2 exchanges);
+    the end-to-end epoch assembly adds only a BROADCAST join of that
+    plan and the packing window — no sort-merge join, no cartesian, no
+    Python, bounded exchanges regardless of corpus size."""
+    import __spark_entry__ as em
+
+    plan_q = em.queries()["source_mixture_plan"](spark, SF)
+    f1 = plan_facts(plan_q)
+    assert f1.n_exchanges <= 2 and not f1.has_python_eval, f1.text
+
+    pack_q = em.queries()["epoch_pack_chunks"](spark, SF)
+    assert_no_cartesian(pack_q)
+    f2 = plan_facts(pack_q)
+    assert set(f2.join_strategies) == {"BroadcastHashJoin"}, f2.join_strategies
+    assert f2.n_exchanges <= 4 and not f2.has_python_eval, f2.text
+    assert_columns_pruned(pack_q, {"lang", "n_chars", "ts"})
