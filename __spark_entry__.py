@@ -901,6 +901,27 @@ def _q_pack_context_windows(spark, sf_dir):
     )
 
 
+def _q_pack_sharded_chunks(spark, sf_dir):
+    """Sharded packing — the few-groups scale path: each source is split
+    into 8 independent token streams by md5(doc_id) bucket and each
+    shard packs on its own, so window parallelism is sources × shards
+    (vs sources) at the cost of ≤1 partial chunk per shard. Fully
+    deterministic; every (source, shard, chunk) row hash-checks."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.packing import pack_context_windows
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    return pack_context_windows(
+        docs, 512, group_col="source", order_col="doc_id",
+        ntok_col="n_tok", shards=8,
+    )
+
+
 def _q_hash_split_assign(spark, sf_dir):
     """Deterministic 98/1/1 corpus split (bucket = md5(doc_id) mod 100) —
     the reproducible train/val/test primitive; a doc's split is a pure
@@ -1456,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_relational_screen": _q_bloom_relational_screen,
         "sample_quantiles_relational": _q_sample_quantiles_relational,
         "pack_context_windows": _q_pack_context_windows,
+        "pack_sharded_chunks": _q_pack_sharded_chunks,
         "hash_split_assign": _q_hash_split_assign,
         "source_mixture_plan": _q_source_mixture_plan,
         "epoch_pack_chunks": _q_epoch_pack_chunks,
@@ -2263,6 +2285,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN chunk_id > c0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_split_docs
         FROM per GROUP BY source, chunk_id
+    """
+
+    # Sharded packing: same cumsum-and-cut algebra per (source, shard)
+    # stream, shard = md5(doc_id)[0:8] mod 8.
+    sql["pack_sharded_chunks"] = """
+        WITH d AS (
+          SELECT source, doc_id,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 8 AS shard,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0
+        ), spans AS (
+          SELECT source, shard,
+                 SUM(n) OVER (PARTITION BY source, shard ORDER BY doc_id)
+                   - n AS s,
+                 SUM(n) OVER (PARTITION BY source, shard ORDER BY doc_id)
+                   AS e
+          FROM d
+        ), per AS (
+          SELECT source, shard, s, e,
+                 CAST(FLOOR(s / 512.0) AS BIGINT) AS c0,
+                 chunk_id
+          FROM spans,
+               unnest(range(CAST(FLOOR(s / 512.0) AS BIGINT),
+                            CAST(FLOOR((e - 1) / 512.0) AS BIGINT) + 1))
+                 AS u(chunk_id)
+        )
+        SELECT source, shard,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(e, (chunk_id + 1) * 512)
+                        - GREATEST(s, chunk_id * 512)) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN chunk_id > c0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_split_docs
+        FROM per GROUP BY source, shard, chunk_id
     """
 
     # Deterministic hash split: bucket = md5(doc_id)[0:8] mod 100,

@@ -21,6 +21,7 @@ def pack_context_windows(
     group_col: str = "source",
     order_col: str = "doc_id",
     ntok_col: str = "n_tok",
+    shards: int = 1,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: per group, documents are laid
     end-to-end in `order_col` order and the token stream is cut every
@@ -41,35 +42,60 @@ def pack_context_windows(
     explode of each doc into the 1-2+ chunks it spans (a doc spans
     ceil(n_tok / window) + 1 chunks at most) and one narrow
     (group, chunk_id) aggregation. No driver-side state, no Python.
+
+    ``shards > 1`` is the scale path when there are FEW groups (window
+    parallelism is bounded by the number of distinct window-partition
+    keys): each group is split into `shards` independent token streams
+    by a deterministic md5 bucket of ``order_col`` — each shard packs on
+    its own, so parallelism becomes groups × shards at the cost of at
+    most one partial chunk PER SHARD instead of per group (the standard
+    trade in LLM batch assembly: with billions of tokens per shard the
+    fullness loss is ≤ window/shard_tokens ≈ 0). Output gains a `shard`
+    column; chunk ids remain dense 0..last within (group, shard).
     """
     L = window_tokens
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    spans = (
-        docs.select(
-            F.col(group_col),
-            F.col(order_col),
-            F.col(ntok_col).cast("long").alias("_n"),
+    keys = [group_col]
+    base = docs.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.col(ntok_col).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    if shards > 1:
+        keys.append("shard")
+        base = base.withColumn(
+            "shard",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col(order_col).cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % shards
+            ),
         )
-        .filter(F.col("_n") > 0)
-        .withColumn("_end", F.sum("_n").over(w))
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    spans = (
+        base.withColumn("_end", F.sum("_n").over(w))
         .withColumn("_start", F.col("_end") - F.col("_n"))
         .withColumn("_c0", F.floor(F.col("_start") / L))
         .withColumn("_c1", F.floor((F.col("_end") - 1) / L))
     )
     per_chunk = spans.select(
-        group_col,
+        *keys,
         "_start",
         "_end",
         "_c0",
         F.explode(F.sequence(F.col("_c0"), F.col("_c1"))).alias("chunk_id"),
     ).select(
-        group_col,
+        *keys,
         "chunk_id",
         F.greatest(F.col("_start"), F.col("chunk_id") * L).alias("_s"),
         F.least(F.col("_end"), (F.col("chunk_id") + 1) * L).alias("_e"),
         (F.col("chunk_id") > F.col("_c0")).cast("int").alias("_split_in"),
     )
-    return per_chunk.groupBy(group_col, "chunk_id").agg(
+    return per_chunk.groupBy(*keys, "chunk_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.col("_e") - F.col("_s")).cast("long").alias("n_tokens"),
         F.sum("_split_in").cast("long").alias("n_split_docs"),

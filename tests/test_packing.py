@@ -104,3 +104,48 @@ def test_hash_split_stability_and_widths(spark):
 
     with pytest.raises(ValueError):
         hash_split(docs, splits=(("a", 50), ("b", 20))).collect()
+
+
+def test_sharded_packing(spark):
+    """Sharded mode: per-(source, shard) streams partition the docs, token
+    totals are conserved, every non-final chunk per shard is full, and
+    the window partition keys now include the shard (parallelism =
+    sources x shards)."""
+    docs = _docs(spark).cache()
+    S = 4
+    chunks = pack_context_windows(docs, L, shards=S).cache()
+
+    want = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    got = {
+        r["source"]: r["t"]
+        for r in chunks.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+    last = {
+        (r["source"], r["shard"]): r["m"]
+        for r in chunks.groupBy("source", "shard")
+        .agg(F.max("chunk_id").alias("m"))
+        .collect()
+    }
+    assert len(last) == 2 * S  # every shard of both sources is populated
+    for r in chunks.collect():
+        if r["chunk_id"] < last[(r["source"], r["shard"])]:
+            assert r["n_tokens"] == L, r
+        else:
+            assert 1 <= r["n_tokens"] <= L, r
+
+    # fullness cost is bounded: <= 1 partial chunk per (source, shard)
+    partial = chunks.filter(F.col("n_tokens") < L).count()
+    assert partial <= 2 * S
+
+    # shard assignment is a pure function of doc_id: invariant across
+    # partitionings
+    a = sorted(map(tuple, pack_context_windows(docs.repartition(11), L, shards=S).collect()))
+    b = sorted(map(tuple, chunks.collect()))
+    assert a == b
