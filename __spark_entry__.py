@@ -938,6 +938,19 @@ def _q_hash_split_assign(spark, sf_dir):
     )
 
 
+def _q_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: fraction of token occurrences covered
+    by the top-k token types (k = 100 / 1000 / 10000) — the tokenizer
+    sizing primitive. One corpus-scale count agg; ranking, ordered
+    cumsum and the k fan-out all run on the post-agg vocab relation.
+    Ties break by token string so every row hash-checks."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import vocab_coverage
+    from bloomine_spark.sources.tables import load_table
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def _mixture_docs(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
@@ -1481,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_assign": _q_hash_split_assign,
         "source_mixture_plan": _q_source_mixture_plan,
         "epoch_pack_chunks": _q_epoch_pack_chunks,
+        "vocab_coverage_curve": _q_vocab_coverage_curve,
         "simhash_relational": _q_simhash_relational,
         "hll_relational_per_source": _q_hll_relational_per_source,
         "minhash_relational_jaccard": _q_minhash_relational_jaccard,
@@ -2338,6 +2352,34 @@ def oracle_sql() -> dict[str, str]:
                    ::BIGINT % 100 AS b
           FROM documents
         ) GROUP BY 1, 2
+    """
+
+    # Vocabulary coverage: rank vocab by (count DESC, token), ordered
+    # cumulative occurrence sum, fan out the k cutoffs, one integer
+    # division at the end.
+    sql["vocab_coverage_curve"] = """
+        WITH tok AS (
+          SELECT t FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+          ) WHERE t <> ''
+        ), freq AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+        ), ranked AS (
+          SELECT c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r,
+                 SUM(c) OVER (ORDER BY c DESC, t
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER () AS total
+          FROM freq
+        )
+        SELECT k,
+               CAST(MAX(r) AS BIGINT) AS vocab_size,
+               CAST(MAX(cum) AS BIGINT) AS covered,
+               CAST(MAX(total) AS BIGINT) AS total,
+               CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+                 AS coverage
+        FROM ranked, unnest([100, 1000, 10000]) AS u(k)
+        WHERE r <= k GROUP BY k
     """
 
     # Temperature mixture plan: weight = sqrt(tok) (IEEE correctly

@@ -316,6 +316,10 @@ def main():
         "events_hourly_agg",
         "top_order_per_customer",
         "hll_distinct_kgrams_per_source",
+        # r6: end-to-end batch assembly (temperature mixture -> epoch
+        # explode -> 512-token packing) — new row, excluded from
+        # suite-total comparisons against r5 and earlier records
+        "epoch_pack_chunks",
     ):
         if name in capture:
             def run(n=name):

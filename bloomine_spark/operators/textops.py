@@ -12,7 +12,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -257,4 +257,56 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
             F.round(F.col("n_distinct_2grams") / F.col("n_2grams"), 6)
             .alias("distinct_frac"),
         )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — for each cutoff k, the fraction of
+    all token OCCURRENCES covered by the k most frequent token types
+    (the tokenizer-design primitive: how big a vocab buys how much of
+    the stream). Returns (k, vocab_size, covered, total, coverage) with
+    vocab_size = min(k, |vocab|).
+
+    Deterministic and oracle-exact: ranking ties break by token string,
+    the running coverage is an ORDERED cumulative sum of integer counts,
+    and the only double is one final division of identical integers.
+
+    Plan shape at scale: the corpus-sized work is a single (token)
+    count aggregate with map-side partials. The global sort is NOT
+    materialized — web-scale vocab is billions of token types (typos,
+    urls), so the single-partition ranking window only ever sees the
+    top max(k) rows, selected by a distributed TakeOrderedAndProject
+    (per-partition partial top-k, merged on the driver), and the
+    occurrence total is a separate scalar aggregate broadcast in."""
+    tok = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    total = freq.agg(F.sum("c").cast("long").alias("total"))
+    order = [F.desc("c"), F.asc("t")]
+    # orderBy(...).limit(n) compiles to TakeOrderedAndProject: each
+    # partition keeps its own top-n, only n rows per partition move.
+    topk = freq.orderBy(*order).limit(max(ks))
+    w_rank = Window.orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = topk.select(
+        "c",
+        "t",
+        F.row_number().over(w_rank).alias("r"),
+        F.sum("c").over(w_cum).alias("cum"),
+    ).crossJoin(F.broadcast(total))
+    fan = ranked.filter(F.col("r") <= max(ks)).withColumn(
+        "k", F.explode(F.array(*[F.lit(int(k)) for k in ks]))
+    ).filter(F.col("r") <= F.col("k"))
+    return fan.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.max("r").cast("long").alias("vocab_size"),
+        F.max("cum").cast("long").alias("covered"),
+        F.max("total").cast("long").alias("total"),
+        (
+            F.max("cum").cast("double") / F.max("total").cast("double")
+        ).alias("coverage"),
     )

@@ -14,7 +14,12 @@ _PARAMS.json protocol as the screen cascade):
               min-id or --near-dup-keep quality)
   decontam  — (only with --eval-set PATH) drop docs sharing any word
               n-gram with the eval corpus (Bloom-prefiltered overlap)
-  curated/  — final docs, partitioned by source
+  curated/  — final docs, partitioned by source (+ a deterministic
+              98/1/1 train/val/test column with --split)
+  batches/  — (only with --pack TOKENS) training-batch manifest: the
+              (train-split) docs, optionally temperature-resampled with
+              --mixture-alpha, packed into TOKENS-token context windows
+              across --pack-shards streams per source
 
 Every stage is a narrow or grouped op: no driver collects, no cross
 joins; near-dup is the banded LSH (bucket equi-join, no n² stage).
@@ -52,6 +57,24 @@ def main() -> None:
                     "docs sharing any word n-gram with it (decontamination)")
     ap.add_argument("--decontam-n", type=int, default=8,
                     help="n-gram size for --eval-set overlap (default 8)")
+    ap.add_argument("--split", action="store_true",
+                    help="append a deterministic 98/1/1 train/val/test "
+                    "column (md5-bucket of doc_id — stable under corpus "
+                    "growth)")
+    ap.add_argument("--pack", type=int, default=None, metavar="TOKENS",
+                    help="assemble training batches: pack curated docs "
+                    "(the train split when --split) into TOKENS-token "
+                    "context windows; writes a batches/ chunk manifest")
+    ap.add_argument("--pack-shards", type=int, default=16,
+                    help="independent pack streams per source "
+                    "(parallelism = sources x shards; default 16)")
+    ap.add_argument("--mixture-alpha", type=float, default=None,
+                    help="temperature-sample sources (weight ∝ "
+                    "tokens^alpha) before packing; docs get deterministic "
+                    "copy counts (upsampling) from the md5-bucket rule")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="mixture token budget (default: the corpus size, "
+                    "i.e. resample to the same scale)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -74,6 +97,10 @@ def main() -> None:
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
         "near_dup_keep": args.near_dup_keep,
         "eval_set": args.eval_set, "decontam_n": args.decontam_n,
+        "split": bool(args.split), "pack": args.pack,
+        "pack_shards": args.pack_shards,
+        "mixture_alpha": args.mixture_alpha,
+        "token_budget": args.token_budget,
     }
 
     docs = spark.read.parquet(args.input)
@@ -163,12 +190,69 @@ def main() -> None:
         deduped = runner.stage("decontam", _decontam,
                                manifest=dict(manifest, stage="decontam"))
 
+    if args.split:
+        from bloomine_spark.operators.packing import hash_split
+
+        deduped = hash_split(deduped, "doc_id")
+
     deduped.write.mode("overwrite").partitionBy("source").parquet(
         f"{run_dir}/curated"
     )
     n = spark.read.parquet(f"{run_dir}/curated").count()
-    print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
     print(f"curated docs: {n}")
+
+    if args.pack is not None:
+        # batch assembly: (train-split) curated docs -> optional
+        # temperature mixture (deterministic copy counts) -> sharded
+        # concat-and-chunk packing; the chunk manifest is what a data
+        # loader shards over. Resumable like every other stage.
+        from bloomine_spark.operators.mixture import (
+            explode_epochs,
+            realize_mixture,
+            temperature_mixture_plan,
+        )
+        from bloomine_spark.operators.packing import pack_context_windows
+
+        def _batches():
+            d = spark.read.parquet(f"{run_dir}/curated")
+            if args.split:
+                d = d.filter(F.col("split") == "train")
+            d = d.select(
+                "source",
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("n_ws_tokens").cast("long").alias("n_tok"),
+            )
+            if args.mixture_alpha is not None:
+                plan = temperature_mixture_plan(
+                    d,
+                    alpha=args.mixture_alpha,
+                    token_budget=args.token_budget,
+                    budget_ratio=(1, 1),
+                )
+                d = explode_epochs(realize_mixture(d, plan)).withColumn(
+                    "_ord", F.struct("epoch", "doc_id")
+                )
+            else:
+                d = d.withColumn("_ord", F.col("doc_id"))
+            return pack_context_windows(
+                d,
+                args.pack,
+                group_col="source",
+                order_col="_ord",
+                ntok_col="n_tok",
+                shards=args.pack_shards,
+            )
+
+        batches = runner.stage("batches", _batches,
+                               manifest=dict(manifest, stage="batches"))
+        stats = batches.groupBy("source").agg(
+            F.count("*").alias("chunks"),
+            F.sum("n_tokens").alias("tokens"),
+        ).collect()
+        for r in sorted(stats, key=lambda r: r["source"]):
+            print(f"batches {r['source']}: {r['chunks']} chunks, "
+                  f"{r['tokens']} tokens")
+    print(f"stages ran: {runner.ran}  skipped (resume): {runner.skipped}")
     spark.stop()
 
 

@@ -137,3 +137,25 @@ def test_fixed_budget_and_zero_copy_drop(spark):
     kept = realize_mixture(docs, plan)
     assert 0 < kept.count() < docs.count()
     assert kept.filter(F.col("n_copies") != 1).count() == 0
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage is monotone in k, exact on a hand-computable fixture, and
+    total equals the corpus occurrence count."""
+    from bloomine_spark.operators.textops import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b b c"),
+            (2, "a b  c d"),      # double space → empty token dropped
+            (3, "e"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["k"]: r for r in vocab_coverage(docs, ks=(1, 2, 10)).collect()}
+    # freq: a=5 b=3 c=2 d=1 e=1 → total 12; ties d/e break by token string
+    assert rows[1]["covered"] == 5 and rows[1]["total"] == 12
+    assert rows[2]["covered"] == 8
+    assert rows[10]["covered"] == 12 and rows[10]["vocab_size"] == 5
+    assert rows[1]["coverage"] == 5 / 12
+    assert rows[1]["coverage"] <= rows[2]["coverage"] <= rows[10]["coverage"]

@@ -101,3 +101,42 @@ def test_run_curate_cli(spark, tmp_path):
     assert "'decontam'" in r4.stdout  # stage actually ran
     dc = spark.read.parquet(f"{out}/c2/curated").toPandas()
     assert set(dc["doc_id"]) == {2}
+
+
+def test_run_curate_cli_batches(spark, tmp_path):
+    """--split/--mixture-alpha/--pack tail: curated docs gain the
+    deterministic split column and a batches/ chunk manifest is written
+    with full non-final chunks per (source, shard) stream."""
+    inp = _write_docs(spark, tmp_path)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "cb",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "5",
+        "--split", "--pack", "16", "--pack-shards", "2",
+        "--mixture-alpha", "0.5",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "'batches'" in r.stdout and "batches s0:" in r.stdout
+
+    cur = spark.read.parquet(f"{out}/cb/curated").toPandas()
+    # md5-bucket split of the surviving ids (1, 2, 6) is all-train
+    assert set(cur["split"]) == {"train"}
+
+    ch = spark.read.parquet(f"{out}/cb/batches").toPandas()
+    assert len(ch) > 0
+    assert (ch["n_tokens"] <= 16).all() and (ch["n_tokens"] >= 1).all()
+    # every non-final chunk of each (source, shard) stream is exactly full
+    for (_, _), g in ch.groupby(["source", "shard"]):
+        last = g["chunk_id"].max()
+        assert (g.loc[g["chunk_id"] < last, "n_tokens"] == 16).all()
+        assert sorted(g["chunk_id"]) == list(range(last + 1))
+
+    # resume: the batches stage (and all earlier ones) skip on rerun
+    r2 = subprocess.run(argv, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "stages ran: []" in r2.stdout
