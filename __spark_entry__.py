@@ -951,6 +951,40 @@ def _q_vocab_coverage_curve(spark, sf_dir):
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+BPE_N_MERGES = 10
+
+
+def _q_bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich 2016): 10 merge
+    rounds over the word-type frequency relation; returns the merge
+    table (merge_rank, lhs, rhs, pair_count). Corpus collapses once to
+    word types; each round is one bounded pair-count aggregate + a
+    distributed top-1 + a map-side greedy fold. Oracle replays the
+    identical contract as an unrolled CTE chain (greedy merge =
+    every-other-candidate within gaps-and-islands runs)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.bpe import bpe_merge_table
+    from bloomine_spark.sources.tables import load_table
+
+    return bpe_merge_table(
+        load_table(spark, sf_dir, "documents"), BPE_N_MERGES
+    )
+
+
+def _q_bpe_fertility_per_source(spark, sf_dir):
+    """Apply the learned 10-merge BPE back to the corpus: per source,
+    (n_words, n_subwords, fertility) — the tokenizer-quality readout.
+    Word→subword-size map joins back to the exploded corpus (word-type
+    keyed shuffle join; AQE broadcasts while the vocab is small)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.bpe import bpe_source_stats
+    from bloomine_spark.sources.tables import load_table
+
+    return bpe_source_stats(
+        load_table(spark, sf_dir, "documents"), BPE_N_MERGES
+    )
+
+
 def _mixture_docs(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
@@ -1495,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_plan": _q_source_mixture_plan,
         "epoch_pack_chunks": _q_epoch_pack_chunks,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
+        "bpe_learn_merges": _q_bpe_learn_merges,
+        "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "simhash_relational": _q_simhash_relational,
         "hll_relational_per_source": _q_hll_relational_per_source,
         "minhash_relational_jaccard": _q_minhash_relational_jaccard,
@@ -1589,6 +1625,70 @@ def _sp_score_cte(name: str, phrase: str, docs_cte: str = "tok") -> str:
 
 
 _SP_MST_K2 = 19.25  # ScreenParams(k=2).mst(2): kernel recomputes per target
+
+
+def _bpe_cte(n_merges: int) -> str:
+    """Unrolled DuckDB CTE chain replaying the BPE contract of
+    bloomine_spark/operators/bpe.py exactly: per round, pair counts over
+    every adjacent symbol position weighted by word-type frequency, the
+    winner by (count DESC, lhs, rhs), and the greedy left-to-right merge
+    expressed relationally — candidate positions form gaps-and-islands
+    runs (multi-position runs only exist when lhs == rhs), and greedy
+    selects the odd-ranked positions of each run; the position after a
+    selected one is consumed. Defines w0, it0..it{n}, b0..b{n-1}."""
+    parts = [
+        """w0 AS MATERIALIZED (
+          SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+          ) WHERE t <> '' GROUP BY t
+        )""",
+        """it0 AS MATERIALIZED (
+          SELECT w, freq,
+                 list_transform(range(1, length(w) + 1),
+                                i -> substr(w, CAST(i AS INT), 1)) AS syms
+          FROM w0
+        )""",
+    ]
+    for k in range(n_merges):
+        parts.append(f"""p{k} AS (
+          SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+                 CAST(SUM(freq) AS BIGINT) AS c
+          FROM it{k}, unnest(range(1, len(syms))) AS u(i)
+          GROUP BY 1, 2
+        )""")
+        parts.append(f"""b{k} AS MATERIALIZED (
+          SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1
+        )""")
+        parts.append(f"""x{k} AS (
+          SELECT w, freq, i, syms[i] AS s,
+                 (i < len(syms)
+                  AND syms[i] = (SELECT lhs FROM b{k})
+                  AND syms[i + 1] = (SELECT rhs FROM b{k})) AS cand
+          FROM it{k}, unnest(range(1, len(syms) + 1)) AS u(i)
+        )""")
+        parts.append(f"""y{k} AS (
+          SELECT *, CASE WHEN cand THEN i - ROW_NUMBER() OVER (
+                   PARTITION BY w, cand ORDER BY i) END AS isl
+          FROM x{k}
+        )""")
+        parts.append(f"""z{k} AS (
+          SELECT *, COALESCE(cand AND (ROW_NUMBER() OVER (
+                   PARTITION BY w, isl ORDER BY i) % 2 = 1), FALSE) AS sel
+          FROM y{k}
+        )""")
+        parts.append(f"""m{k} AS (
+          SELECT w, freq, i,
+                 CASE WHEN sel THEN s || (SELECT rhs FROM b{k})
+                      ELSE s END AS s,
+                 COALESCE(LAG(sel) OVER (PARTITION BY w ORDER BY i),
+                          FALSE) AS consumed
+          FROM z{k}
+        )""")
+        parts.append(f"""it{k + 1} AS MATERIALIZED (
+          SELECT w, freq, list(s ORDER BY i) AS syms
+          FROM m{k} WHERE NOT consumed GROUP BY w, freq
+        )""")
+    return ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2380,6 +2480,37 @@ def oracle_sql() -> dict[str, str]:
                  AS coverage
         FROM ranked, unnest([100, 1000, 10000]) AS u(k)
         WHERE r <= k GROUP BY k
+    """
+
+    # BPE merge learning: unrolled CTE replay of the greedy contract;
+    # the merge table is the union of each round's winner.
+    _bpe_ranks = "\n          UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, lhs, rhs,"
+        f" c AS pair_count FROM b{k}"
+        for k in range(BPE_N_MERGES)
+    )
+    sql["bpe_learn_merges"] = f"""
+        WITH {_bpe_cte(BPE_N_MERGES)}
+        SELECT * FROM (
+          {_bpe_ranks}
+        )
+    """
+
+    sql["bpe_fertility_per_source"] = f"""
+        WITH {_bpe_cte(BPE_N_MERGES)},
+        dw AS (
+          SELECT source, t AS w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+               CAST(SUM(len(syms)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS fertility
+        FROM dw JOIN it{BPE_N_MERGES} USING (w)
+        GROUP BY source
     """
 
     # Temperature mixture plan: weight = sqrt(tok) (IEEE correctly
