@@ -321,3 +321,51 @@ def test_mixture_and_epoch_pack_plans(spark):
     assert set(f2.join_strategies) == {"BroadcastHashJoin"}, f2.join_strategies
     assert f2.n_exchanges <= 4 and not f2.has_python_eval, f2.text
     assert_columns_pruned(pack_q, {"lang", "n_chars", "ts"})
+
+
+@needs_data
+def test_vocab_coverage_plan(spark):
+    """The coverage window must NOT sort the whole vocab in one
+    partition: the top-max(k) rows arrive via a distributed
+    TakeOrderedAndProject, the occurrence total rides a broadcast, and
+    AQE reuses the token-count exchange so the corpus is scanned once."""
+    import __spark_entry__ as em
+
+    q = em.queries()["vocab_coverage_curve"](spark, SF)
+    q.collect()  # AQE finalizes exchange reuse at execution
+    facts = plan_facts(q)
+    assert "TakeOrderedAndProject" in facts.text, facts.text
+    assert "ReusedExchange" in facts.text, facts.text
+    assert not facts.has_python_eval
+    assert_columns_pruned(q, {"doc_id", "lang", "n_chars"})
+
+
+@needs_data
+def test_bpe_round_plans(spark):
+    """Each BPE round is scale-bounded: the pair-count aggregate is one
+    partial-agg shuffle over word TYPES, the round winner is a
+    distributed TakeOrderedAndProject (one row to the driver), and
+    applying a merge is a pure map (zero exchanges) — all pure Catalyst,
+    no Python nodes anywhere."""
+    from bloomine_spark.operators.bpe import (
+        _apply_merge,
+        _char_symbols,
+        _pair_counts,
+        word_freq_table,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = _char_symbols(word_freq_table(docs)).localCheckpoint()
+
+    counts = _pair_counts(words)
+    f1 = plan_facts(counts)
+    assert f1.n_exchanges == 1 and not f1.has_python_eval, f1.text
+
+    top = counts.orderBy(
+        F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+    ).limit(1)
+    assert "TakeOrderedAndProject" in plan_facts(top).text
+
+    merged = _apply_merge(words, "e", "s")
+    f2 = plan_facts(merged)
+    assert f2.n_exchanges == 0 and not f2.has_python_eval, f2.text
