@@ -951,6 +951,23 @@ def _q_vocab_coverage_curve(spark, sf_dir):
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_gopher_quality_per_source(spark, sf_dir):
+    """Gopher rule-pack filtering audit (Rae 2021): per source, how many
+    docs each rule rejects and how many survive. Every ratio rule is an
+    integer cross-multiplication (no float thresholds) — a pure-codegen
+    map over the scan + one partial-agg shuffle of ≤ |sources| rows.
+    min_stopwords=1 here (the synthetic corpus vocabulary contains only
+    'the' from the Gopher set; the published default of 2 would reject
+    every doc and make n_kept degenerate — operator defaults unchanged)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import gopher_quality_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return gopher_quality_per_source(
+        load_table(spark, sf_dir, "documents"), min_stopwords=1
+    )
+
+
 BPE_N_MERGES = 10
 
 
@@ -1529,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_plan": _q_source_mixture_plan,
         "epoch_pack_chunks": _q_epoch_pack_chunks,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
+        "gopher_quality_per_source": _q_gopher_quality_per_source,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "simhash_relational": _q_simhash_relational,
@@ -2480,6 +2498,52 @@ def oracle_sql() -> dict[str, str]:
                  AS coverage
         FROM ranked, unnest([100, 1000, 10000]) AS u(k)
         WHERE r <= k GROUP BY k
+    """
+
+    # Gopher rule pack: identical integer cross-multiplication rules;
+    # '...' occurrences counted by non-overlapping replace in both
+    # engines, integer-division by 3.
+    sql["gopher_quality_per_source"] = """
+        WITH f AS (
+          SELECT source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w,
+                 length(text) - length(replace(text, '#', '')) AS hashes,
+                 (length(text) - length(replace(text, '...', ''))) // 3
+                   AS ells
+          FROM documents
+        ), g AS (
+          SELECT source,
+                 CAST(len(w) AS BIGINT) AS nw,
+                 CAST(COALESCE(list_sum(
+                   list_transform(w, x -> length(x))), 0) AS BIGINT)
+                   AS chars,
+                 CAST(len(list_filter(w,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+                 CAST(len(list_intersect(list_distinct(w),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS BIGINT) AS stopw,
+                 CAST(hashes + ells AS BIGINT) AS sym
+          FROM f
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN nw BETWEEN 50 AND 100000
+                        THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+               CAST(SUM(CASE WHEN chars >= 3 * nw AND chars <= 10 * nw
+                        THEN 0 ELSE 1 END) AS BIGINT)
+                 AS fail_mean_word_len,
+               CAST(SUM(CASE WHEN sym * 10 <= nw THEN 0 ELSE 1 END)
+                 AS BIGINT) AS fail_symbol_ratio,
+               CAST(SUM(CASE WHEN alpha * 5 >= nw * 4 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS fail_alpha_words,
+               CAST(SUM(CASE WHEN stopw >= 1 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS fail_stop_words,
+               CAST(SUM(CASE WHEN nw BETWEEN 50 AND 100000
+                         AND chars >= 3 * nw AND chars <= 10 * nw
+                         AND sym * 10 <= nw AND alpha * 5 >= nw * 4
+                         AND stopw >= 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM g GROUP BY source
     """
 
     # BPE merge learning: unrolled CTE replay of the greedy contract;

@@ -260,6 +260,107 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: Gopher rule-pack stop-word set (Rae et al. 2021, table A1 — public).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style quality-filter rule pack (Rae et al. 2021 — the
+    standard pretraining corpus gate; same family as C4/RefinedWeb):
+    per document, pass/fail for
+      word_count     min_words ≤ n_words ≤ max_words
+      mean_word_len  min_mean_len ≤ mean ≤ max_mean_len
+      symbol_ratio   (# chars + '...' occurrences) / n_words ≤ 0.1
+      alpha_words    words containing a letter / n_words ≥ 0.8
+      stop_words     ≥ min_stopwords distinct words from the Gopher set
+    plus the conjunction ``keep``.
+
+    Every ratio rule is evaluated as an INTEGER cross-multiplication
+    (e.g. mean-length bounds become ``3·n ≤ total_chars ≤ 10·n``), so
+    the output is exact and engine-portable — no float thresholds.
+    Pure codegen expressions; at 100 TB this is a map over the scan."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = docs.select(
+        "*",
+        words.alias("_w"),
+        F.size(words).cast("long").alias("_nw"),
+    ).select(
+        "*",
+        F.aggregate(
+            "_w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("_chars"),
+        F.size(
+            F.filter("_w", lambda x: x.rlike("[A-Za-z]"))
+        ).cast("long").alias("_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("_w"),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).cast("long").alias("_stop"),
+        (
+            (F.length(text_col) - F.length(F.replace(text_col, F.lit("#"))))
+            + (
+                F.length(text_col)
+                - F.length(F.replace(text_col, F.lit("...")))
+            ) / F.lit(3)
+        ).cast("long").alias("_sym"),
+    )
+    return d.select(
+        *docs.columns,
+        ((F.col("_nw") >= min_words) & (F.col("_nw") <= max_words))
+        .alias("pass_word_count"),
+        (
+            (F.col("_chars") >= min_mean_len * F.col("_nw"))
+            & (F.col("_chars") <= max_mean_len * F.col("_nw"))
+        ).alias("pass_mean_word_len"),
+        (F.col("_sym") * 10 <= F.col("_nw")).alias("pass_symbol_ratio"),
+        (F.col("_alpha") * 5 >= F.col("_nw") * 4).alias("pass_alpha_words"),
+        (F.col("_stop") >= min_stopwords).alias("pass_stop_words"),
+    ).withColumn(
+        "keep",
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_symbol_ratio")
+        & F.col("pass_alpha_words")
+        & F.col("pass_stop_words"),
+    )
+
+
+def gopher_quality_per_source(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source",
+    **rules,
+) -> DataFrame:
+    """Per-source rule-pack report: how many documents each Gopher rule
+    rejects and how many survive the conjunction — the filtering audit a
+    curation run logs before committing a corpus. Pure integer counts
+    (hash-exact); one partial-agg shuffle over ≤ |sources| rows."""
+    flagged = gopher_quality(docs, text_col=text_col, **rules)
+
+    def fails(c):
+        return F.sum((~F.col(c)).cast("long")).alias(c.replace("pass_", "fail_"))
+
+    return flagged.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        fails("pass_word_count"),
+        fails("pass_mean_word_len"),
+        fails("pass_symbol_ratio"),
+        fails("pass_alpha_words"),
+        fails("pass_stop_words"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     ks: tuple[int, ...] = (100, 1000, 10000),
