@@ -356,10 +356,19 @@ def main():
         len(_pairs("embedding_near_dup_lsh") & planted) / len(planted), 4
     )
 
-    total = round(sum(times.values()), 3)
+    # rows added after the r5 record: measured and reported, but kept OUT
+    # of the headline total so `value` stays comparable round-over-round
+    # (the r5 verdict's lesson: never let the scoring scalar drift for
+    # reasons that aren't plan changes)
+    new_rows = {"q_epoch_pack_chunks"}
+    total = round(
+        sum(t for n, t in times.items() if n not in new_rows), 3
+    )
     out = {
         "metric": "headline suite wall-clock (sketch+screen+pipeline)",
         "value": total,
+        "new_rows_sec": {n: times[n] for n in sorted(new_rows) if n in times},
+        "new_rows_excluded_from_value": sorted(new_rows),
         "unit": "sec",
         "queries": times,
         "sf": sf,
@@ -424,6 +433,7 @@ def main():
         "sf": sf,
         "cpus": int(CPUS),
         "tokens_per_sec": out["tokens_per_sec"],
+        "new_rows_excluded_from_value": out["new_rows_excluded_from_value"],
         "recall": recall,
         "degraded": out["degraded"],
         "degraded_queries": out["degraded_queries"],

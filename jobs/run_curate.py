@@ -75,6 +75,13 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="mixture token budget (default: the corpus size, "
                     "i.e. resample to the same scale)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="also apply the Gopher rule pack (Rae 2021) in "
+                    "the filter stage — word-count / mean-word-length / "
+                    "symbol-ratio / alpha-words / stop-words, all integer "
+                    "cross-multiplication rules")
+    ap.add_argument("--gopher-min-words", type=int, default=50)
+    ap.add_argument("--gopher-min-stopwords", type=int, default=2)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -97,6 +104,9 @@ def main() -> None:
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
         "near_dup_keep": args.near_dup_keep,
         "eval_set": args.eval_set, "decontam_n": args.decontam_n,
+        "gopher": bool(args.gopher),
+        "gopher_min_words": args.gopher_min_words,
+        "gopher_min_stopwords": args.gopher_min_stopwords,
         "split": bool(args.split), "pack": args.pack,
         "pack_shards": args.pack_shards,
         "mixture_alpha": args.mixture_alpha,
@@ -138,11 +148,21 @@ def main() -> None:
                           manifest=dict(manifest, stage="scored"))
 
     def _filter():
-        return scored.filter(
+        out = scored.filter(
             (F.col("quality") >= args.quality_min)
             & (F.coalesce(F.col("top2_frac"), F.lit(0.0)) <= args.top2_max)
             & (F.col("n_ws_tokens") >= args.min_tokens)
         )
+        if args.gopher:
+            from bloomine_spark.operators.textops import gopher_quality
+
+            cols = out.columns
+            out = gopher_quality(
+                out,
+                min_words=args.gopher_min_words,
+                min_stopwords=args.gopher_min_stopwords,
+            ).filter("keep").select(*cols)
+        return out
 
     filtered = runner.stage("filtered", _filter,
                             manifest=dict(manifest, stage="filtered"))

@@ -140,3 +140,24 @@ def test_run_curate_cli_batches(spark, tmp_path):
                         timeout=600)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "stages ran: []" in r2.stdout
+
+
+def test_run_curate_cli_gopher(spark, tmp_path):
+    """--gopher applies the rule pack in the filter stage: the 2-word doc
+    dies on the word-count rule even with --min-tokens 1, good docs
+    survive (they carry real stopwords and sane word lengths)."""
+    inp = _write_docs(spark, tmp_path)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "cg",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "1",
+        "--gopher", "--gopher-min-words", "20",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    cur = spark.read.parquet(f"{out}/cg/curated").toPandas()
+    assert 4 not in set(cur["doc_id"])          # gopher word-count kill
+    assert {1, 2} <= set(cur["doc_id"])         # good docs survive
