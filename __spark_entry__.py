@@ -951,6 +951,20 @@ def _q_vocab_coverage_curve(spark, sf_dir):
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_unigram_ppl_per_source(spark, sf_dir):
+    """CCNet-style perplexity triage with the LM reduced to the corpus
+    unigram model: per source, mean doc NLL + its exp. Token-count agg
+    (vocab-sized) + scalar total broadcast + one token→freq join + two
+    narrowing aggregates; transcendentals stay in codegen. Doubles
+    compare under the gate's 1e-6 canonical rounding — association-order
+    float noise is ~1e-11 here."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import unigram_logprob_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return unigram_logprob_per_source(load_table(spark, sf_dir, "documents"))
+
+
 def _q_gopher_quality_per_source(spark, sf_dir):
     """Gopher rule-pack filtering audit (Rae 2021): per source, how many
     docs each rule rejects and how many survive. Every ratio rule is an
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_pack_chunks": _q_epoch_pack_chunks,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "gopher_quality_per_source": _q_gopher_quality_per_source,
+        "unigram_ppl_per_source": _q_unigram_ppl_per_source,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "simhash_relational": _q_simhash_relational,
@@ -2498,6 +2513,32 @@ def oracle_sql() -> dict[str, str]:
                  AS coverage
         FROM ranked, unnest([100, 1000, 10000]) AS u(k)
         WHERE r <= k GROUP BY k
+    """
+
+    # Unigram NLL: ln over integer type-counts, per-doc AVG, per-source
+    # AVG — float association noise ~1e-11, far under the 1e-6 canon.
+    sql["unigram_ppl_per_source"] = """
+        WITH tok AS (
+          SELECT source, doc_id, t FROM (
+            SELECT source, doc_id,
+                   unnest(string_split(text, ' ')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ), freq AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+        ), tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq
+        ), per_doc AS (
+          SELECT source, doc_id,
+                 ln((SELECT n_total FROM tot)) - AVG(ln(c)) AS nll
+          FROM tok JOIN freq USING (t)
+          GROUP BY source, doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(nll) AS mean_doc_nll,
+               exp(AVG(nll)) AS ppl
+        FROM per_doc GROUP BY source
     """
 
     # Gopher rule pack: identical integer cross-multiplication rules;

@@ -260,6 +260,48 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob_per_source(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity filtering signal (Wenzek et al. 2020),
+    with the LM reduced to the corpus's own unigram model so the whole
+    computation stays in-engine: per document,
+    ``nll = ln(N) − mean(ln(freq(t)))`` (the mean negative log
+    probability under p(t) = freq(t)/N), then per source the mean doc
+    NLL and its exp (the source's unigram perplexity). Low-NLL sources
+    are boilerplate-heavy; high-NLL sources are noisy — the same
+    triage CCNet does with a KenLM model.
+
+    Plan shape at 100 TB: one token-count aggregate (vocab-sized
+    output), its total broadcast as a scalar, one token→freq join
+    (AQE broadcasts the vocab while it fits, shuffle join beyond), and
+    two narrowing aggregates (doc, then source). The transcendentals
+    are per-TYPE ln() calls inside codegen — no Python anywhere."""
+    tok = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    total = freq.agg(F.sum("c").cast("long").alias("n_total"))
+    per_doc = (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", "doc_id")
+        .agg(
+            (F.log(F.first("n_total")) - F.avg(F.log("c"))).alias("nll")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("nll").alias("mean_doc_nll"),
+        F.exp(F.avg("nll")).alias("ppl"),
+    )
+
+
 #: Gopher rule-pack stop-word set (Rae et al. 2021, table A1 — public).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

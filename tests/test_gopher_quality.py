@@ -98,3 +98,36 @@ def test_per_source_report(spark):
     assert rep["sA"]["n_docs"] == 2 and rep["sA"]["n_kept"] == 1
     assert rep["sA"]["fail_word_count"] == 1
     assert rep["sB"]["n_kept"] == 1 and rep["sB"]["fail_stop_words"] == 0
+
+
+def test_unigram_logprob(spark):
+    """Hand-computable unigram NLL: freq a=3 b=2 c=1, N=6; determinism
+    across partitionings."""
+    import math
+    from pyspark.sql import functions as F
+    from bloomine_spark.operators.textops import unigram_logprob_per_source
+
+    docs = spark.createDataFrame(
+        [(1, "sA", "a a b"), (2, "sA", "a b c")],
+        ["doc_id", "source", "text"])
+    rows = unigram_logprob_per_source(docs).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2
+    n = math.log(6)
+    nll1 = n - (2 * math.log(3) + math.log(2)) / 3
+    nll2 = n - (math.log(3) + math.log(2) + math.log(1)) / 3
+    exp = (nll1 + nll2) / 2
+    assert abs(rows[0]["mean_doc_nll"] - exp) < 1e-12
+    assert abs(rows[0]["ppl"] - math.exp(exp)) < 1e-9
+
+    # partition invariance within float tolerance
+    d13 = spark.createDataFrame(
+        [(i, f"s{i % 2}", t) for i, t in enumerate(
+            ["a a b c", "b c d", "a d d e", "e a b"] * 6)],
+        ["doc_id", "source", "text"])
+    r1 = {r["source"]: r["mean_doc_nll"]
+          for r in unigram_logprob_per_source(d13.repartition(1)).collect()}
+    r2 = {r["source"]: r["mean_doc_nll"]
+          for r in unigram_logprob_per_source(
+              d13.repartition(16, F.col("doc_id"))).collect()}
+    for s in r1:
+        assert abs(r1[s] - r2[s]) < 1e-9
