@@ -369,3 +369,30 @@ def test_bpe_round_plans(spark):
     merged = _apply_merge(words, "e", "s")
     f2 = plan_facts(merged)
     assert f2.n_exchanges == 0 and not f2.has_python_eval, f2.text
+
+
+@needs_data
+def test_gopher_and_unigram_plans(spark):
+    """Gopher rule pack is a pure-codegen map + one partial-agg shuffle;
+    unigram NLL keeps its transcendentals in codegen (no Python), joins
+    token→freq without cartesian, and AQE reuses the token-count
+    exchange so the corpus is scanned once for freq and total."""
+    import __spark_entry__ as em
+
+    g = em.queries()["gopher_quality_per_source"](spark, SF)
+    fg = plan_facts(g)
+    assert fg.n_exchanges == 1 and not fg.has_python_eval, fg.text
+    assert_columns_pruned(g, {"doc_id", "lang", "n_chars"})
+
+    u = em.queries()["unigram_ppl_per_source"](spark, SF)
+    u.collect()  # AQE finalizes reuse
+    fu = plan_facts(u)
+    assert not fu.has_python_eval
+    assert "CartesianProduct" not in fu.join_strategies
+    # count joins in the FINAL adaptive plan only — after execution the
+    # AQE toString appends an "== Initial Plan ==" section that would
+    # double-count every node. The only nested-loop join allowed is the
+    # 1-ROW scalar-total broadcast (crossJoin(broadcast(total))).
+    final = fu.text.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+    assert "ReusedExchange" in final, final
