@@ -161,3 +161,42 @@ def test_run_curate_cli_gopher(spark, tmp_path):
     cur = spark.read.parquet(f"{out}/cg/curated").toPandas()
     assert 4 not in set(cur["doc_id"])          # gopher word-count kill
     assert {1, 2} <= set(cur["doc_id"])         # good docs survive
+
+
+def test_run_curate_cli_all_stages(spark, tmp_path):
+    """Every stage flag at once: scrub → score → filter(+gopher) →
+    dedup(+near-dup groups) → split → curated → mixture+pack batches.
+    Catches flag interactions (e.g. gopher column handling feeding the
+    near-dup stage, split column surviving into packing)."""
+    inp = _write_docs(spark, tmp_path)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "ca",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "1",
+        "--gopher", "--gopher-min-words", "20",
+        "--near-dup", "--near-dup-keep", "min-id",
+        "--split", "--pack", "16", "--pack-shards", "2",
+        "--mixture-alpha", "0.5",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    cur = spark.read.parquet(f"{out}/ca/curated").toPandas()
+    ids = set(cur["doc_id"])
+    assert 4 not in ids            # gopher word-count kill
+    assert 3 not in ids            # exact dup of 1
+    assert 6 not in ids            # near-dup of 1, min-id survivor rule
+    assert 2 not in ids            # fox->hare swap is itself a near-dup
+    assert 1 in ids
+    assert set(cur["split"]) <= {"train", "val", "test"}
+
+    ch = spark.read.parquet(f"{out}/ca/batches").toPandas()
+    assert len(ch) > 0 and (ch["n_tokens"] <= 16).all()
+
+    # resume with identical args: every stage skips
+    r2 = subprocess.run(argv, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0 and "stages ran: []" in r2.stdout
