@@ -1016,6 +1016,25 @@ def _q_bpe_fertility_per_source(spark, sf_dir):
     )
 
 
+def _q_bpe_transfer_stats(spark, sf_dir):
+    """Train-and-transfer: learn 10 merges on the EVEN-doc_id half of
+    the corpus, encode the FULL corpus (unseen words still encode —
+    characters remain symbols). Per source: words, subwords, OOV word
+    occurrences, fertility. The production tokenizer shape: train once,
+    apply to everything."""
+    _ship_pkg(spark)
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.operators.bpe import bpe_transfer_stats
+    from bloomine_spark.sources.tables import load_table
+
+    return bpe_transfer_stats(
+        load_table(spark, sf_dir, "documents"),
+        BPE_N_MERGES,
+        train_pred=(F.col("doc_id") % 2 == 0),
+    )
+
+
 def _mixture_docs(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
@@ -1564,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl_per_source": _q_unigram_ppl_per_source,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
+        "bpe_transfer_stats": _q_bpe_transfer_stats,
         "simhash_relational": _q_simhash_relational,
         "hll_relational_per_source": _q_hll_relational_per_source,
         "minhash_relational_jaccard": _q_minhash_relational_jaccard,
@@ -1660,27 +1680,71 @@ def _sp_score_cte(name: str, phrase: str, docs_cte: str = "tok") -> str:
 _SP_MST_K2 = 19.25  # ScreenParams(k=2).mst(2): kernel recomputes per target
 
 
-def _bpe_cte(n_merges: int) -> str:
-    """Unrolled DuckDB CTE chain replaying the BPE contract of
-    bloomine_spark/operators/bpe.py exactly: per round, pair counts over
-    every adjacent symbol position weighted by word-type frequency, the
-    winner by (count DESC, lhs, rhs), and the greedy left-to-right merge
-    expressed relationally — candidate positions form gaps-and-islands
-    runs (multi-position runs only exist when lhs == rhs), and greedy
-    selects the odd-ranked positions of each run; the position after a
-    selected one is consumed. Defines w0, it0..it{n}, b0..b{n-1}."""
-    parts = [
-        """w0 AS MATERIALIZED (
-          SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-            SELECT unnest(string_split(text, ' ')) AS t FROM documents
-          ) WHERE t <> '' GROUP BY t
+def _bpe_apply_sql(k: int, src: str, dst: str, pair: str, tag: str) -> list[str]:
+    """The greedy-merge application blocks, reusable for both the
+    training chain (src=it{k}) and a transfer/encode chain (src=e{k}):
+    candidate positions form gaps-and-islands runs (multi-position runs
+    only exist when lhs == rhs), greedy selects the odd-ranked positions
+    of each run, and the position after a selected one is consumed. An
+    EMPTY pair relation (training exhausted early) makes every cand NULL
+    → no-op, mirroring the engine's early stop."""
+    return [
+        f"""x{tag}{k} AS (
+          SELECT w, freq, i, syms[i] AS s,
+                 (i < len(syms)
+                  AND syms[i] = (SELECT lhs FROM {pair})
+                  AND syms[i + 1] = (SELECT rhs FROM {pair})) AS cand
+          FROM {src}, unnest(range(1, len(syms) + 1)) AS u(i)
         )""",
-        """it0 AS MATERIALIZED (
+        f"""y{tag}{k} AS (
+          SELECT *, CASE WHEN cand THEN i - ROW_NUMBER() OVER (
+                   PARTITION BY w, cand ORDER BY i) END AS isl
+          FROM x{tag}{k}
+        )""",
+        f"""z{tag}{k} AS (
+          SELECT *, COALESCE(cand AND (ROW_NUMBER() OVER (
+                   PARTITION BY w, isl ORDER BY i) % 2 = 1), FALSE) AS sel
+          FROM y{tag}{k}
+        )""",
+        f"""m{tag}{k} AS (
+          SELECT w, freq, i,
+                 CASE WHEN sel THEN s || (SELECT rhs FROM {pair})
+                      ELSE s END AS s,
+                 COALESCE(LAG(sel) OVER (PARTITION BY w ORDER BY i),
+                          FALSE) AS consumed
+          FROM z{tag}{k}
+        )""",
+        f"""{dst} AS MATERIALIZED (
+          SELECT w, freq, list(s ORDER BY i) AS syms
+          FROM m{tag}{k} WHERE NOT consumed GROUP BY w, freq
+        )""",
+    ]
+
+
+def _bpe_char_cte(name: str, src: str) -> str:
+    return f"""{name} AS MATERIALIZED (
           SELECT w, freq,
                  list_transform(range(1, length(w) + 1),
                                 i -> substr(w, CAST(i AS INT), 1)) AS syms
-          FROM w0
+          FROM {src}
+        )"""
+
+
+def _bpe_cte(n_merges: int, doc_where: str = "") -> str:
+    """Unrolled DuckDB CTE chain replaying the BPE training contract of
+    bloomine_spark/operators/bpe.py exactly: per round, pair counts over
+    every adjacent symbol position weighted by word-type frequency, the
+    winner by (count DESC, lhs, rhs), then the greedy merge blocks
+    (_bpe_apply_sql). Defines w0, it0..it{n}, b0..b{n-1}. `doc_where`
+    restricts the training corpus (e.g. 'WHERE doc_id % 2 = 0')."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+          SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS t
+            FROM documents {doc_where}
+          ) WHERE t <> '' GROUP BY t
         )""",
+        _bpe_char_cte("it0", "w0"),
     ]
     for k in range(n_merges):
         parts.append(f"""p{k} AS (
@@ -1692,35 +1756,7 @@ def _bpe_cte(n_merges: int) -> str:
         parts.append(f"""b{k} AS MATERIALIZED (
           SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1
         )""")
-        parts.append(f"""x{k} AS (
-          SELECT w, freq, i, syms[i] AS s,
-                 (i < len(syms)
-                  AND syms[i] = (SELECT lhs FROM b{k})
-                  AND syms[i + 1] = (SELECT rhs FROM b{k})) AS cand
-          FROM it{k}, unnest(range(1, len(syms) + 1)) AS u(i)
-        )""")
-        parts.append(f"""y{k} AS (
-          SELECT *, CASE WHEN cand THEN i - ROW_NUMBER() OVER (
-                   PARTITION BY w, cand ORDER BY i) END AS isl
-          FROM x{k}
-        )""")
-        parts.append(f"""z{k} AS (
-          SELECT *, COALESCE(cand AND (ROW_NUMBER() OVER (
-                   PARTITION BY w, isl ORDER BY i) % 2 = 1), FALSE) AS sel
-          FROM y{k}
-        )""")
-        parts.append(f"""m{k} AS (
-          SELECT w, freq, i,
-                 CASE WHEN sel THEN s || (SELECT rhs FROM b{k})
-                      ELSE s END AS s,
-                 COALESCE(LAG(sel) OVER (PARTITION BY w ORDER BY i),
-                          FALSE) AS consumed
-          FROM z{k}
-        )""")
-        parts.append(f"""it{k + 1} AS MATERIALIZED (
-          SELECT w, freq, list(s ORDER BY i) AS syms
-          FROM m{k} WHERE NOT consumed GROUP BY w, freq
-        )""")
+        parts.extend(_bpe_apply_sql(k, f"it{k}", f"it{k + 1}", f"b{k}", ""))
     return ",\n".join(parts)
 
 
@@ -2615,6 +2651,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(len(syms)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                  AS fertility
         FROM dw JOIN it{BPE_N_MERGES} USING (w)
+        GROUP BY source
+    """
+
+    # BPE transfer: training chain restricted to even doc_ids, then an
+    # encode chain (e0..eN) applying b0..b{N-1} to the FULL corpus word
+    # types via the same greedy-merge blocks; OOV = word types absent
+    # from the training vocabulary w0.
+    _enc = [_bpe_char_cte("e0", "wall")]
+    for k in range(BPE_N_MERGES):
+        _enc.extend(_bpe_apply_sql(k, f"e{k}", f"e{k + 1}", f"b{k}", "e"))
+    _enc_sql = ",\n".join(_enc)
+    sql["bpe_transfer_stats"] = f"""
+        WITH {_bpe_cte(BPE_N_MERGES, "WHERE doc_id % 2 = 0")},
+        wall AS MATERIALIZED (
+          SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+          ) WHERE t <> '' GROUP BY t
+        ),
+        {_enc_sql},
+        dw AS (
+          SELECT source, t AS w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+               CAST(SUM(CASE WHEN t.tw IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov_words,
+               CAST(SUM(len(syms)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS fertility
+        FROM dw
+        JOIN e{BPE_N_MERGES} USING (w)
+        LEFT JOIN (SELECT w AS tw FROM w0) t ON w = t.tw
         GROUP BY source
     """
 

@@ -51,8 +51,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "word_freq_table",
     "learn_bpe",
+    "apply_merges",
     "bpe_merge_table",
     "bpe_source_stats",
+    "bpe_transfer_stats",
 ]
 
 
@@ -115,6 +117,24 @@ def _apply_merge(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
     )
 
 
+def apply_merges(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Apply an already-learned merge list, in order, to a word table
+    with (word, freq, syms) — the ENCODE path: no pair counting, just
+    the greedy fold per merge, localCheckpoint every few rounds to cap
+    plan lineage. For production-sized merge lists (32k+) the right
+    encoder is a broadcast-trie Pandas kernel over word TYPES; this
+    relational path is exact and oracle-replayable at moderate counts."""
+    for i, (lhs, rhs) in enumerate(merges):
+        words = _apply_merge(words, lhs, rhs)
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return words
+
+
 def learn_bpe(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> tuple[list[dict], DataFrame]:
@@ -156,6 +176,66 @@ def bpe_merge_table(
         "merge_rank long, lhs string, rhs string, pair_count long"
     )
     return spark.createDataFrame(merges, schema=schema)
+
+
+def bpe_transfer_stats(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    source_col: str = "source",
+    train_pred=None,
+) -> DataFrame:
+    """Train-and-transfer: learn merges on the `train_pred` subset, then
+    encode the FULL corpus with them — the production shape (a tokenizer
+    is trained once, then applied to everything, including words it never
+    saw; unseen words still encode because characters remain symbols).
+    Per source: n_words, n_subwords, n_oov_words (word occurrences whose
+    TYPE is absent from the training vocabulary), fertility.
+
+    Plan: learning sees only the training word-type relation; encoding
+    applies the ≤n_merges folds to the full word-type relation (map-side
+    per fold) and joins sizes back to the exploded corpus."""
+    train = docs.filter(train_pred) if train_pred is not None else docs
+    merges, _ = learn_bpe(train, n_merges, text_col)
+    all_words = _char_symbols(word_freq_table(docs, text_col))
+    encoded = apply_merges(
+        all_words, [(m["lhs"], m["rhs"]) for m in merges]
+    )
+    seen = (
+        word_freq_table(train, text_col)
+        .select("word", F.lit(1).alias("_seen"))
+    )
+    sizes = (
+        encoded.select("word", F.size("syms").cast("long").alias("n_sub"))
+        .join(seen, "word", "left")
+    )
+    dw = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(sizes, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov_words"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            "n_oov_words",
+            (
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
 
 
 def bpe_source_stats(

@@ -154,3 +154,47 @@ def test_bpe_partition_invariance(spark):
     b = [tuple(r) for r in bpe_merge_table(
         _docs(spark, rows).repartition(13, F.col("doc_id")), 5).collect()]
     assert a == b and len(a) == 5
+
+
+def test_bpe_transfer_vs_reference(spark):
+    """Train on even doc_ids, encode everything: subword counts and OOV
+    flags match a pure-python replay, including unseen words (which must
+    still be fully encodable as characters + any applicable merges)."""
+    from pyspark.sql import functions as F
+    from bloomine_spark.operators.bpe import bpe_transfer_stats
+
+    rows = [(i, f"s{i % 2}", t) for i, t in enumerate(
+        ["low lower lowest", "newest widest", "lowly newly",
+         "bestow stowing", "unseen wordforms here", "low newest"])]
+    n = 6
+    got = {r["source"]: r for r in bpe_transfer_stats(
+        _docs(spark, rows), n,
+        train_pred=(F.col("doc_id") % 2 == 0)).collect()}
+
+    train_freqs = _freqs([r for r in rows if r[0] % 2 == 0])
+    merges, _ = ref_bpe(train_freqs, n)
+    exp: dict[str, list] = {}
+    for i, src, text in rows:
+        for w in text.split(" "):
+            if not w:
+                continue
+            s = list(w)
+            for _, a, b, _ in merges:
+                out, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(s[j])
+                        j += 1
+                s = out
+            e = exp.setdefault(src, [0, 0, 0])
+            e[0] += 1
+            e[1] += len(s)
+            e[2] += 0 if w in train_freqs else 1
+    for src, (nw, ns, oov) in exp.items():
+        assert got[src]["n_words"] == nw
+        assert got[src]["n_subwords"] == ns
+        assert got[src]["n_oov_words"] == oov
+    assert any(v[2] > 0 for v in exp.values())  # the fixture has real OOV
