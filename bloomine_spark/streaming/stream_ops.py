@@ -62,6 +62,32 @@ def hits_per_window_stream(
     )
 
 
+def curate_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    **gopher_rules,
+) -> DataFrame:
+    """Streaming curation ingest: the Gopher rule pack (stateless
+    codegen expressions — bit-identical semantics to the batch
+    ``textops.gopher_quality``) followed by exact content dedup within
+    the watermark horizon. This is the incremental form of
+    ``jobs/run_curate.py``'s filter→dedup head: documents stream in,
+    rule failures drop immediately (no state), and the only state held
+    is the dedup fingerprint set bounded by the watermark."""
+    from bloomine_spark.operators.textops import gopher_quality
+
+    kept = gopher_quality(
+        stream_df, text_col=text_col, **gopher_rules
+    ).filter("keep")
+    flags = [c for c in kept.columns if c.startswith("pass_")] + ["keep"]
+    return dedup_stream(
+        kept.drop(*flags), text_col=text_col, ts_col=ts_col,
+        watermark=watermark,
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     text_col: str = "text",

@@ -808,3 +808,62 @@ def test_streaming_heavy_hitters_stateful(spark, seq_parquet, tmp_path):
     top1 = exact.groupby("source").idxmax()
     for src, (_, tok) in top1.items():
         assert tok in set(out[out["source"] == src]["item"]), src
+
+
+def test_streaming_curate_matches_batch(spark, tmp_path):
+    """curate_stream == batch gopher_quality + exact dedup on the same
+    docs: rule failures drop statelessly, duplicate texts keep only the
+    first arrival, survivors keep their original schema."""
+    import datetime
+
+    import pandas as pd
+
+    from bloomine_spark.operators.textops import gopher_quality
+    from bloomine_spark.streaming.stream_ops import curate_stream
+
+    good = "the quick brown fixture with that stream flows on " * 4
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i, text in enumerate(
+        [good, "too short the with", good,                 # dup of 0
+         good + "tail extra of the run", "spam " * 45]):    # no stopwords
+        rows.append({"doc_id": i, "source": f"s{i % 2}", "text": text,
+                     "ts": t0 + datetime.timedelta(seconds=i)})
+    src = str(tmp_path / "csrc")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, watermark="1 hour", min_words=20)
+        .writeStream.format("memory")
+        .queryName("curate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT doc_id, text FROM curate_out").toPandas()
+
+    # both batch dropDuplicates and the stream's within-watermark dedup
+    # keep an ARBITRARY row per text (file order is not doc order) —
+    # compare surviving TEXT sets, and exactly-one-survivor on the
+    # planted duplicate pair (0, 2)
+    batch = spark.read.parquet(src)
+    batch_texts = {
+        r["text"]
+        for r in gopher_quality(batch, min_words=20).filter("keep")
+        .dropDuplicates(["text"]).collect()
+    }
+    assert set(got["text"]) == batch_texts
+    ids = set(got["doc_id"])
+    assert 1 not in ids                  # word-count kill
+    assert 4 not in ids                  # stop-words kill
+    assert len(ids & {0, 2}) == 1        # exactly one dup survives
