@@ -366,3 +366,47 @@ def test_run_screen_cli_hits_fastq_sink(spark, tmp_path):
     assert lines[1] == reads[0][1]          # bases round-tripped
     assert lines[3] == quals["r0"]          # ORIGINAL quality preserved
     assert len(lines) == 4                  # the miss did not leak
+
+
+def test_spark_submit_py_files_launch(spark, tmp_path):
+    """The north-rule launch surface VERBATIM: package the library zip,
+    launch jobs/run_screen.py through the real spark-submit binary with
+    --py-files, and scrub PYTHONPATH from the environment so
+    bloomine_spark can resolve ONLY from the shipped zip (driver and
+    python workers both)."""
+    import gzip
+    import shutil
+
+    import pyspark
+
+    from bloomine_spark.session import package_zip
+
+    target = "ACGGTTACCAGTTGACCA" * 2
+    pad5, pad3 = "TTTTTGGGGGAAAAA", "CCCCCAAAAATTTTT"
+    body = "\n".join(
+        ln for rid, seq in [("r0", pad5 + target + pad3),
+                            ("r1", "ACGT" * 20)]
+        for ln in (f"@{rid}", seq, "+", "I" * len(seq))
+    ) + "\n"
+    d = tmp_path / "fq"
+    d.mkdir()
+    (d / "samp_R1.fastq.gz").write_bytes(gzip.compress(body.encode()))
+    out = str(tmp_path / "out")
+
+    submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", package_zip(),
+         os.path.join(REPO, "jobs", "run_screen.py"),
+         "--input", str(d) + "/*", "--format", "fastq",
+         "--target", target, "--k", "7",
+         "--output", out, "--run-id", "ss0"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+    hits = spark.read.parquet(f"{out}/hits").toPandas()
+    assert sorted(hits["doc_id"]) == ["r0"]
