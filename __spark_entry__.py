@@ -951,6 +951,23 @@ def _q_vocab_coverage_curve(spark, sf_dir):
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sample: exactly 5 docs per source by
+    md5(doc_id) rank — the eval-subset selection primitive. Pure
+    function of keys: stable across engines, partitionings and reruns."""
+    _ship_pkg(spark)
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.operators.sampling import stratified_sample
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, 5).select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        "sample_rank",
+    )
+
+
 def _q_unigram_ppl_per_source(spark, sf_dir):
     """CCNet-style perplexity triage with the LM reduced to the corpus
     unigram model: per source, mean doc NLL + its exp. Token-count agg
@@ -1581,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "gopher_quality_per_source": _q_gopher_quality_per_source,
         "unigram_ppl_per_source": _q_unigram_ppl_per_source,
+        "stratified_sample_docs": _q_stratified_sample_docs,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "bpe_transfer_stats": _q_bpe_transfer_stats,
@@ -2549,6 +2567,22 @@ def oracle_sql() -> dict[str, str]:
                  AS coverage
         FROM ranked, unnest([100, 1000, 10000]) AS u(k)
         WHERE r <= k GROUP BY k
+    """
+
+    # Stratified sample: md5 hex strings order identically in both
+    # engines (lowercase hex, binary collation); doc_id string-cast
+    # tie-break.
+    sql["stratified_sample_docs"] = """
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                            CAST(doc_id AS VARCHAR)) AS sample_rank
+          FROM documents
+        ) WHERE sample_rank <= 5
     """
 
     # Unigram NLL: ln over integer type-counts, per-doc AVG, per-source

@@ -159,3 +159,30 @@ def test_vocab_coverage_curve(spark):
     assert rows[10]["covered"] == 12 and rows[10]["vocab_size"] == 5
     assert rows[1]["coverage"] == 5 / 12
     assert rows[1]["coverage"] <= rows[2]["coverage"] <= rows[10]["coverage"]
+
+
+def test_stratified_sample(spark):
+    """Exact per-group quota, md5-deterministic, partition-invariant,
+    groups smaller than the quota return whole."""
+    from bloomine_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 3}", "x") for i in range(40)] + [(100, "tiny", "x")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    s = stratified_sample(docs, 4).toPandas()
+    counts = s.groupby("source")["doc_id"].count().to_dict()
+    assert counts == {"s0": 4, "s1": 4, "s2": 4, "tiny": 1}
+    assert set(s["sample_rank"]) <= {1, 2, 3, 4}
+
+    a = sorted(map(tuple, s[["source", "doc_id", "sample_rank"]].values.tolist()))
+    from pyspark.sql import functions as F
+    s2 = stratified_sample(docs.repartition(17, F.col("doc_id")), 4).toPandas()
+    b = sorted(map(tuple, s2[["source", "doc_id", "sample_rank"]].values.tolist()))
+    assert a == b
+
+    # md5 determinism: the python replay picks the same ids
+    import hashlib
+    for g in ("s0", "s1", "s2"):
+        ids = [i for i, src, _ in rows if src == g]
+        exp = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), str(i)))[:4]
+        got = sorted(s[s["source"] == g]["doc_id"], key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), str(i)))
+        assert list(got) == exp
