@@ -968,6 +968,25 @@ def _q_stratified_sample_docs(spark, sf_dir):
     )
 
 
+DUP_SPAN_K = 8
+
+
+def _q_dup_span_coverage_per_source(spark, sf_dir):
+    """Cross-document duplicated-span audit (Lee et al. 2022 ExactSubstr
+    at window granularity, k=8): per source, token volume, tokens inside
+    ≥2×-occurring k-windows (overlaps island-merged so each token counts
+    once), the duplicated fraction, and ≥half-duplicated doc counts (the
+    integer test 2·dup ≥ n_tok). Gram text never shuffles — windows are
+    md5 digests before the count shuffle and the join back."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import dup_span_coverage_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return dup_span_coverage_per_source(
+        load_table(spark, sf_dir, "documents"), k=DUP_SPAN_K
+    )
+
+
 def _q_unigram_ppl_per_source(spark, sf_dir):
     """CCNet-style perplexity triage with the LM reduced to the corpus
     unigram model: per source, mean doc NLL + its exp. Token-count agg
@@ -1599,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_per_source": _q_gopher_quality_per_source,
         "unigram_ppl_per_source": _q_unigram_ppl_per_source,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "dup_span_coverage_per_source": _q_dup_span_coverage_per_source,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "bpe_transfer_stats": _q_bpe_transfer_stats,
@@ -2583,6 +2603,54 @@ def oracle_sql() -> dict[str, str]:
                             CAST(doc_id AS VARCHAR)) AS sample_rank
           FROM documents
         ) WHERE sample_rank <= 5
+    """
+
+    # Duplicated-span coverage: identical md5-keyed window counting,
+    # gaps-and-islands merge, integer cross-multiplied half-dup test.
+    sql["dup_span_coverage_per_source"] = f"""
+        WITH w AS (
+          SELECT source, doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), b AS (
+          SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tok, w FROM w
+        ), g AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS s,
+                 md5(array_to_string(list_slice(w, CAST(s + 1 AS INT),
+                     CAST(s + {DUP_SPAN_K} AS INT)), ' ')) AS h
+          FROM b, UNNEST(range(n_tok - {DUP_SPAN_K} + 1)) t(s)
+          WHERE n_tok >= {DUP_SPAN_K}
+        ), c AS (SELECT h, COUNT(*) AS c FROM g GROUP BY h),
+        d AS (SELECT g.* FROM g JOIN c USING (h) WHERE c.c > 1),
+        i AS (
+          SELECT *, CASE WHEN s > COALESCE(max(s + {DUP_SPAN_K}) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS ni
+          FROM d
+        ), j AS (
+          SELECT *, SUM(ni) OVER (
+                   PARTITION BY doc_id ORDER BY s) AS isl FROM i
+        ), isl AS (
+          SELECT doc_id, isl, max(s + {DUP_SPAN_K}) - min(s) AS cov
+          FROM j GROUP BY doc_id, isl
+        ), pd AS (
+          SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup
+          FROM isl GROUP BY doc_id
+        ), fd AS (
+          SELECT b.source, b.doc_id, b.n_tok,
+                 COALESCE(pd.dup, 0) AS dup_tok
+          FROM b LEFT JOIN pd USING (doc_id)
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+               CAST(SUM(dup_tok) AS BIGINT) AS dup_tok,
+               ROUND(SUM(dup_tok) / SUM(n_tok), 6) AS dup_frac,
+               CAST(SUM(CASE WHEN dup_tok * 2 >= n_tok AND dup_tok > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_half_dup,
+               CAST(SUM(CASE WHEN dup_tok > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_docs_any_dup
+        FROM fd GROUP BY source
     """
 
     # Unigram NLL: ln over integer type-counts, per-doc AVG, per-source

@@ -1013,3 +1013,232 @@ def dedup_groups(
             F.coalesce(F.col("_keep"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span detection (exact-substring dedup family)
+# ---------------------------------------------------------------------------
+
+
+def _dup_windows(
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    source_col: str | None,
+):
+    """Shared head for the duplicated-span family: the per-document token
+    array plus every k-token window keyed by its md5 digest, and the
+    corpus-wide occurrence count per digest.
+
+    Returns (base, dups) where ``base`` is one row per doc
+    (source?, doc_id, n_tok) and ``dups`` is one row per window whose
+    digest occurs ≥2 times corpus-wide (source?, doc_id, s, h).
+
+    Scale shape: the gram TEXT never shuffles — windows are reduced to a
+    16-byte md5 digest before the count aggregate and the join back, so
+    both shuffles are narrow (digest, id) relations. Duplicate counting
+    is per-digest (an md5 collision would conflate two grams; at 128
+    bits that is vanishing, and the DuckDB oracle hashes identically so
+    the check is exact either way).
+    """
+    cols = [F.col(source_col).alias("source")] if source_col else []
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        *cols,
+        F.col(id_col).alias("doc_id"),
+        words.alias("_w"),
+        F.size(words).cast("long").alias("n_tok"),
+    )
+    wins = (
+        base.filter(F.col("n_tok") >= k)
+        .select(
+            *(["source"] if source_col else []),
+            "doc_id",
+            "_w",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_tok") - k)
+            ).alias("s"),
+        )
+        .select(
+            *(["source"] if source_col else []),
+            "doc_id",
+            "s",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("_w", (F.col("s") + 1).cast("int"), k)
+                )
+            ).alias("h"),
+        )
+    )
+    counts = wins.groupBy("h").agg(F.count("*").cast("long").alias("c"))
+    dups = wins.join(counts.filter(F.col("c") > 1), "h")
+    return base.drop("_w"), dups
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the window-granularity form
+    of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": ExactSubstr with minimum match
+    length k, realized as a hash-groupBy over k-token windows instead of
+    a monolithic suffix array, which is the form that distributes).
+
+    A token is *duplicated* iff it lies inside at least one k-token
+    window whose content occurs ≥2 times anywhere in the corpus
+    (including twice in the same document). Overlapping duplicated
+    windows are merged into islands (gaps-and-islands over start
+    positions) before counting, so every token is counted once.
+
+    Returns one row per document: (source, doc_id, n_tok, dup_tok,
+    dup_frac) with dup_frac = dup_tok / n_tok rounded to 1e-6 (0.0 for
+    empty docs).
+
+    Scale shape: one narrow digest-count shuffle + one digest join (see
+    ``_dup_windows``); the island pass is a per-document window over the
+    doc's own duplicated starts only — bounded by windows-per-doc, never
+    corpus-wide."""
+    base, dups = _dup_windows(docs, k, text_col, id_col, source_col)
+    wdoc = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max(F.col("s") + k).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dups.withColumn(
+            "_ni",
+            (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("long"),
+        )
+        .withColumn("_isl", F.sum("_ni").over(wdoc))
+        .groupBy("doc_id", "_isl")
+        .agg((F.max(F.col("s") + k) - F.min("s")).alias("_cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("_cov").cast("long").alias("_dup"))
+    )
+    return base.join(islands, "doc_id", "left").select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("dup_tok"),
+        F.round(
+            F.coalesce(F.col("_dup"), F.lit(0))
+            / F.greatest(F.col("n_tok"), F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def dup_span_coverage_per_source(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source duplicated-span audit — the report a corpus-dedup run
+    logs before deciding what to trim: token volume, duplicated-token
+    volume, the duplicated fraction, and how many documents are
+    ≥half-duplicated (the usual drop-outright candidates; the threshold
+    test is the integer cross-multiplication 2·dup_tok ≥ n_tok, no float
+    compare). All counts are exact integers; the one ratio is a final
+    rounded division, so the output is engine-portable and hash-exact."""
+    per_doc = dup_span_coverage(docs, k, text_col, id_col, source_col)
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok"),
+        F.sum("dup_tok").cast("long").alias("dup_tok"),
+        F.round(F.sum("dup_tok") / F.sum("n_tok"), 6).alias("dup_frac"),
+        F.sum(
+            ((F.col("dup_tok") * 2 >= F.col("n_tok"))
+             & (F.col("dup_tok") > 0)).cast("long")
+        ).cast("long").alias("n_docs_half_dup"),
+        F.sum((F.col("dup_tok") > 0).cast("long")).cast("long")
+        .alias("n_docs_any_dup"),
+    )
+
+
+def trim_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "first",
+) -> DataFrame:
+    """Remove cross-corpus duplicated spans from document text (the
+    surgical alternative to dropping whole near-dup docs — Lee et al.
+    2022 §3 ExactSubstr semantics at window granularity).
+
+    ``keep="first"``: for every duplicated k-window digest, the globally
+    first occurrence (min (doc_id, start), a total order) is canonical
+    and its tokens are protected; tokens covered only by non-canonical
+    duplicated windows are deleted. Every duplicated gram therefore
+    survives at least once in the corpus. ``keep="none"`` deletes every
+    duplicated token everywhere (the aggressive form).
+
+    Returns (doc_id, text, n_tok, n_removed) with text rebuilt from the
+    surviving tokens in order.
+
+    Scale shape: canonical selection is a min-struct window per digest
+    (narrow); position masks are distinct (doc_id, pos) pairs — integer
+    keys; the rebuild is one per-doc sort_array over surviving tokens.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    base, dups = _dup_windows(docs, k, text_col, id_col, None)
+
+    def positions(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + k - 1)
+            ).alias("pos"),
+        ).distinct()
+
+    if keep == "first":
+        wh = Window.partitionBy("h")
+        flagged = dups.withColumn(
+            "_canon",
+            F.min(F.struct("doc_id", "s")).over(wh)
+            == F.struct("doc_id", "s"),
+        )
+        removed = positions(flagged.filter(~F.col("_canon")))
+        protected = positions(flagged.filter(F.col("_canon")))
+        removed = removed.join(protected, ["doc_id", "pos"], "left_anti")
+    else:
+        removed = positions(dups)
+
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("pos", "t"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = tok.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                lambda x: x["t"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_tok"),
+    )
+    base2 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("_n0"),
+    )
+    return base2.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+        (F.col("_n0") - F.coalesce(F.col("n_tok"), F.lit(0)))
+        .cast("long").alias("n_removed"),
+    )
