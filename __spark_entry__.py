@@ -968,6 +968,23 @@ def _q_stratified_sample_docs(spark, sf_dir):
     )
 
 
+def _q_dsir_importance_per_source(spark, sf_dir):
+    """DSIR targeted-selection audit (Xie 2023): hashed-bigram importance
+    weights toward the lang='en' subset; per source mean log-weight,
+    positive-score docs, and exact top-25% selection counts (rank by
+    round(log_iw,6) with doc_id tie-break — engine-portable). Bucket
+    models are 256-bucket md5 hashes; the bucket-diff table broadcasts."""
+    _ship_pkg(spark)
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.operators.dsir import dsir_report_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return dsir_report_per_source(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
 DUP_SPAN_K = 8
 
 
@@ -1619,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl_per_source": _q_unigram_ppl_per_source,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "dup_span_coverage_per_source": _q_dup_span_coverage_per_source,
+        "dsir_importance_per_source": _q_dsir_importance_per_source,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "bpe_transfer_stats": _q_bpe_transfer_stats,
@@ -2651,6 +2669,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN dup_tok > 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_docs_any_dup
         FROM fd GROUP BY source
+    """
+
+    # DSIR: identical 32-bit-md5 bigram buckets, add-one smoothed ln of
+    # integer counts, rank by round(log_iw,6) + doc_id tie-break;
+    # per-doc float sum noise ~1e-13 under the 1e-6 canon.
+    sql["dsir_importance_per_source"] = """
+        WITH w AS (
+          SELECT source, doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(w[CAST(s+1 AS INT)] || ' ' ||
+                       w[CAST(s+2 AS INT)]), 1, 8)) AS BIGINT) % 256 AS b
+          FROM w, UNNEST(range(len(w) - 1)) t(s) WHERE len(w) >= 2
+        ), fc AS (
+          SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM f GROUP BY 1, 2
+        ), tgt AS (SELECT doc_id, lang = 'en' AS t FROM w),
+        pb AS (
+          SELECT b, SUM(c) AS r_b,
+                 SUM(CASE WHEN t THEN c ELSE 0 END) AS t_b
+          FROM fc JOIN tgt USING (doc_id) GROUP BY b
+        ), tot AS (SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM pb),
+        diff AS (
+          SELECT b,
+                 (ln(t_b + 1.0) - ln((SELECT t_tot FROM tot) + 256.0))
+               - (ln(r_b + 1.0) - ln((SELECT r_tot FROM tot) + 256.0))
+                 AS diff
+          FROM pb
+        ), pd AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+                 SUM(c * diff) AS log_iw
+          FROM fc JOIN diff USING (b) GROUP BY doc_id
+        ), sc AS (
+          SELECT a.source, a.doc_id,
+                 COALESCE(log_iw, 0.0) AS log_iw
+          FROM (SELECT source, doc_id FROM w) a LEFT JOIN pd USING (doc_id)
+        ), rk AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY round(log_iw, 6) DESC,
+                            CAST(doc_id AS VARCHAR)) AS rn
+          FROM sc
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(log_iw) AS mean_log_iw,
+               CAST(SUM(CASE WHEN log_iw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(SUM(CASE WHEN rn <= (SELECT COUNT(*) // 4 FROM sc)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+        FROM rk GROUP BY source
     """
 
     # Unigram NLL: ln over integer type-counts, per-doc AVG, per-source
