@@ -400,6 +400,45 @@ def _q_cms_token_freq_topk(spark, sf_dir):
     )
 
 
+def _q_token_f2_per_source_exact(spark, sf_dir):
+    """Exact second moment of the per-source token frequency vector —
+    F2 = Σ_x f_x² (with n_tok and type counts): the repeated-token mass
+    the AMS/Count-Sketch estimator targets; its oracle-hash companion."""
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    per_word = tok.groupBy("source", "word").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return per_word.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tok"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"),
+    )
+
+
+def _q_countsketch_token_f2(spark, sf_dir):
+    """North rule Count-Sketch/AMS: per-source F2 estimates from a d×w
+    signed-counter sketch (merge = elementwise add, counter-exact under
+    any grouping). Row-aligned with token_f2_per_source_exact (no oracle
+    — approximate; bounds + associativity gated in pytest). Estimates
+    token-id F2 == word F2 (xxhash64 tokenization is injective mod
+    vanishing collisions)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.core import estimates_df, sketch_agg
+    from bloomine_spark.sketch.countsketch import CountSketch
+
+    seqs = _docs_tokens(spark, sf_dir)
+    factory = lambda: CountSketch.empty(0.02, 1e-2)  # noqa: E731
+    states = sketch_agg(seqs, ["source"], "tokens", factory)
+    return estimates_df(
+        states, factory, lambda s: s.f2_estimate(), out_col="f2_est"
+    ).select("source", F.col("f2_est").cast("long").alias("f2_est"))
+
+
 def _q_ntok_quantiles_per_source_exact(spark, sf_dir):
     """Exact interpolated n_tok quantiles per source."""
     seqs = _docs_tokens(spark, sf_dir)
@@ -1637,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "dup_span_coverage_per_source": _q_dup_span_coverage_per_source,
         "dsir_importance_per_source": _q_dsir_importance_per_source,
+        "token_f2_per_source_exact": _q_token_f2_per_source_exact,
+        "countsketch_token_f2": _q_countsketch_token_f2,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "bpe_transfer_stats": _q_bpe_transfer_stats,
@@ -1958,6 +1999,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT word, COUNT(*) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20
+    """
+
+    sql["token_f2_per_source_exact"] = """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c) AS BIGINT) AS n_tok,
+               CAST(SUM(c * c) AS BIGINT) AS f2
+        FROM (
+          SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY source, word
+        ) GROUP BY source
     """
 
     sql["ntok_quantiles_per_source_exact"] = """
