@@ -1057,6 +1057,18 @@ def _q_unigram_ppl_per_source(spark, sf_dir):
     return unigram_logprob_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_bigram_ppl_per_source(spark, sf_dir):
+    """Bigram-LM perplexity triage (add-0.5 smoothing, context counts
+    from the bigram relation, V broadcast): per source mean doc NLL +
+    ppl over docs with ≥2 tokens. One bigram agg + derived context agg +
+    one LM join; ln in codegen; float noise ~1e-11 under the 1e-6 canon."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import bigram_logprob_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return bigram_logprob_per_source(load_table(spark, sf_dir, "documents"))
+
+
 def _q_gopher_quality_per_source(spark, sf_dir):
     """Gopher rule-pack filtering audit (Rae 2021): per source, how many
     docs each rule rejects and how many survive. Every ratio rule is an
@@ -1677,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage_per_source": _q_dup_span_coverage_per_source,
         "dsir_importance_per_source": _q_dsir_importance_per_source,
         "token_f2_per_source_exact": _q_token_f2_per_source_exact,
+        "bigram_ppl_per_source": _q_bigram_ppl_per_source,
         "countsketch_token_f2": _q_countsketch_token_f2,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
@@ -2722,6 +2735,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN dup_tok > 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_docs_any_dup
         FROM fd GROUP BY source
+    """
+
+    # Bigram LM: identical add-0.5 smoothing, context counts from the
+    # bigram relation, vocab-size scalar; ln noise ~1e-11 under 1e-6.
+    sql["bigram_ppl_per_source"] = """
+        WITH w AS (
+          SELECT source, doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), big AS (
+          SELECT source, doc_id,
+                 w[CAST(s + 1 AS INT)] AS w1, w[CAST(s + 2 AS INT)] AS w2
+          FROM w, UNNEST(range(len(w) - 1)) t(s) WHERE len(w) >= 2
+        ), bf AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM big GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM bf GROUP BY 1
+        ), v AS (
+          SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+          FROM (SELECT unnest(w) AS t FROM w)
+        ), lm AS (
+          SELECT w1, w2,
+                 ln(cb + 0.5) - ln(cw + 0.5 * (SELECT v FROM v)) AS lp
+          FROM bf JOIN ctx USING (w1)
+        ), pd AS (
+          SELECT source, doc_id, -AVG(lp) AS nll
+          FROM big JOIN lm USING (w1, w2) GROUP BY 1, 2
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(nll) AS mean_doc_nll, exp(AVG(nll)) AS ppl
+        FROM pd GROUP BY source
     """
 
     # DSIR: identical 32-bit-md5 bigram buckets, add-one smoothed ln of

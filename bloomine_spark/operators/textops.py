@@ -302,6 +302,85 @@ def unigram_logprob_per_source(
     )
 
 
+def bigram_logprob_per_source(
+    docs: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Bigram-LM perplexity triage — the next refinement of
+    ``unigram_logprob_per_source``: score every document under the
+    corpus's own add-k smoothed bigram model
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)``
+    with V the unigram vocabulary size and c(w1,·) the CONTEXT count
+    (occurrences of w1 followed by anything — not the raw unigram count:
+    document-final tokens never open a bigram). Per document the mean
+    bigram NLL, per source the mean doc NLL and its exp. Documents with
+    <2 non-empty tokens have no bigrams and are excluded (n_docs counts
+    scored docs only).
+
+    Plan shape at 100 TB: one bigram-count aggregate (the LM — bounded
+    by observed bigram types), context counts derived FROM that relation
+    by one more groupBy (no second corpus scan), V and the scalar join
+    broadcast, then one bigram→prob join and two narrowing aggregates.
+    ln() stays per-TYPE inside codegen; association noise ~1e-11, far
+    under the gate's 1e-6 canon."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.col("doc_id"),
+        words.alias("_w"),
+        F.size(words).alias("_n"),
+    )
+    big = (
+        d.filter(F.col("_n") >= 2)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_w", i + 1).alias("w1"),
+                        F.element_at("_w", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("source", "doc_id", F.col("b.w1").alias("w1"),
+                F.col("b.w2").alias("w2"))
+    )
+    bfreq = big.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    ctx = bfreq.groupBy("w1").agg(F.sum("cb").cast("long").alias("cw"))
+    tok = d.select(F.explode("_w").alias("t"))
+    vsize = tok.agg(
+        F.count_distinct("t").cast("long").alias("v")
+    )
+    lm = (
+        bfreq.join(ctx, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1", "w2",
+            (F.log(F.col("cb") + k)
+             - F.log(F.col("cw") + k * F.col("v"))).alias("lp"),
+        )
+    )
+    per_doc = (
+        big.join(lm, ["w1", "w2"])
+        .groupBy("source", "doc_id")
+        .agg((-F.avg("lp")).alias("nll"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("nll").alias("mean_doc_nll"),
+        F.exp(F.avg("nll")).alias("ppl"),
+    )
+
+
 #: Gopher rule-pack stop-word set (Rae et al. 2021, table A1 — public).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
