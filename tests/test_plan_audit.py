@@ -396,3 +396,50 @@ def test_gopher_and_unigram_plans(spark):
     final = fu.text.split("== Initial Plan ==")[0]
     assert final.count("BroadcastNestedLoopJoin") <= 1, final
     assert "ReusedExchange" in final, final
+
+
+@needs_data
+def test_dup_span_and_dsir_plans(spark):
+    """Duplicated-span coverage: pure Catalyst (no Python), no cartesian,
+    unused doc columns pruned — the gram text reduces to md5 digests
+    before any shuffle. DSIR: the bucket-diff table joins back by
+    BROADCAST (it is n_buckets rows), the only nested-loop join is the
+    1-row totals scalar, and no Python nodes anywhere."""
+    import __spark_entry__ as em
+
+    q = em.queries()["dup_span_coverage_per_source"](spark, SF)
+    fq = plan_facts(q)
+    assert not fq.has_python_eval, fq.text
+    assert "CartesianProduct" not in fq.join_strategies
+    assert_columns_pruned(q, {"lang", "n_chars"})
+
+    d = em.queries()["dsir_importance_per_source"](spark, SF)
+    fd = plan_facts(d)
+    assert not fd.has_python_eval, fd.text
+    assert "CartesianProduct" not in fd.join_strategies
+    assert "BroadcastHashJoin" in fd.join_strategies, fd.text
+    assert fd.text.count("BroadcastNestedLoopJoin") <= 1, fd.text
+
+
+@needs_data
+def test_bigram_and_countsketch_plans(spark):
+    """Bigram LM: ln stays in codegen (no Python); context counts derive
+    from the bigram aggregate (no second corpus scan — AQE reuse);
+    the only nested-loop join is the 1-row vocab-size scalar. The
+    Count-Sketch F2 query IS a python Arrow kernel by design, with the
+    narrow state shuffle only (partials fold map-side)."""
+    import __spark_entry__ as em
+
+    b = em.queries()["bigram_ppl_per_source"](spark, SF)
+    b.collect()  # AQE finalizes reuse decisions
+    fb = plan_facts(b)
+    assert not fb.has_python_eval, fb.text
+    final = fb.text.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+    assert "CartesianProduct" not in fb.join_strategies
+
+    c = em.queries()["countsketch_token_f2"](spark, SF)
+    fc = plan_facts(c)
+    assert fc.has_python_eval, fc.text          # the Arrow fold kernel
+    assert fc.n_exchanges <= 2, fc.text          # state shuffle (+AQE coalesce)
+    assert "SortMergeJoin" not in fc.join_strategies
