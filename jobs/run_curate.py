@@ -82,6 +82,12 @@ def main() -> None:
                     "cross-multiplication rules")
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-min-stopwords", type=int, default=2)
+    ap.add_argument("--trim-dup-spans", type=int, default=None, metavar="K",
+                    help="surgically remove cross-corpus duplicated "
+                    "K-token spans after dedup (ExactSubstr semantics at "
+                    "window granularity; the globally-first occurrence "
+                    "survives); docs falling under --min-tokens are then "
+                    "dropped")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -111,6 +117,7 @@ def main() -> None:
         "pack_shards": args.pack_shards,
         "mixture_alpha": args.mixture_alpha,
         "token_budget": args.token_budget,
+        "trim_dup_spans": args.trim_dup_spans,
     }
 
     docs = spark.read.parquet(args.input)
@@ -209,6 +216,27 @@ def main() -> None:
 
         deduped = runner.stage("decontam", _decontam,
                                manifest=dict(manifest, stage="decontam"))
+
+    if args.trim_dup_spans:
+        from bloomine_spark.operators.dedup import trim_dup_spans
+
+        def _trim():
+            cur = deduped
+            t = trim_dup_spans(cur, k=args.trim_dup_spans).select(
+                F.col("doc_id").alias("_tid"), F.col("text").alias("_ttext"),
+                F.col("n_tok").alias("_tn"), "n_removed",
+            )
+            return (
+                cur.drop("text")
+                .join(t, cur["doc_id"].cast("string")
+                      == F.col("_tid").cast("string"))
+                .filter(F.col("_tn") >= args.min_tokens)
+                .drop("_tid", "_tn")
+                .withColumnRenamed("_ttext", "text")
+            )
+
+        deduped = runner.stage("trimmed", _trim,
+                               manifest=dict(manifest, stage="trimmed"))
 
     if args.split:
         from bloomine_spark.operators.packing import hash_split

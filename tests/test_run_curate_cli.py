@@ -200,3 +200,32 @@ def test_run_curate_cli_all_stages(spark, tmp_path):
     r2 = subprocess.run(argv, capture_output=True, text=True, env=env,
                         timeout=600)
     assert r2.returncode == 0 and "stages ran: []" in r2.stdout
+
+
+def test_run_curate_cli_trim_dup_spans(spark, tmp_path):
+    """--trim-dup-spans K surgically removes cross-corpus duplicated
+    K-token spans after dedup: the canonical (min doc_id) copy of the
+    shared text survives intact, the near-duplicate keeps only its novel
+    tail, and the n_removed audit column rides into the curated output."""
+    inp = _write_docs(spark, tmp_path)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "ct",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "5",
+        "--trim-dup-spans", "8",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "'trimmed'" in r.stdout
+    cur = spark.read.parquet(f"{out}/ct/curated").toPandas()
+    byid = {int(i): t for i, t in zip(cur["doc_id"], cur["text"])}
+    # canonical copy of GOOD (doc 1) is untouched
+    assert byid[1] == GOOD
+    # the near-dup (doc 6) lost the shared prefix, kept its novel tail
+    assert "quick brown fox" not in byid[6]
+    assert "nothing else happens there" in byid[6]
+    nrem = {int(i): n for i, n in zip(cur["doc_id"], cur["n_removed"])}
+    assert nrem[1] == 0 and nrem[6] > 0
