@@ -1057,6 +1057,31 @@ def _q_unigram_ppl_per_source(spark, sf_dir):
     return unigram_logprob_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_zipf_fit_per_source(spark, sf_dir):
+    """Zipf power-law fit per source (OLS of ln freq vs ln rank over the
+    min_count-pruned head, rank ties broken by token): the hapax prune
+    runs BEFORE the per-source ranking window, so the window input is
+    the surviving head, never web-scale vocab. Closed-form OLS; float
+    noise ~1e-12 under the 1e-6 canon."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import zipf_fit_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return zipf_fit_per_source(load_table(spark, sf_dir, "documents"))
+
+
+def _q_source_jsd_pairs(spark, sf_dir):
+    """Pairwise source Jensen–Shannon divergence over unigram
+    distributions — shared types via one token self-join, the
+    disjoint-support remainder carried as two running probability
+    masses (0.5·ln2·(2−ma−mb)) instead of an outer join."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import source_jsd_pairs
+    from bloomine_spark.sources.tables import load_table
+
+    return source_jsd_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _q_bigram_ppl_per_source(spark, sf_dir):
     """Bigram-LM perplexity triage (add-0.5 smoothing, context counts
     from the bigram relation, V broadcast): per source mean doc NLL +
@@ -1690,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_per_source": _q_dsir_importance_per_source,
         "token_f2_per_source_exact": _q_token_f2_per_source_exact,
         "bigram_ppl_per_source": _q_bigram_ppl_per_source,
+        "zipf_fit_per_source": _q_zipf_fit_per_source,
+        "source_jsd_pairs": _q_source_jsd_pairs,
         "countsketch_token_f2": _q_countsketch_token_f2,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
@@ -2735,6 +2762,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN dup_tok > 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_docs_any_dup
         FROM fd GROUP BY source
+    """
+
+    # Zipf fit: identical rank order (freq desc, token asc), ln of the
+    # same integers, closed-form OLS.
+    sql["zipf_fit_per_source"] = """
+        WITH tok AS (
+          SELECT source, t FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ), freq AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), rk AS (
+          SELECT source, c, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY c DESC, t ASC) AS r
+          FROM freq
+        ), xy AS (
+          SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                 ln(CAST(c AS DOUBLE)) AS y
+          FROM rk WHERE r <= 1000
+        ), ag AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types_fit,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM xy GROUP BY source
+        )
+        SELECT source, n_types_fit,
+               (n_types_fit * sxy - sx * sy)
+                 / NULLIF(n_types_fit * sxx - sx * sx, 0) AS slope,
+               (sy - (n_types_fit * sxy - sx * sy)
+                 / NULLIF(n_types_fit * sxx - sx * sx, 0) * sx)
+                 / n_types_fit AS intercept
+        FROM ag
+    """
+
+    # JSD: shared-type self-join + closed-form disjoint remainder; the
+    # probability divides are the same integer pairs in both engines.
+    sql["source_jsd_pairs"] = """
+        WITH tok AS (
+          SELECT source, t FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ), freq AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ), tot AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+          FROM freq GROUP BY source
+        ), p AS (
+          SELECT source, t, c / CAST(tot AS DOUBLE) AS p
+          FROM freq JOIN tot USING (source)
+        ), j AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 a.p AS pa, b.p AS pb
+          FROM p a JOIN p b ON a.t = b.t AND a.source < b.source
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_types,
+               SUM(0.5 * pa * ln(2 * pa / (pa + pb))
+                 + 0.5 * pb * ln(2 * pb / (pa + pb)))
+                 + 0.5 * ln(2) * (2 - SUM(pa) - SUM(pb)) AS jsd
+        FROM j GROUP BY 1, 2
     """
 
     # Bigram LM: identical add-0.5 smoothing, context counts from the

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -531,4 +533,142 @@ def vocab_coverage(
         (
             F.max("cum").cast("double") / F.max("total").cast("double")
         ).alias("coverage"),
+    )
+
+
+def zipf_fit_per_source(
+    docs: DataFrame,
+    top_r: int = 1000,
+    min_count: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Zipf power-law fit per source: OLS slope/intercept of
+    ``ln(freq)`` against ``ln(rank)`` over the top-``top_r`` token types
+    (rank by freq desc, token asc — fully deterministic). A natural-text
+    source fits slope ≈ −1 (Zipf 1949); templated/boilerplate sources
+    flatten toward 0, noise steepens — a corpus-forensics signal a
+    curation run logs per source.
+
+    Fitting the HEAD is both the statistics (the tail of a finite corpus
+    departs from the power law) and the scale posture: ``min_count``
+    prunes the huge hapax tail BEFORE the per-source ranking window, so
+    the window input is the surviving head, not web-scale vocab; at
+    100 TB the prune threshold rises with corpus size and the window
+    stays bounded. Closed-form OLS — two narrowing aggregates, no
+    iteration; doubles association noise ~1e-12 under the 1e-6 canon.
+
+    Returns (source, n_types_fit, slope, intercept)."""
+    tok = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    freq = (
+        tok.groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("t"))
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_r)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types_fit"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_types_fit").cast("double")
+    # <2 fit points (or a degenerate all-equal-x head) has no line:
+    # slope/intercept NULL rather than an ANSI divide-by-zero
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+    )
+    return agg.select(
+        "source",
+        "n_types_fit",
+        slope.alias("slope"),
+        F.when(denom != 0, (F.col("sy") - slope * F.col("sx")) / n)
+        .alias("intercept"),
+    )
+
+
+def source_jsd_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the unigram
+    distributions of every source pair — the corpus-mixture diagnostic
+    (which sources are near-identical crawls, which are genuinely
+    distinct domains). Natural-log JSD ∈ [0, ln 2].
+
+    Relational decomposition: the token self-join only materializes
+    SHARED types (each token contributes #sources² pair rows, bounded);
+    the disjoint-support remainder needs no join at all —
+    ``Σ_{t∉shared} 0.5·p·ln2`` telescopes to
+    ``0.5·ln2·(2 − Σ_shared p_a − Σ_shared p_b)``, so per pair we carry
+    two extra running sums instead of an outer join. Probabilities are
+    per-source scalars (count / broadcast total); doubles association
+    noise ~1e-12 under the 1e-6 canon.
+
+    Returns (source_a, source_b, n_shared_types, jsd), a < b."""
+    tok = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    freq = tok.groupBy("source", "t").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = freq.groupBy("source").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    probs = freq.join(F.broadcast(totals), "source").select(
+        "source", "t", (F.col("c") / F.col("tot")).alias("p")
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"), "t", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"), "t", F.col("p").alias("pb")
+    )
+    joined = a.join(b, "t").filter(F.col("source_a") < F.col("source_b"))
+    ln2 = math.log(2.0)
+    contrib = (
+        F.lit(0.5) * F.col("pa")
+        * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.lit(0.5) * F.col("pb")
+        * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    return (
+        joined.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_types"),
+            F.sum(contrib).alias("_shared"),
+            F.sum("pa").alias("_ma"),
+            F.sum("pb").alias("_mb"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_types",
+            (
+                F.col("_shared")
+                + F.lit(0.5 * ln2) * (F.lit(2.0) - F.col("_ma") - F.col("_mb"))
+            ).alias("jsd"),
+        )
     )
