@@ -1057,6 +1057,30 @@ def _q_unigram_ppl_per_source(spark, sf_dir):
     return unigram_logprob_per_source(load_table(spark, sf_dir, "documents"))
 
 
+BM25_QUERY = ["fast", "table", "scan"]
+
+
+def _q_bm25_topk_per_source(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (Lucene idf variant): top-5 hits per
+    source for the query {fast, table, scan}. The token explode filters
+    to the query terms before any aggregate (the corpus-scale relation
+    is |terms|-bounded per doc); df/N/avgdl broadcast; ranking by the
+    ROUNDED score with doc_id tie-break is engine-portable."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.retrieval import bm25_topk_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    out = bm25_topk_per_source(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY, k=5
+    )
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        "score", "rank",
+    )
+
+
 def _q_zipf_fit_per_source(spark, sf_dir):
     """Zipf power-law fit per source (OLS of ln freq vs ln rank over the
     min_count-pruned head, rank ties broken by token): the hapax prune
@@ -1716,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_f2_per_source_exact": _q_token_f2_per_source_exact,
         "bigram_ppl_per_source": _q_bigram_ppl_per_source,
         "zipf_fit_per_source": _q_zipf_fit_per_source,
+        "bm25_topk_per_source": _q_bm25_topk_per_source,
         "source_jsd_pairs": _q_source_jsd_pairs,
         "countsketch_token_f2": _q_countsketch_token_f2,
         "bpe_learn_merges": _q_bpe_learn_merges,
@@ -2762,6 +2787,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN dup_tok > 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_docs_any_dup
         FROM fd GROUP BY source
+    """
+
+    # BM25: same integer tf/df/dl/N, same float expression order, final
+    # round(.,6) before the rank — identical result sets by construction.
+    _bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    sql["bm25_topk_per_source"] = f"""
+        WITH b2 AS (
+          SELECT source, doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), b3 AS (
+          SELECT source, doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM b2
+        ), st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl
+          FROM b3
+        ), tok AS (
+          SELECT source, doc_id, dl, t FROM (
+            SELECT source, doc_id, dl, unnest(w) AS t FROM b3
+          ) WHERE t IN ({_bm25_terms})
+        ), tf AS (
+          SELECT source, doc_id, dl, t, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2, 3, 4
+        ), dft AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t
+        ), sc AS (
+          SELECT source, doc_id,
+                 ROUND(SUM(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl / (sum_dl / n_docs)))
+                 ), 6) AS score
+          FROM tf JOIN dft USING (t) CROSS JOIN st
+          GROUP BY 1, 2
+        ), rk AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rank
+          FROM sc
+        )
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id, score,
+               CAST(rank AS BIGINT) AS rank
+        FROM rk WHERE rank <= 5
     """
 
     # Zipf fit: identical rank order (freq desc, token asc), ln of the
