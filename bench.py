@@ -320,6 +320,14 @@ def main():
         # explode -> 512-token packing) — new row, excluded from
         # suite-total comparisons against r5 and earlier records
         "epoch_pack_chunks",
+        # r6 late additions (also excluded from the headline total):
+        # cross-doc duplicated-span audit, DSIR importance, bigram LM,
+        # Count-Sketch F2, BM25 retrieval
+        "dup_span_coverage_per_source",
+        "dsir_importance_per_source",
+        "bigram_ppl_per_source",
+        "countsketch_token_f2",
+        "bm25_topk_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -360,7 +368,14 @@ def main():
     # of the headline total so `value` stays comparable round-over-round
     # (the r5 verdict's lesson: never let the scoring scalar drift for
     # reasons that aren't plan changes)
-    new_rows = {"q_epoch_pack_chunks"}
+    new_rows = {
+        "q_epoch_pack_chunks",
+        "q_dup_span_coverage_per_source",
+        "q_dsir_importance_per_source",
+        "q_bigram_ppl_per_source",
+        "q_countsketch_token_f2",
+        "q_bm25_topk_per_source",
+    }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3
     )
