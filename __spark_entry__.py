@@ -439,6 +439,23 @@ def _q_countsketch_token_f2(spark, sf_dir):
     ).select("source", F.col("f2_est").cast("long").alias("f2_est"))
 
 
+def _q_countsketch_relational_f2(spark, sf_dir):
+    """Count-Sketch/AMS F2 as pure Catalyst algebra over portable md5
+    hashes — the oracle-HASH twin of countsketch_token_f2: DuckDB
+    rebuilds the identical signed-counter table, so the estimate (incl.
+    collision noise) hash-matches. d=5 seeds, w=1024, exact relational
+    median (rank 3 by (f2, seed))."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.relational import countsketch_relational_f2
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    return countsketch_relational_f2(tok, "source", "word")
+
+
 def _q_ntok_quantiles_per_source_exact(spark, sf_dir):
     """Exact interpolated n_tok quantiles per source."""
     seqs = _docs_tokens(spark, sf_dir)
@@ -1743,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_per_source": _q_bm25_topk_per_source,
         "source_jsd_pairs": _q_source_jsd_pairs,
         "countsketch_token_f2": _q_countsketch_token_f2,
+        "countsketch_relational_f2": _q_countsketch_relational_f2,
         "bpe_learn_merges": _q_bpe_learn_merges,
         "bpe_fertility_per_source": _q_bpe_fertility_per_source,
         "bpe_transfer_stats": _q_bpe_transfer_stats,
@@ -2064,6 +2082,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT word, COUNT(*) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20
+    """
+
+    # Count-Sketch relational twin: identical md5 bucket+sign derivation,
+    # signed-counter table, per-seed sum of squares, exact rank-3 median.
+    sql["countsketch_relational_f2"] = """
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS t
+          FROM documents
+        ), st AS (
+          SELECT source, t, s
+          FROM tok CROSS JOIN (SELECT unnest(range(5)) AS s)
+        ), hx AS (
+          SELECT source, s,
+                 md5(CAST(s AS VARCHAR) || ':' || t) AS h
+          FROM st
+        ), sg AS (
+          SELECT source, s,
+                 CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 1024 AS b,
+                 CAST(('0x' || substr(h, 9, 1)) AS BIGINT) % 2 * 2 - 1
+                   AS sign
+          FROM hx
+        ), cnts AS (
+          SELECT source, s, b, CAST(SUM(sign) AS BIGINT) AS cnt
+          FROM sg GROUP BY 1, 2, 3
+        ), ps AS (
+          SELECT source, s, CAST(SUM(cnt * cnt) AS BIGINT) AS f2s
+          FROM cnts GROUP BY 1, 2
+        ), rk AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY f2s, s) AS rn
+          FROM ps
+        )
+        SELECT source, f2s AS f2_est FROM rk WHERE rn = 3
     """
 
     sql["token_f2_per_source_exact"] = """

@@ -531,3 +531,59 @@ def simhash_relational(
         F.col(doc_col),
         F.lpad(F.lower(F.hex(sim)), 16, "0").alias("simhash"),
     )
+
+
+def countsketch_relational_f2(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    d: int = 5,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-Sketch (Charikar 2002) + AMS F2 per group as PURE Catalyst
+    relational algebra — the oracle-hash twin of the numpy kernel in
+    sketch/countsketch.py (same estimator, engine-portable hashes, so
+    DuckDB rebuilds the IDENTICAL signed-counter table and the F2
+    estimate hash-matches INCLUDING collision noise).
+
+    One corpus scan: each occurrence explodes into d seed rows; one md5
+    per (seed, item) supplies both the bucket (first 8 hex chars mod w)
+    and the sign (hex char 9 parity → ±1). Counters are SUM(sign) over
+    at most d·w groups per group key; each seed's Σcnt² is an AMS F2
+    estimator; the estimate is the exact MEDIAN seed (d odd, rank
+    (d+1)/2 by (f2, seed) — relational, no engine median function).
+
+    Returns (group, f2_est)."""
+    if d % 2 == 0:
+        raise ValueError("d must be odd (exact relational median)")
+    stream = items.select(
+        F.col(group_col).alias("g"),
+        F.col(item_col).cast("string").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("s"),
+    )
+    h = F.md5(F.concat_ws(":", F.col("s").cast("string"), F.col("_v")))
+    signed = stream.select(
+        "g",
+        "s",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w).alias("b"),
+        (
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 * 2 - 1
+        ).alias("sign"),
+    )
+    counters = signed.groupBy("g", "s", "b").agg(
+        F.sum("sign").cast("long").alias("cnt")
+    )
+    per_seed = counters.groupBy("g", "s").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("f2s")
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("g").orderBy("f2s", "s")
+    return (
+        per_seed.withColumn("_rn", F.row_number().over(rk))
+        .filter(F.col("_rn") == (d + 1) // 2)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("f2s").alias("f2_est"),
+        )
+    )

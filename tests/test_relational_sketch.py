@@ -334,3 +334,36 @@ def test_simhash_locality(spark):
     assert ham(got[1], got[4]) > 16
     # top bit always clear (63-bit hash in a 64-bit frame)
     assert all(v < (1 << 63) for v in got.values())
+
+
+def test_countsketch_relational_f2_bound(spark):
+    """The relational Count-Sketch F2 twin tracks exact F2 within the AMS
+    bound (rel err ~ sqrt(2/w) per seed, median over 5 seeds) on skewed
+    data, and rejects even seed counts (no exact relational median)."""
+    import math
+    import random
+    from collections import Counter
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bloomine_spark.sketch.relational import countsketch_relational_f2
+
+    rng = random.Random(21)
+    rows = []
+    cnt = {}
+    for g in ("ga", "gb"):
+        toks = [f"t{min(int(rng.paretovariate(1.1)), 500)}"
+                for _ in range(20_000)]
+        cnt[g] = Counter(toks)
+        rows += [(g, t) for t in toks]
+    df = spark.createDataFrame(rows, "g string, t string").repartition(8)
+    got = {r["g"]: r["f2_est"]
+           for r in countsketch_relational_f2(df, "g", "t", d=5, w=1024)
+           .collect()}
+    for g, c in cnt.items():
+        f2 = sum(v * v for v in c.values())
+        assert abs(got[g] - f2) / f2 <= 6.0 / math.sqrt(1024), (g, got[g], f2)
+
+    with _pytest.raises(ValueError):
+        countsketch_relational_f2(df, "g", "t", d=4)
