@@ -362,3 +362,94 @@ def heavy_hitters_by_key_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_F2_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("f2_est", T.LongType()),
+        T.StructField("n_rows_seen", T.LongType()),
+    ]
+)
+
+_F2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("state", T.BinaryType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+
+def f2_by_key_stream(
+    stream_df: DataFrame,
+    key_col: str = "source",
+    value_col: str = "tokens",
+    epsilon: float = 0.02,
+    delta: float = 1e-2,
+    idle_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Running second-moment (F2 = Σ_x f_x²) estimate per key via a
+    Count-Sketch state (sketch/countsketch.py) — the streaming twin of
+    the batch countsketch UDAF. F2/N² is the stream's self-collision
+    rate: a dup flood (crawler loop, replayed shard) shows up as F2
+    growing ~quadratically while N grows linearly, which makes this the
+    ingest-monitoring complement of the distinct-count (HLL) monitor —
+    HLL catches "too few new tokens", F2 catches "too much repeated
+    mass" even when the distinct count still moves.
+
+    State = one d×w signed-counter sketch per key (size fixed by ε/δ,
+    data-volume-independent); merge = counter add, so the trigger fold
+    is exactly the batch update. ``idle_ttl_ms`` evicts idle keys like
+    the HLL monitor (final estimate re-emitted, fresh sketch on return).
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from bloomine_spark.sketch.core import _values_of
+        from bloomine_spark.sketch.countsketch import CountSketch
+
+        def emit(sk, n_rows):
+            return pd.DataFrame(
+                {
+                    "source": [key[0]],
+                    "f2_est": [sk.f2_estimate()],
+                    "n_rows_seen": [n_rows],
+                }
+            )
+
+        if idle_ttl_ms is not None and state.hasTimedOut:
+            blob, n_rows = state.get
+            sk = CountSketch.from_bytes(bytes(blob))
+            state.remove()
+            yield emit(sk, n_rows)
+            return
+        if state.exists:
+            blob, n_rows = state.get
+            sk = CountSketch.from_bytes(bytes(blob))
+        else:
+            sk = CountSketch.empty(epsilon, delta)
+            n_rows = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            sk.update_values(_values_of(pdf[value_col]))
+            n_rows += len(pdf)
+        state.update((sk.to_bytes(), n_rows))
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(int(idle_ttl_ms))
+        yield emit(sk, n_rows)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_F2_OUT_SCHEMA,
+        stateStructType=_F2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

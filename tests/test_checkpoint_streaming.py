@@ -867,3 +867,45 @@ def test_streaming_curate_matches_batch(spark, tmp_path):
     assert 1 not in ids                  # word-count kill
     assert 4 not in ids                  # stop-words kill
     assert len(ids & {0, 2}) == 1        # exactly one dup survives
+
+
+def test_streaming_f2_stateful(spark, seq_parquet, tmp_path):
+    """Streaming Count-Sketch F2 monitor: the final per-source estimate
+    must EQUAL the batch sketch's (signed counters are order-independent
+    sums, so arrival order cannot change the merged state)."""
+    from bloomine_spark.sketch.countsketch import CountSketch
+    from bloomine_spark.streaming.stream_ops import f2_by_key_stream
+
+    batch_df = spark.read.parquet(seq_parquet)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(seq_parquet)
+    )
+    est = f2_by_key_stream(stream, "source", "tokens")
+    q = (
+        est.writeStream.format("memory")
+        .queryName("stream_f2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "f2ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT source, max_by(f2_est, n_rows_seen) AS est,"
+        " max(n_rows_seen) AS nr FROM stream_f2 GROUP BY source"
+    ).toPandas()
+    assert len(out) == 10
+    from bloomine_spark.sketch.core import estimates_df, sketch_agg
+
+    factory = lambda: CountSketch.empty(0.02, 1e-2)  # noqa: E731
+    batch = estimates_df(
+        sketch_agg(batch_df, ["source"], "tokens", factory),
+        factory, lambda s: s.f2_estimate(), "est",
+    ).toPandas().set_index("source")["est"]
+    for _, row in out.iterrows():
+        assert int(row["est"]) == int(batch[row["source"]])
+    assert out["nr"].sum() == batch_df.count()
