@@ -1135,6 +1135,18 @@ def _q_bigram_ppl_per_source(spark, sf_dir):
     return bigram_logprob_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_kn_ppl_per_source(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram perplexity (Chen & Goodman 1998,
+    the KenLM/CCNet filter smoothing): discounted observed mass plus
+    continuation-probability backoff N1+(·,w2)/N1+(·,·). All marginals
+    derive from the one distinct-bigram relation; ln in codegen."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import kneser_ney_ppl_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return kneser_ney_ppl_per_source(load_table(spark, sf_dir, "documents"))
+
+
 def _q_gopher_quality_per_source(spark, sf_dir):
     """Gopher rule-pack filtering audit (Rae 2021): per source, how many
     docs each rule rejects and how many survive. Every ratio rule is an
@@ -1756,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_per_source": _q_dsir_importance_per_source,
         "token_f2_per_source_exact": _q_token_f2_per_source_exact,
         "bigram_ppl_per_source": _q_bigram_ppl_per_source,
+        "kn_ppl_per_source": _q_kn_ppl_per_source,
         "zipf_fit_per_source": _q_zipf_fit_per_source,
         "bm25_topk_per_source": _q_bm25_topk_per_source,
         "source_jsd_pairs": _q_source_jsd_pairs,
@@ -2971,6 +2984,43 @@ def oracle_sql() -> dict[str, str]:
           SELECT w1, w2,
                  ln(cb + 0.5) - ln(cw + 0.5 * (SELECT v FROM v)) AS lp
           FROM bf JOIN ctx USING (w1)
+        ), pd AS (
+          SELECT source, doc_id, -AVG(lp) AS nll
+          FROM big JOIN lm USING (w1, w2) GROUP BY 1, 2
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(nll) AS mean_doc_nll, exp(AVG(nll)) AS ppl
+        FROM pd GROUP BY source
+    """
+
+    # Kneser–Ney: same bigram relation; ctx carries (cw, nf), cont (nb),
+    # bt is the bigram-type scalar. Term order in the ln() argument
+    # matches the Spark expression left-to-right so per-type floats are
+    # bit-comparable; AVG association noise ~1e-12 under the 1e-6 canon.
+    sql["kn_ppl_per_source"] = """
+        WITH w AS (
+          SELECT source, doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), big AS (
+          SELECT source, doc_id,
+                 w[CAST(s + 1 AS INT)] AS w1, w[CAST(s + 2 AS INT)] AS w2
+          FROM w, UNNEST(range(len(w) - 1)) t(s) WHERE len(w) >= 2
+        ), bf AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM big GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw,
+                 CAST(COUNT(*) AS BIGINT) AS nf
+          FROM bf GROUP BY 1
+        ), cont AS (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM bf GROUP BY 1
+        ), bts AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bf),
+        lm AS (
+          SELECT w1, w2,
+                 ln((cb - 0.75) / cw
+                    + 0.75 * nf / cw * nb / (SELECT bt FROM bts)) AS lp
+          FROM bf JOIN ctx USING (w1) JOIN cont USING (w2)
         ), pd AS (
           SELECT source, doc_id, -AVG(lp) AS nll
           FROM big JOIN lm USING (w1, w2) GROUP BY 1, 2

@@ -383,6 +383,102 @@ def bigram_logprob_per_source(
     )
 
 
+def kneser_ney_ppl_per_source(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity per source — the
+    smoothing the CCNet-style LM filter actually uses (KenLM's default;
+    Chen & Goodman 1998 eq. 20 at n=2 with one fixed discount ``D``):
+
+        P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1,·)
+                 + D·N1+(w1,·)/c(w1,·) · N1+(·,w2)/N1+(·,·)
+
+    where N1+(w1,·) is the number of distinct continuations of w1,
+    N1+(·,w2) the number of distinct contexts preceding w2 (the
+    continuation probability — "how promiscuous is w2", not "how
+    frequent"), and N1+(·,·) the total number of bigram types. Unlike
+    ``bigram_logprob_per_source``'s add-k model this never lets a
+    frequent-but-rigid word (one that only ever follows one context)
+    soak up backoff mass — the classic "San Francisco" correction.
+    Documents with <2 non-empty tokens have no bigrams and are excluded.
+
+    Every quantity derives from the distinct-bigram relation alone:
+    c(w1,·) and N1+(w1,·) from one groupBy(w1), N1+(·,w2) from one
+    groupBy(w2), N1+(·,·) a 1-row broadcast scalar. The corpus is
+    scanned once for bigrams; the corpus is its own LM, so every scored
+    bigram is observed and ``cb − D > 0`` always holds (no max() branch
+    materializes). Plan shape at 100 TB: bigram agg → two vocab-bounded
+    derived aggs → LM join → two narrowing aggregates, ln() per TYPE
+    inside codegen.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.col("doc_id"),
+        words.alias("_w"),
+        F.size(words).alias("_n"),
+    )
+    big = (
+        d.filter(F.col("_n") >= 2)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_w", i + 1).alias("w1"),
+                        F.element_at("_w", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("source", "doc_id", F.col("b.w1").alias("w1"),
+                F.col("b.w2").alias("w2"))
+    )
+    bfreq = big.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    # one pass over the (distinct) bigram relation per marginal:
+    # context count AND distinct-continuation count share a groupBy
+    ctx = bfreq.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cw"),
+        F.count("*").cast("long").alias("nf"),
+    )
+    cont = bfreq.groupBy("w2").agg(
+        F.count("*").cast("long").alias("nb")
+    )
+    btypes = bfreq.agg(F.count("*").cast("long").alias("bt"))
+    lm = (
+        bfreq.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1", "w2",
+            F.log(
+                (F.col("cb") - discount) / F.col("cw")
+                + discount * F.col("nf") / F.col("cw")
+                * F.col("nb") / F.col("bt")
+            ).alias("lp"),
+        )
+    )
+    per_doc = (
+        big.join(lm, ["w1", "w2"])
+        .groupBy("source", "doc_id")
+        .agg((-F.avg("lp")).alias("nll"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("nll").alias("mean_doc_nll"),
+        F.exp(F.avg("nll")).alias("ppl"),
+    )
+
+
 #: Gopher rule-pack stop-word set (Rae et al. 2021, table A1 — public).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
