@@ -1462,6 +1462,33 @@ def _q_dedup_group_assign(spark, sf_dir):
     )
 
 
+def _q_semdedup_assign(spark, sf_dir):
+    """SemDeDup (Abbas 2023): cluster-scoped cosine pairs → transitive
+    groups → one survivor per group. Cells here are the deterministic
+    axis-sign partitioner (8 cells) so the DuckDB oracle reproduces the
+    scoping exactly; the paper's k-means cells ride the same operator
+    via semdedup_ivf_cells (pytest-gated). keep=min_id for portability;
+    the farthest-from-centroid paper policy is pytest-gated too."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import semdedup, semdedup_sign_cells
+    from bloomine_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = semdedup_sign_cells(emb, n_bits=3)
+    out = semdedup(cells, threshold=0.35)
+    return (
+        cells.select("vec_id", "cell")
+        .join(out, "vec_id")
+        .select(
+            F.col("vec_id").cast("string").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("group_id").cast("string").alias("group_id"),
+            "group_size",
+            "keep",
+        )
+    )
+
+
 def _q_contamination_screen(spark, sf_dir):
     """Train/test decontamination: train docs (source != 'src0') sharing
     any word 3-gram with the eval corpus (source == 'src0'), with the
@@ -1733,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": _q_contamination_screen,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_dups": _q_simhash_dups,
+        "semdedup_assign": _q_semdedup_assign,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2357,6 +2385,43 @@ def oracle_sql() -> dict[str, str]:
         FROM s JOIN te USING (g)
         WHERE s.source <> 'src0'
         GROUP BY s.doc_id
+    """
+
+    # SemDeDup: identical sign-cell scoping + within-cell cosine pairs,
+    # transitive closure via the same recursive-CTE pattern as
+    # dedup_group_assign (group_id = component min = canonical).
+    sql["semdedup_assign"] = """
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding,
+                 CAST(embedding[1] >= 0 AS INT)
+               + 2 * CAST(embedding[2] >= 0 AS INT)
+               + 4 * CAST(embedding[3] >= 0 AS INT) AS cell
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(
+                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u
+        ), comp AS (
+          SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+        ), csize AS (
+          SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp
+        )
+        SELECT CAST(e.vec_id AS VARCHAR) AS vec_id,
+               CAST(e.cell AS BIGINT) AS cell,
+               CAST(COALESCE(c.comp, e.vec_id) AS VARCHAR) AS group_id,
+               CAST(COALESCE(cs.n, 1) AS BIGINT) AS group_size,
+               (c.comp IS NULL OR e.vec_id = c.comp) AS keep
+        FROM e
+        LEFT JOIN comp c ON e.vec_id = c.id
+        LEFT JOIN csize cs ON c.comp = cs.comp
     """
 
     sql["embedding_near_dup_exact"] = """

@@ -1242,3 +1242,192 @@ def trim_dup_spans(
         (F.col("_n0") - F.coalesce(F.col("n_tok"), F.lit(0)))
         .cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semdedup_sign_cells(
+    emb: DataFrame,
+    n_bits: int = 3,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Deterministic axis-sign cell assignment: cell = Σ 2^i·[v_i ≥ 0]
+    over the first ``n_bits`` coordinates — a pure-codegen partitioner
+    (2^n_bits cells) useful when no trained centroids exist and for
+    engine-portable tests (any SQL engine reproduces it exactly). For
+    the paper's k-means cells use :func:`semdedup_ivf_cells`.
+    """
+    cell = sum(
+        (F.element_at(vec_col, i + 1) >= 0).cast("long") * (1 << i)
+        for i in range(n_bits)
+    )
+    return emb.withColumn(cell_col, cell)
+
+
+def semdedup_ivf_cells(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid — the
+    SemDeDup paper's cluster scoping, reusing the IVF centroid family
+    (see operators/similarity.py:89 ``train_ivf_centroids``). Centroids
+    ride as one broadcast matrix; assignment is a blockwise matmul per
+    Arrow batch, no shuffle."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    schema = T.StructType(
+        emb.schema.fields + [T.StructField(cell_col, T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            pdf[cell_col] = (m @ c.T).argmax(axis=1).astype(np.int64)
+            yield pdf
+
+    return emb.mapInPandas(kernel, schema=schema)
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    max_cell_rows: int = 200_000,
+    block: int = 2048,
+) -> DataFrame:
+    """Within-cell cosine≥threshold pairs (id_a < id_b) — the SemDeDup
+    candidate step. Vectors in different cells are never compared (the
+    paper's deliberate approximation: semantic duplicates co-locate in
+    embedding space, so a fine clustering loses almost no recall while
+    reducing O(n²) to Σ|cell|²).
+
+    Scale shape: one shuffle on ``cell_col`` groups each cell into a
+    single Arrow frame; inside, a blockwise normalized matmul emits only
+    the ≥threshold pairs. Each cell must fit in one task —
+    ``max_cell_rows`` fails fast with a pointer to train MORE centroids
+    (the paper runs k=50k on 600M embeddings ⇒ ~12k rows/cell) instead
+    of letting one giant cell OOM an executor.
+    """
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semdedup cell {pdf[cell_col].iloc[0]!r} has {n} rows "
+                f"(> max_cell_rows={max_cell_rows}); train more centroids "
+                f"so cells stay task-sized"
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        out_a, out_b = [], []
+        for i0 in range(0, n, block):
+            sims = m[i0 : i0 + block] @ m.T
+            li, gj = np.nonzero(sims >= threshold)
+            gi = li + i0
+            keep = gi < gj  # strict upper triangle by position
+            a, b = ids[gi[keep]], ids[gj[keep]]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            out_a.append(a2)
+            out_b.append(b2)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+            }
+        ).astype("int64")
+
+    return emb.groupBy(cell_col).applyInPandas(kernel, schema=schema)
+
+
+def semdedup_centroid_cos(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-vector cosine to its cell's (normalized-mean) centroid —
+    the paper's survivor criterion input: within each duplicate group
+    SemDeDup KEEPS the example with the LOWEST centroid similarity
+    (low-similarity examples carry the most marginal information)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cent_cos", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        c = m.mean(axis=0)
+        c /= np.linalg.norm(c)
+        return pd.DataFrame(
+            {id_col: pdf[id_col].to_numpy(), "cent_cos": m @ c}
+        )
+
+    return emb.groupBy(cell_col).applyInPandas(kernel, schema=schema)
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    keep: str = "min_id",
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal =
+    cluster-scoped cosine pairs → transitive groups → one survivor per
+    group. ``emb`` must already carry ``cell_col`` (from
+    :func:`semdedup_ivf_cells` for paper-mode k-means cells or
+    :func:`semdedup_sign_cells` for a deterministic partitioner).
+
+    ``keep``: ``"min_id"`` keeps the smallest id per group (fully
+    engine-portable); ``"centroid_far"`` keeps the member FARTHEST from
+    its cell centroid (the paper's choice — it preserves the most
+    marginal example of each semantic group), ties → min id.
+
+    Returns one row per input row: (id, group_id, group_size, keep) à la
+    :func:`dedup_groups`, which resolves the pair graph (components are
+    found by alternating star rounds; ranking runs only over the dup
+    subgraph, so cost tracks the dup rate, not the corpus).
+    """
+    pairs = semdedup_pairs(
+        emb, threshold, id_col, vec_col, cell_col, max_cell_rows
+    )
+    if keep == "centroid_far":
+        qual = semdedup_centroid_cos(emb, id_col, vec_col, cell_col)
+        base = emb.select(id_col).join(qual, id_col).select(
+            id_col, (-F.col("cent_cos")).alias("_semq")
+        )
+        return dedup_groups(base, pairs, id_col=id_col, quality_col="_semq")
+    if keep != "min_id":
+        raise ValueError(f"unknown keep policy {keep!r}")
+    return dedup_groups(emb.select(id_col), pairs, id_col=id_col)
