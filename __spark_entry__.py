@@ -1135,6 +1135,19 @@ def _q_bigram_ppl_per_source(spark, sf_dir):
     return bigram_logprob_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (Wenzek 2020): per source, documents
+    ranked by bigram-LM perplexity and cut into equal-count terciles
+    with integer arithmetic over the portable (round(nll,6), doc_id)
+    rank — no float boundary can move a doc across engines. One window
+    over (source, doc_id, nll) — text never rides the window shuffle."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import ccnet_ppl_buckets
+    from bloomine_spark.sources.tables import load_table
+
+    return ccnet_ppl_buckets(load_table(spark, sf_dir, "documents"))
+
+
 def _q_kn_ppl_per_source(spark, sf_dir):
     """Interpolated Kneser–Ney bigram perplexity (Chen & Goodman 1998,
     the KenLM/CCNet filter smoothing): discounted observed mass plus
@@ -1797,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_f2_per_source_exact": _q_token_f2_per_source_exact,
         "bigram_ppl_per_source": _q_bigram_ppl_per_source,
         "kn_ppl_per_source": _q_kn_ppl_per_source,
+        "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
         "zipf_fit_per_source": _q_zipf_fit_per_source,
         "bm25_topk_per_source": _q_bm25_topk_per_source,
         "source_jsd_pairs": _q_source_jsd_pairs,
@@ -3056,6 +3070,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                AVG(nll) AS mean_doc_nll, exp(AVG(nll)) AS ppl
         FROM pd GROUP BY source
+    """
+
+    # CCNet terciles: the add-k per-doc NLL CTE, then a per-source
+    # (round(nll,6), doc_id) rank cut with INTEGER division — the cut
+    # index is engine-exact, so only AVG association noise remains.
+    sql["ccnet_ppl_buckets"] = """
+        WITH w AS (
+          SELECT source, doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), big AS (
+          SELECT source, doc_id,
+                 w[CAST(s + 1 AS INT)] AS w1, w[CAST(s + 2 AS INT)] AS w2
+          FROM w, UNNEST(range(len(w) - 1)) t(s) WHERE len(w) >= 2
+        ), bf AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM big GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM bf GROUP BY 1
+        ), v AS (
+          SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+          FROM (SELECT unnest(w) AS t FROM w)
+        ), lm AS (
+          SELECT w1, w2,
+                 ln(cb + 0.5) - ln(cw + 0.5 * (SELECT v FROM v)) AS lp
+          FROM bf JOIN ctx USING (w1)
+        ), pd AS (
+          SELECT source, doc_id, -AVG(lp) AS nll
+          FROM big JOIN lm USING (w1, w2) GROUP BY 1, 2
+        ), ranked AS (
+          SELECT source, nll,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY round(nll, 6) ASC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM pd
+        ), b AS (
+          SELECT source, nll,
+                 CASE (3 * (rn - 1)) // n
+                   WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+                 END AS bucket
+          FROM ranked
+        )
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(nll) AS mean_doc_nll, exp(AVG(nll)) AS ppl
+        FROM b GROUP BY source, bucket
     """
 
     # Kneser–Ney: same bigram relation; ctx carries (cw, nf), cont (nb),

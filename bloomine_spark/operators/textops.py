@@ -304,27 +304,22 @@ def unigram_logprob_per_source(
     )
 
 
-def bigram_logprob_per_source(
+def bigram_doc_nll(
     docs: DataFrame,
     k: float = 0.5,
     text_col: str = "text",
     source_col: str = "source",
 ) -> DataFrame:
-    """Bigram-LM perplexity triage — the next refinement of
-    ``unigram_logprob_per_source``: score every document under the
-    corpus's own add-k smoothed bigram model
-    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)``
-    with V the unigram vocabulary size and c(w1,·) the CONTEXT count
-    (occurrences of w1 followed by anything — not the raw unigram count:
-    document-final tokens never open a bigram). Per document the mean
-    bigram NLL, per source the mean doc NLL and its exp. Documents with
-    <2 non-empty tokens have no bigrams and are excluded (n_docs counts
-    scored docs only).
+    """Per-document mean bigram NLL under the corpus's own add-k
+    smoothed bigram model — the shared scoring head of
+    ``bigram_logprob_per_source`` (per-source triage) and
+    ``ccnet_ppl_buckets`` (per-doc head/middle/tail split). Returns
+    (source, doc_id, nll) for every doc with ≥2 non-empty tokens.
 
     Plan shape at 100 TB: one bigram-count aggregate (the LM — bounded
     by observed bigram types), context counts derived FROM that relation
     by one more groupBy (no second corpus scan), V and the scalar join
-    broadcast, then one bigram→prob join and two narrowing aggregates.
+    broadcast, then one bigram→prob join and one narrowing aggregate.
     ln() stays per-TYPE inside codegen; association noise ~1e-11, far
     under the gate's 1e-6 canon."""
     words = F.filter(
@@ -376,11 +371,7 @@ def bigram_logprob_per_source(
         .groupBy("source", "doc_id")
         .agg((-F.avg("lp")).alias("nll"))
     )
-    return per_doc.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.avg("nll").alias("mean_doc_nll"),
-        F.exp(F.avg("nll")).alias("ppl"),
-    )
+    return per_doc
 
 
 def kneser_ney_ppl_per_source(
@@ -473,6 +464,88 @@ def kneser_ney_ppl_per_source(
         .agg((-F.avg("lp")).alias("nll"))
     )
     return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("nll").alias("mean_doc_nll"),
+        F.exp(F.avg("nll")).alias("ppl"),
+    )
+
+
+def bigram_logprob_per_source(
+    docs: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Bigram-LM perplexity triage — the next refinement of
+    ``unigram_logprob_per_source``: per document the mean bigram NLL
+    under the corpus's own add-k model
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)`` (see
+    :func:`bigram_doc_nll` for the scoring head and its 100 TB plan
+    shape), per source the mean doc NLL and its exp. Documents with
+    <2 non-empty tokens have no bigrams and are excluded (n_docs
+    counts scored docs only)."""
+    per_doc = bigram_doc_nll(docs, k, text_col, source_col)
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("nll").alias("mean_doc_nll"),
+        F.exp(F.avg("nll")).alias("ppl"),
+    )
+
+
+def ccnet_ppl_buckets(
+    docs: DataFrame,
+    k: float = 0.5,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): within each
+    source, rank documents by LM perplexity and cut into ``n_buckets``
+    equal-count bands — head = lowest-perplexity third (cleanest text,
+    what CCNet ships as its best slice), tail = highest. The LM here is
+    the corpus's own add-k bigram model (:func:`bigram_doc_nll`), the
+    same reduction the other in-engine perplexity ops use in place of
+    CCNet's external KenLM.
+
+    Ranking is engine-portable by construction: order by
+    ``(round(nll, 6), doc_id)`` and cut with INTEGER arithmetic
+    ``bucket = (n_buckets·(rank−1)) div n`` — no float boundary can
+    move a document across engines. Returns one row per
+    (source, bucket): n_docs, mean_doc_nll, ppl.
+
+    Plan shape at 100 TB: the scoring head's aggregates, then ONE
+    per-source window over (nll, doc_id) — the window shuffle carries
+    only (source, doc_id, nll), not text. CCNet itself shards this per
+    language; partitionBy(source) is exactly that sharding."""
+    per_doc = bigram_doc_nll(docs, k, text_col, source_col)
+    w = Window.partitionBy("source").orderBy(
+        F.round("nll", 6).asc(), F.col("doc_id").asc()
+    )
+    n = Window.partitionBy("source")
+    names = F.array(
+        *[
+            F.lit(
+                "head" if i == 0
+                else ("tail" if i == n_buckets - 1 else f"mid{i}")
+            )
+            for i in range(n_buckets)
+        ]
+    ) if n_buckets != 3 else F.array(
+        F.lit("head"), F.lit("middle"), F.lit("tail")
+    )
+    bucketed = per_doc.select(
+        "source",
+        "nll",
+        F.element_at(
+            names,
+            (
+                (F.lit(n_buckets) * (F.row_number().over(w) - 1))
+                .cast("long")
+                / F.count("*").over(n)
+            ).cast("long").cast("int") + 1,
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("source", "bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg("nll").alias("mean_doc_nll"),
         F.exp(F.avg("nll")).alias("ppl"),
