@@ -1253,6 +1253,20 @@ def _q_source_mixture_plan(spark, sf_dir):
     return temperature_mixture_plan(_mixture_docs(spark, sf_dir))
 
 
+def _q_unimax_alloc(spark, sf_dir):
+    """UniMax source sampling (Chung 2023): closed-form waterfill of a
+    half-corpus token budget with a 3-epoch cap per source. The capped
+    set is decided by an all-integer cross-multiplication over the
+    capacity-ascending rank, so it is engine-exact; the only floats are
+    the two final divisions (water level, epochs)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.mixture import unimax_plan
+
+    return unimax_plan(
+        _mixture_docs(spark, sf_dir), max_epochs=3, budget_ratio=(1, 2)
+    )
+
+
 def _q_epoch_pack_chunks(spark, sf_dir):
     """End-to-end epoch assembly: temperature mixture (∝ sqrt tokens,
     3/2-corpus budget) → deterministic per-doc copy counts → map-side
@@ -1800,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sharded_chunks": _q_pack_sharded_chunks,
         "hash_split_assign": _q_hash_split_assign,
         "source_mixture_plan": _q_source_mixture_plan,
+        "unimax_alloc": _q_unimax_alloc,
         "epoch_pack_chunks": _q_epoch_pack_chunks,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "gopher_quality_per_source": _q_gopher_quality_per_source,
@@ -3381,6 +3396,46 @@ def oracle_sql() -> dict[str, str]:
           FROM e
         )
     """
+    # UniMax waterfill: capped set via integer cross-multiplication on
+    # the capacity-ascending rank; water level and epochs are the only
+    # floats (one division each, identical operand order both engines).
+    sql["unimax_alloc"] = """
+        WITH d AS (
+          SELECT source, len(string_split(text, ' ')) AS n FROM documents
+        ), s AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS tok FROM d GROUP BY source
+        ), c AS (
+          SELECT source, tok, CAST(3 * tok AS BIGINT) AS cap FROM s
+        ), r AS (
+          SELECT source, tok, cap,
+                 ROW_NUMBER() OVER (ORDER BY cap, source) AS rn,
+                 CAST(SUM(cap) OVER (ORDER BY cap, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pre,
+                 COUNT(*) OVER () AS n,
+                 CAST(CAST(SUM(tok) OVER () AS BIGINT) // 2 AS BIGINT) AS b
+          FROM c
+        ), f AS (
+          SELECT *, cap * (n - rn + 1) + (pre - cap) < b AS capped FROM r
+        ), g AS (
+          SELECT *,
+                 CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                   AS BIGINT) AS k,
+                 CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+                   AS BIGINT) AS capsum
+          FROM f
+        ), h AS (
+          SELECT source, tok, cap, capped,
+                 CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                      ELSE CAST(b - capsum AS DOUBLE)
+                         / CAST(n - k AS DOUBLE) END AS allocated
+          FROM g
+        )
+        SELECT source, tok, cap AS capacity, capped, allocated,
+               allocated / CAST(tok AS DOUBLE) AS epochs
+        FROM h
+    """
+
     sql["source_mixture_plan"] = (
         _mix_plan_cte
         + """

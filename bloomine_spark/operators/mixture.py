@@ -37,6 +37,7 @@ __all__ = [
     "temperature_mixture_plan",
     "realize_mixture",
     "explode_epochs",
+    "unimax_plan",
 ]
 
 _TWO32 = 4294967296.0
@@ -164,3 +165,93 @@ def explode_epochs(realized: DataFrame) -> DataFrame:
         "epoch",
         F.explode(F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))),
     ).drop("n_copies")
+
+
+def unimax_plan(
+    docs: DataFrame,
+    max_epochs: int = 4,
+    token_budget: int | None = None,
+    budget_ratio: tuple[int, int] = (1, 2),
+    group_col: str = "source",
+    ntok_col: str = "n_tok",
+) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023): allocate a token budget
+    across sources as UNIFORMLY as possible, subject to no source
+    repeating more than ``max_epochs`` times — the fairness-first
+    alternative to temperature mixing (which still lets the head
+    language dwarf the tail). The optimum is a waterfill: sources whose
+    capacity ``cap = max_epochs·tok`` sits below the water level are
+    taken whole; every other source gets the identical level
+    ``(B − Σ capped) / (n − k)``.
+
+    The waterfill is closed-form relational algebra, no iteration: sort
+    sources by capacity ascending and a source is capped iff
+    ``cap·(remaining sources) + (capacity prefix before it) < B`` — an
+    ALL-INTEGER cross-multiplication (long token counts; with S sources
+    the product stays < 2^63 for corpora to ~10^15 tokens), so the
+    capped set is engine-exact and the only floats are the final two
+    divisions. ``token_budget=None`` derives B as
+    ``total_tokens · budget_ratio`` in integer arithmetic (default 1/2:
+    train on half the corpus's token mass).
+
+    Returns one row per source: tok, capacity, capped, allocated
+    (tokens, double), epochs (allocated/tok). Σ allocated == B whenever
+    Σ capacity ≥ B; otherwise every source is capped (budget
+    unreachable) and Σ allocated == Σ capacity.
+
+    Plan shape at 100 TB: one partial-agg scan to per-source token
+    counts, then windows over the tiny per-source relation — identical
+    cost to ``temperature_mixture_plan``.
+    """
+    per_src = docs.groupBy(group_col).agg(
+        F.sum(F.col(ntok_col).cast("long")).alias("tok")
+    ).withColumn(
+        "capacity", (F.lit(int(max_epochs)).cast("long") * F.col("tok"))
+    )
+    w_ord = Window.orderBy("capacity", group_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_src = (
+        per_src.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_pre", F.sum("capacity").over(w_cum))
+        .withColumn("_n", F.count("*").over(w_all))
+        .withColumn("_toktot", F.sum("tok").over(w_all))
+    )
+    if token_budget is not None:
+        budget = F.lit(int(token_budget)).cast("long")
+    else:
+        num, den = budget_ratio
+        budget = F.expr(f"_toktot * {int(num)} DIV {int(den)}").cast("long")
+    per_src = per_src.withColumn("_b", budget).withColumn(
+        "capped",
+        F.col("capacity") * (F.col("_n") - F.col("_rn") + 1)
+        + (F.col("_pre") - F.col("capacity"))
+        < F.col("_b"),
+    )
+    per_src = (
+        per_src.withColumn(
+            "_k", F.sum(F.col("capped").cast("long")).over(w_all)
+        )
+        .withColumn(
+            "_capsum",
+            F.sum(
+                F.when(F.col("capped"), F.col("capacity")).otherwise(F.lit(0))
+            ).over(w_all),
+        )
+        .withColumn(
+            "allocated",
+            F.when(F.col("capped"), F.col("capacity").cast("double"))
+            .otherwise(
+                (F.col("_b") - F.col("_capsum")).cast("double")
+                / (F.col("_n") - F.col("_k")).cast("double")
+            ),
+        )
+        .withColumn(
+            "epochs", F.col("allocated") / F.col("tok").cast("double")
+        )
+    )
+    return per_src.select(
+        group_col, "tok", "capacity", "capped", "allocated", "epochs"
+    )
