@@ -1613,6 +1613,54 @@ def _q_scrub_pii(spark, sf_dir):
     return scrub_pii(docs.withColumn("text", planted))
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4 rule pack (Raffel 2020 §2.2). The flat synthetic corpus has no
+    newlines/punctuation, so page structure is PLANTED deterministically
+    (scrub_pii pattern; the oracle plants with identical expressions):
+    doc_id%7 → punctuated multi-line page, %11 → lorem-ipsum line,
+    %13 → blocklist line, %17 → curly-brace line, %19 → javascript
+    line. Non-%7 pages lose every line to the terminal-punct rule and
+    die as too_few_sentences; composite moduli exercise each page rule
+    and the first-failing-rule order."""
+    from bloomine_spark.operators.textops import c4_clean
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    p = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.replace(t, F.lit(" table "), F.lit(".\n")), F.lit(".")),
+    ).otherwise(t)
+    p = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(p, F.lit(
+            "\nlorem ipsum dolor sit amet consectetur adipiscing elit."
+        )),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(p, F.lit(
+            "\nthis page contains badword1 obviously right here."
+        )),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(p, F.lit("\nsee the {curly} bracket inline here today.")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 19 == 0,
+        F.concat(p, F.lit(
+            "\nplease enable javascript to view this content now."
+        )),
+    ).otherwise(p)
+    out = c4_clean(docs.withColumn("text", p))
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text", "n_lines_kept", "n_lines_dropped", "n_sentences",
+        "page_keep", "reason",
+    )
+
+
 def _q_repetition_scores(spark, sf_dir):
     """Gopher-style intra-doc repetition metrics (top 2-gram fraction,
     distinct 2-gram ratio) — a curation filter input; one narrow
@@ -1797,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint_md5": _q_doc_fingerprint_md5,
         "scrub_pii": _q_scrub_pii,
+        "c4_clean": _q_c4_clean,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
@@ -3583,6 +3632,71 @@ def oracle_sql() -> dict[str, str]:
           FROM b GROUP BY doc_id
         )
         SELECT doc_id, lpad(lower(to_hex(sim)), 16, '0') AS simhash FROM s
+    """
+
+    # C4 rule pack: identical planting chain, line-filter lambda, and
+    # replace-difference sentence counting; reason CASE order mirrors
+    # the operator's first-failing-rule order.
+    sql["c4_clean"] = """
+        WITH p0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN replace(text, ' table ', '.' || chr(10)) || '.'
+                      ELSE text END AS t
+          FROM documents
+        ), p1 AS (
+          SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN t || chr(10) ||
+            'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+            ELSE t END AS t FROM p0
+        ), p2 AS (
+          SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN t || chr(10) ||
+            'this page contains badword1 obviously right here.'
+            ELSE t END AS t FROM p1
+        ), p3 AS (
+          SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN t || chr(10) ||
+            'see the {curly} bracket inline here today.'
+            ELSE t END AS t FROM p2
+        ), p4 AS (
+          SELECT doc_id, CASE WHEN doc_id % 19 = 0 THEN t || chr(10) ||
+            'please enable javascript to view this content now.'
+            ELSE t END AS t FROM p3
+        ), kl AS (
+          SELECT doc_id,
+                 len(string_split(t, chr(10))) AS nl,
+                 list_filter(string_split(t, chr(10)),
+                   l -> regexp_matches(l, '[.!?"]$')
+                        AND len(list_filter(string_split(l, ' '),
+                                            x -> x <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript')) AS kl
+          FROM p4
+        ), k AS (
+          -- array_to_string([]) is NULL in DuckDB; Spark concat_ws → ''
+          SELECT doc_id, nl, len(kl) AS nk,
+                 COALESCE(array_to_string(kl, chr(10)), '') AS kept
+          FROM kl
+        ), m AS (
+          SELECT doc_id, nl, nk, kept,
+                 (length(kept) - length(replace(kept, '.', '')))
+               + (length(kept) - length(replace(kept, '!', '')))
+               + (length(kept) - length(replace(kept, '?', ''))) AS ns
+          FROM k
+        ), r AS (
+          SELECT *,
+                 CASE WHEN ns < 3 THEN 'too_few_sentences'
+                      WHEN contains(lower(kept), 'badword1')
+                        OR contains(lower(kept), 'badword2') THEN 'blocklist'
+                      WHEN contains(lower(kept), 'lorem ipsum')
+                        THEN 'lorem_ipsum'
+                      WHEN contains(kept, '{') THEN 'curly_brace'
+                 END AS reason
+          FROM m
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, kept AS text,
+               CAST(nk AS BIGINT) AS n_lines_kept,
+               CAST(nl - nk AS BIGINT) AS n_lines_dropped,
+               CAST(ns AS BIGINT) AS n_sentences,
+               reason IS NULL AS page_keep, reason
+        FROM r
     """
 
     sql["repetition_scores"] = """

@@ -653,6 +653,88 @@ def gopher_quality_per_source(
     )
 
 
+#: C4 blocklist stand-in (Raffel et al. 2020 use the public "List of
+#: Dirty, Naughty…" list; ship a tiny default and take the real list as
+#: a parameter — the rule is the mechanism, not the wordlist).
+C4_BLOCKLIST = ("badword1", "badword2")
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = C4_BLOCKLIST,
+) -> DataFrame:
+    """The C4 cleaning rule pack (Raffel et al. 2020 §2.2 — the rules
+    that built the most-reused pretraining corpus):
+
+    line level (a line = ``\\n``-separated):
+      * keep only lines ending in terminal punctuation (``. ! ? "``)
+      * keep only lines with ≥ ``min_words_per_line`` words
+      * drop any line containing the word "javascript" (any case)
+    page level (evaluated on the kept lines):
+      * drop pages with fewer than ``min_sentences`` sentences
+        (terminal-punctuation marks in the kept text)
+      * drop pages containing any blocklist word
+      * drop pages containing the phrase "lorem ipsum"
+      * drop pages containing a curly bracket
+
+    Returns one row per doc: (…id cols…, text = the rebuilt page,
+    n_lines_kept, n_lines_dropped, n_sentences, page_keep, reason —
+    the FIRST failing page rule in the order above, NULL when kept).
+
+    Everything is pure codegen (split / filter-lambda / rlike /
+    length-difference counting) — at 100 TB this is a map over the
+    scan with no shuffle, the same shape as the Gopher pack. The
+    sentence counter is ``length(kept) − length(replace(kept, mark))``
+    summed over the three marks: exact, no regex engine variance.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(l, " "), lambda x: x != F.lit("")))
+           >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    d = docs.select(
+        "*",
+        F.size(lines).cast("long").alias("_nl"),
+        kept_lines.alias("_kl"),
+    ).select(
+        "*",
+        F.concat_ws("\n", "_kl").alias("_kept"),
+    )
+    n_sent = sum(
+        F.length("_kept") - F.length(F.replace(F.col("_kept"), F.lit(m)))
+        for m in (".", "!", "?")
+    ).cast("long")
+    low = F.lower(F.col("_kept"))
+    fail_sent = n_sent < min_sentences
+    fail_block = F.lit(False)
+    for w in blocklist:
+        fail_block = fail_block | low.contains(w.lower())
+    fail_lorem = low.contains("lorem ipsum")
+    fail_curly = F.col("_kept").contains("{")
+    reason = (
+        F.when(fail_sent, F.lit("too_few_sentences"))
+        .when(fail_block, F.lit("blocklist"))
+        .when(fail_lorem, F.lit("lorem_ipsum"))
+        .when(fail_curly, F.lit("curly_brace"))
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return d.select(
+        *out_cols,
+        F.col("_kept").alias(text_col),
+        F.size("_kl").cast("long").alias("n_lines_kept"),
+        (F.col("_nl") - F.size("_kl")).cast("long").alias("n_lines_dropped"),
+        n_sent.alias("n_sentences"),
+        reason.isNull().alias("page_keep"),
+        reason.alias("reason"),
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     ks: tuple[int, ...] = (100, 1000, 10000),
