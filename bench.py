@@ -328,6 +328,13 @@ def main():
         "bigram_ppl_per_source",
         "countsketch_token_f2",
         "bm25_topk_per_source",
+        # r6 fourth-session additions (excluded from the headline total):
+        # Kneser–Ney LM, CCNet terciles, SemDeDup, UniMax, C4 rule pack
+        "kn_ppl_per_source",
+        "ccnet_ppl_buckets",
+        "semdedup_assign",
+        "unimax_alloc",
+        "c4_clean",
     ):
         if name in capture:
             def run(n=name):
@@ -375,6 +382,11 @@ def main():
         "q_bigram_ppl_per_source",
         "q_countsketch_token_f2",
         "q_bm25_topk_per_source",
+        "q_kn_ppl_per_source",
+        "q_ccnet_ppl_buckets",
+        "q_semdedup_assign",
+        "q_unimax_alloc",
+        "q_c4_clean",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

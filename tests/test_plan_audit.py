@@ -443,3 +443,71 @@ def test_bigram_and_countsketch_plans(spark):
     assert fc.has_python_eval, fc.text          # the Arrow fold kernel
     assert fc.n_exchanges <= 2, fc.text          # state shuffle (+AQE coalesce)
     assert "SortMergeJoin" not in fc.join_strategies
+
+
+@needs_data
+def test_kn_and_ccnet_plans(spark):
+    """Kneser–Ney: all marginals derive from the one bigram aggregate —
+    no Python, no cartesian, and the only nested-loop join is the 1-row
+    bigram-type-count scalar. CCNet buckets: same scoring head + ONE
+    window whose shuffle carries (source, doc_id, nll) only."""
+    import __spark_entry__ as em
+
+    k = em.queries()["kn_ppl_per_source"](spark, SF)
+    k.collect()
+    fk = plan_facts(k)
+    assert not fk.has_python_eval, fk.text
+    assert "CartesianProduct" not in fk.join_strategies
+    final = fk.text.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+
+    c = em.queries()["ccnet_ppl_buckets"](spark, SF)
+    c.collect()
+    fc = plan_facts(c)
+    assert not fc.has_python_eval, fc.text
+    assert "CartesianProduct" not in fc.join_strategies
+    final = fc.text.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+    assert final.count("Window") >= 1, final
+
+
+@needs_data
+def test_unimax_and_c4_plans(spark):
+    """UniMax is windows over the tiny per-source aggregate — pure
+    Catalyst, no Python, no cartesian. The C4 rule pack is a pure-
+    codegen MAP: zero exchanges, zero Python, unused doc columns never
+    reach the scan."""
+    import __spark_entry__ as em
+
+    u = em.queries()["unimax_alloc"](spark, SF)
+    fu = plan_facts(u)
+    assert not fu.has_python_eval, fu.text
+    assert "CartesianProduct" not in fu.join_strategies
+
+    c = em.queries()["c4_clean"](spark, SF)
+    fc = plan_facts(c)
+    assert not fc.has_python_eval, fc.text
+    assert fc.n_exchanges == 0, fc.text
+    assert_columns_pruned(c, {"lang", "source", "n_chars"})
+
+
+@needs_data
+def test_semdedup_pairs_plan(spark):
+    """SemDeDup pair generation: exactly one exchange (the cell
+    grouping) feeding the Arrow kernel; unused embedding-table columns
+    pruned; no join anywhere (the pairwise work is in-kernel)."""
+    from bloomine_spark.operators.dedup import (
+        semdedup_pairs,
+        semdedup_sign_cells,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = semdedup_pairs(
+        semdedup_sign_cells(emb.select("vec_id", "embedding")),
+        threshold=0.35,
+    )
+    f = plan_facts(q)
+    assert f.has_python_eval, f.text
+    assert f.n_exchanges == 1, f.text
+    assert not f.join_strategies, f.text
+    assert_columns_pruned(q, {"label"})
