@@ -1253,6 +1253,20 @@ def _q_source_mixture_plan(spark, sf_dir):
     return temperature_mixture_plan(_mixture_docs(spark, sf_dir))
 
 
+def _q_bestfit_pack_bins(spark, sf_dir):
+    """Best-Fit-Decreasing packing (Ding 2024 'Fewer Truncations'):
+    bin-packs whole documents into 512-token windows — zero boundary
+    truncations vs concat-and-chunk. BFD is sequential, hence not
+    SQL-expressible (rows-only gate); determinism + replay equality +
+    the 11/9·OPT bound are pytest-gated (test_bestfit_pack). Scale
+    comes from md5 segmenting: each Arrow kernel packs one ≈100k-doc
+    segment, only (id, n_tok) pairs ride the one shuffle."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.packing import bestfit_pack
+
+    return bestfit_pack(_mixture_docs(spark, sf_dir), 512)
+
+
 def _q_unimax_alloc(spark, sf_dir):
     """UniMax source sampling (Chung 2023): closed-form waterfill of a
     half-corpus token budget with a 3-epoch cap per source. The capped
@@ -1864,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_assign": _q_hash_split_assign,
         "source_mixture_plan": _q_source_mixture_plan,
         "unimax_alloc": _q_unimax_alloc,
+        "bestfit_pack_bins": _q_bestfit_pack_bins,
         "epoch_pack_chunks": _q_epoch_pack_chunks,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "gopher_quality_per_source": _q_gopher_quality_per_source,

@@ -335,6 +335,9 @@ def main():
         "semdedup_assign",
         "unimax_alloc",
         "c4_clean",
+        # r6 fifth-session addition (excluded): Best-Fit-Decreasing
+        # whole-document packing (Ding 2024)
+        "bestfit_pack_bins",
     ):
         if name in capture:
             def run(n=name):
@@ -387,6 +390,7 @@ def main():
         "q_semdedup_assign",
         "q_unimax_alloc",
         "q_c4_clean",
+        "q_bestfit_pack_bins",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "pack_context_windows"]
+__all__ = ["bestfit_pack", "hash_split", "pack_context_windows"]
 
 
 def pack_context_windows(
@@ -138,3 +138,145 @@ def hash_split(
     if lo != buckets:
         raise ValueError(f"split widths sum to {lo}, expected {buckets}")
     return docs.withColumn("split", expr)
+
+
+def bestfit_pack(
+    docs: DataFrame,
+    window_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    segment_rows: int = 100_000,
+) -> DataFrame:
+    """Best-Fit-Decreasing sequence packing (Ding et al. 2024, "Fewer
+    Truncations Improve Language Modeling"): instead of concatenating
+    and cutting every ``window_tokens`` (which truncates ~every doc that
+    straddles a boundary — see ``pack_context_windows``'s n_split_docs),
+    treat packing as bin packing. Documents longer than the window are
+    pre-split into window-sized pieces + remainder (the paper's only
+    truncations); everything else is placed whole by BFD: sort pieces by
+    length descending, place each into the FULLEST bin it fits in
+    (ties → lowest bin id), else open a new bin. ZERO documents cross
+    bin boundaries, at a small fill-ratio cost vs concat-and-chunk.
+
+    BFD is inherently sequential, so scale comes from sharding — the
+    paper packs per data shard. Here each group is cut into
+    deterministic md5 SEGMENTS of ≈``segment_rows`` docs (a pure
+    function of ids: reruns and repartitions agree), and one Arrow
+    kernel packs each segment: kernel memory is O(segment), packing
+    quality is unaffected asymptotically (each segment is thousands of
+    windows). The only shuffle is the (group, segment) grouping of
+    (id, n_tok) pairs — token text never moves.
+
+    Returns one row per PIECE: (group, segment, bin_id, id, piece,
+    piece_tok, bin_fill) where ``bin_id`` numbers bins within the
+    segment in creation order, ``piece`` numbers a split doc's chunks,
+    and ``bin_fill`` is the bin's final token total (≤ window_tokens).
+    Deterministic end-to-end: same input ⇒ identical bins on any
+    cluster/partitioning.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # deterministic segmenting: docs-per-group unknown a priori, so the
+    # segment count derives from the group's own size via one tiny
+    # per-group count (broadcast back) — md5 keeps it engine/rerun-stable
+    sizes = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_gn")
+    )
+    base = docs.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(ntok_col).cast("long").alias("_n"),
+    ).join(F.broadcast(sizes.withColumnRenamed(group_col, "_g")), "_g")
+    nseg = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("_gn") / F.lit(int(segment_rows))).cast("long"),
+    )
+    seg = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        nseg,
+    )
+    base = base.select("_g", F.col("_id"), "_n", seg.alias("_seg"))
+
+    schema = T.StructType(
+        [
+            T.StructField("group", T.StringType()),
+            T.StructField("segment", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("piece", T.LongType()),
+            T.StructField("piece_tok", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
+    )
+    W = int(window_tokens)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from bisect import bisect_left, insort
+
+        g, s = key
+        # Arrow arrival order depends on partitioning — sort by id so
+        # full-window bin numbering (and thus ALL bin ids) is a pure
+        # function of the segment's content
+        order = pdf["_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        ns = pdf["_n"].to_numpy()[order]
+        # pre-split over-long docs into full windows + remainder
+        pieces: list[tuple[int, int, int]] = []  # (tok, id, piece_no)
+        full_bins: list[tuple[int, int]] = []    # (id, piece_no) == W
+        for i in range(len(ids)):
+            n, d = int(ns[i]), int(ids[i])
+            if n <= 0:
+                continue
+            p = 0
+            while n > W:
+                full_bins.append((d, p))
+                n -= W
+                p += 1
+            pieces.append((n, d, p))
+        # BFD: length desc, id asc for determinism
+        pieces.sort(key=lambda t: (-t[0], t[1], t[2]))
+        # bins kept sorted by (remaining, bin_id); best fit = smallest
+        # remaining ≥ size (ties → the list's leftmost = lowest bin_id)
+        open_bins: list[list[int]] = []  # [remaining, bin_id], sorted
+        nbins = len(full_bins)
+        placed: dict[int, list[tuple[int, int, int]]] = {}
+        fills: dict[int, int] = {}
+        for b, (d, p) in enumerate(full_bins):
+            placed[b] = [(d, p, W)]
+            fills[b] = W
+        for size, d, p in pieces:
+            j = bisect_left(open_bins, [size, -1])
+            if j < len(open_bins):
+                rem, b = open_bins.pop(j)
+                rem -= size
+            else:
+                rem, b = W - size, nbins
+                nbins += 1
+                placed[b] = []
+                fills[b] = 0
+            placed[b].append((d, p, size))
+            fills[b] += size
+            if rem > 0:
+                insort(open_bins, [rem, b])
+        rows = {
+            "group": [], "segment": [], "bin_id": [], "id": [],
+            "piece": [], "piece_tok": [], "bin_fill": [],
+        }
+        for b in range(nbins):
+            for d, p, size in placed[b]:
+                rows["group"].append(str(g))
+                rows["segment"].append(int(s))
+                rows["bin_id"].append(b)
+                rows["id"].append(d)
+                rows["piece"].append(p)
+                rows["piece_tok"].append(size)
+                rows["bin_fill"].append(fills[b])
+        return pd.DataFrame(rows)
+
+    return base.groupBy("_g", "_seg").applyInPandas(kernel, schema=schema)
