@@ -75,6 +75,13 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="mixture token budget (default: the corpus size, "
                     "i.e. resample to the same scale)")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 rule pack (Raffel 2020 §2.2) after "
+                         "the PII scrub: lines without terminal punctuation "
+                         "/ <5 words / containing 'javascript' are dropped, "
+                         "pages are rebuilt from the kept lines, and pages "
+                         "failing the sentence/blocklist/lorem-ipsum/curly "
+                         "rules are removed before scoring")
     ap.add_argument("--gopher", action="store_true",
                     help="also apply the Gopher rule pack (Rae 2021) in "
                     "the filter stage — word-count / mean-word-length / "
@@ -110,6 +117,7 @@ def main() -> None:
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
         "near_dup_keep": args.near_dup_keep,
         "eval_set": args.eval_set, "decontam_n": args.decontam_n,
+        "c4": bool(args.c4),
         "gopher": bool(args.gopher),
         "gopher_min_words": args.gopher_min_words,
         "gopher_min_stopwords": args.gopher_min_stopwords,
@@ -135,6 +143,19 @@ def main() -> None:
 
     scrubbed = runner.stage("scrubbed", _scrub,
                             manifest=dict(manifest, stage="scrubbed"))
+
+    if args.c4:
+        from bloomine_spark.operators.textops import c4_clean
+
+        def _c4():
+            # cleaning precedes scoring (C4's position in the original
+            # pipeline): text is REBUILT from the kept lines, failing
+            # pages dropped, all downstream scores see the cleaned page
+            cols = scrubbed.columns
+            return c4_clean(scrubbed).filter("page_keep").select(*cols)
+
+        scrubbed = runner.stage("c4", _c4,
+                                manifest=dict(manifest, stage="c4"))
 
     def _score():
         ids = F.col("doc_id").cast("string")

@@ -229,3 +229,50 @@ def test_run_curate_cli_trim_dup_spans(spark, tmp_path):
     assert "nothing else happens there" in byid[6]
     nrem = {int(i): n for i, n in zip(cur["doc_id"], cur["n_removed"])}
     assert nrem[1] == 0 and nrem[6] > 0
+
+
+def test_run_curate_cli_c4(spark, tmp_path):
+    """--c4 cleans pages between scrub and scoring: javascript lines are
+    dropped but the page survives and is rebuilt without them; pages
+    with <3 sentences or a lorem-ipsum line die before scoring."""
+    l1 = "the quick brown fox jumps over the lazy dog today."
+    l2 = "a quiet wind settles over the old barn at night."
+    l3 = "the meadow stays green until the first snow arrives."
+    rows = [
+        {"doc_id": 1, "text": "\n".join([l1, l2, l3]),
+         "lang": "en", "source": "s0"},
+        {"doc_id": 2, "text": "\n".join(
+            [l1, "please enable javascript to read the story now.",
+             l2.replace("barn", "mill"), l3.replace("snow", "rain")]),
+         "lang": "en", "source": "s0"},
+        {"doc_id": 3, "text": "\n".join([l1, l2]),          # 2 sentences
+         "lang": "en", "source": "s1"},
+        {"doc_id": 4, "text": "\n".join(
+            [l1, l2, l3,
+             "lorem ipsum dolor sit amet consectetur adipiscing elit."])
+            .replace("fox", "owl"),
+         "lang": "en", "source": "s1"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["text"].str.len()
+    inp = str(tmp_path / "docs_c4")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "cc",
+        "--quality-min", "0.2", "--top2-max", "0.5", "--min-tokens", "5",
+        "--c4",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "stages ran: ['scrubbed', 'c4', 'scored', 'filtered'," \
+        in r.stdout
+    cur = spark.read.parquet(f"{out}/cc/curated").toPandas()
+    ids = set(cur["doc_id"])
+    assert ids == {1, 2}                       # 3: sentences, 4: lorem
+    t2 = cur.set_index("doc_id").loc[2, "text"]
+    assert "javascript" not in t2              # line dropped...
+    assert "mill" in t2 and t2.count("\n") == 2  # ...page rebuilt from 3
