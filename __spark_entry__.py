@@ -1098,6 +1098,29 @@ def _q_bm25_topk_per_source(spark, sf_dir):
     )
 
 
+def _q_ql_dirichlet_topk_per_source(spark, sf_dir):
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001): top-5
+    hits per source for the same query as BM25 plus one absent term
+    (exercises the zero-ctf drop). The exact decomposition keeps the
+    corpus-scale relation |terms|-bounded (matched sum) + one narrow
+    (doc, dl) map; every doc is scored, unmatched docs rank purely by
+    the −|q|·ln(dl+μ) length term."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.retrieval import ql_dirichlet_topk_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    out = ql_dirichlet_topk_per_source(
+        load_table(spark, sf_dir, "documents"),
+        BM25_QUERY + ["zzqxnosuchterm"], k=5, mu=300.0,
+    )
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        "score", "rank",
+    )
+
+
 def _q_zipf_fit_per_source(spark, sf_dir):
     """Zipf power-law fit per source (OLS of ln freq vs ln rank over the
     min_count-pruned head, rank ties broken by token): the hapax prune
@@ -1685,6 +1708,46 @@ def _q_repetition_scores(spark, sf_dir):
     return repetition_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _q_gopher_repetition_rules(spark, sf_dir):
+    """Full Gopher repetition rule pack (Rae 2021 Table A1): duplicate
+    line/paragraph fractions + char fractions, top-{2,3,4}-gram char
+    fraction, duplicated-{5..10}-gram positional char coverage, all 13
+    thresholds as integer cross-multiplications. The flat synthetic
+    corpus has little intra-doc repetition, so structure is PLANTED
+    deterministically (c4_clean pattern; oracle plants identically):
+    %7 → a repeated line, %11 → a repeated paragraph, %13 → a degenerate
+    2-word loop, %17 → a repeated 6-word phrase."""
+    from bloomine_spark.operators.textops import gopher_repetition
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = F.col("text")
+    p = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(p, F.lit(
+            "\nrepeat line here now.\nrepeat line here now."
+        )),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(p, F.lit(
+            "\n\nsame paragraph twice content.\n\n"
+            "same paragraph twice content."
+        )),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(p, F.lit(" " + ("spam ham " * 12).strip())),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(p, F.lit(
+            " one two three four five six one two three four five six"
+        )),
+    ).otherwise(p)
+    return gopher_repetition(docs.withColumn("text", p)).orderBy("doc_id")
+
+
 def _ann_queries(spark, sf_dir, n=5):
     from bloomine_spark.sources.tables import load_table
 
@@ -1860,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_md5": _q_doc_fingerprint_md5,
         "scrub_pii": _q_scrub_pii,
         "c4_clean": _q_c4_clean,
+        "gopher_repetition_rules": _q_gopher_repetition_rules,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
@@ -1892,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
         "zipf_fit_per_source": _q_zipf_fit_per_source,
         "bm25_topk_per_source": _q_bm25_topk_per_source,
+        "ql_dirichlet_topk_per_source": _q_ql_dirichlet_topk_per_source,
         "source_jsd_pairs": _q_source_jsd_pairs,
         "countsketch_token_f2": _q_countsketch_token_f2,
         "countsketch_relational_f2": _q_countsketch_relational_f2,
@@ -3055,6 +3120,60 @@ def oracle_sql() -> dict[str, str]:
         FROM rk WHERE rank <= 5
     """
 
+    # Dirichlet query likelihood: same decomposition as the engine
+    # (matched Σ ln(1 + tf·|C|/(μ·ctf)) + broadcast Σ ln(μ·ctf/|C|)
+    # − |q|·ln(dl+μ)), same expression order, round(.,6) before rank.
+    # All driver query terms are distinct so qtf = 1 throughout; the
+    # planted absent term drops out of ctf in both engines.
+    _ql_terms = ", ".join(
+        f"'{t}'" for t in BM25_QUERY + ["zzqxnosuchterm"]
+    )
+    sql["ql_dirichlet_topk_per_source"] = f"""
+        WITH b2 AS (
+          SELECT source, doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), b3 AS (
+          SELECT source, doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM b2
+        ), st AS (
+          SELECT CAST(SUM(dl) AS BIGINT) AS c_len FROM b3
+        ), tok AS (
+          SELECT source, doc_id, t FROM (
+            SELECT source, doc_id, unnest(w) AS t FROM b3
+          ) WHERE t IN ({_ql_terms})
+        ), tf AS (
+          SELECT source, doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2, 3
+        ), ctf AS (
+          SELECT t, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY t
+        ), m AS (
+          SELECT source, doc_id,
+                 SUM(CAST(1 AS DOUBLE)
+                     * ln(1.0 + tf * c_len / (300.0 * ctf))) AS m
+          FROM tf JOIN ctf USING (t) CROSS JOIN st
+          GROUP BY 1, 2
+        ), cq AS (
+          SELECT SUM(CAST(1 AS DOUBLE)
+                     * ln(300.0 * ctf / c_len)) AS c_q,
+                 CAST(SUM(1) AS BIGINT) AS q_len
+          FROM ctf CROSS JOIN st
+        ), sc AS (
+          SELECT b3.source, b3.doc_id,
+                 ROUND(COALESCE(m.m, 0.0) + COALESCE(cq.c_q, 0.0)
+                       + COALESCE(-cq.q_len, 0.0)
+                         * ln(b3.dl + 300.0), 6) AS score
+          FROM b3 LEFT JOIN m USING (source, doc_id) CROSS JOIN cq
+        ), rk AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rank
+          FROM sc
+        )
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id, score,
+               CAST(rank AS BIGINT) AS rank
+        FROM rk WHERE rank <= 5
+    """
+
     # Zipf fit: identical rank order (freq desc, token asc), ln of the
     # same integers, closed-form OLS.
     sql["zipf_fit_per_source"] = """
@@ -3712,6 +3831,185 @@ def oracle_sql() -> dict[str, str]:
                CAST(ns AS BIGINT) AS n_sentences,
                reason IS NULL AS page_keep, reason
         FROM r
+    """
+
+    # --- gopher_repetition_rules: full Rae 2021 Table A1 replica -------
+    # word n-grams are rebuilt from per-word md5 digests exactly like the
+    # engine (gram id = md5 of space-joined word digests), so the oracle
+    # and the engine agree bit-for-bit including any md5-collision noise
+    from bloomine_spark.operators.textops import (
+        GOPHER_REPETITION_THRESHOLDS as _GRT,
+    )
+
+    _thr = dict(_GRT)
+    _lead_cols = ",\n                 ".join(
+        f"lead(h, {k}) OVER wd AS h{k}, lead(wl, {k}) OVER wd AS l{k}"
+        for k in range(1, 10)
+    )
+    _gram_selects = "\n          UNION ALL\n".join(
+        "          SELECT doc_id, {n} AS n, start,\n"
+        "                 md5({h}) AS gh,\n"
+        "                 wl + {ls} + {nm1} AS gl\n"
+        "          FROM lds WHERE h{nm1} IS NOT NULL".format(
+            n=n,
+            h=" || ' ' || ".join(["h"] + [f"h{k}" for k in range(1, n)]),
+            ls=" + ".join(f"l{k}" for k in range(1, n)),
+            nm1=n - 1,
+        )
+        for n in range(2, 11)
+    )
+    _top_cases = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN tchars END) AS top{n}_chars"
+        for n in (2, 3, 4)
+    )
+    _cov_cases = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN dup END) AS dup{n}_chars"
+        for n in range(5, 11)
+    )
+    _num = {
+        "dup_line_frac": "dup_lines",
+        "dup_para_frac": "dup_paras",
+        "dup_line_char_frac": "dup_lines_chars",
+        "dup_para_char_frac": "dup_paras_chars",
+        **{f"top{n}_char_frac": f"top{n}_chars" for n in (2, 3, 4)},
+        **{f"dup{n}_char_frac": f"dup{n}_chars" for n in range(5, 11)},
+    }
+    _den = {"dup_line_frac": "n_lines", "dup_para_frac": "n_paras"}
+    _fracs = ",\n               ".join(
+        "ROUND(COALESCE({v}, 0) / CAST(GREATEST({d}, 1) AS DOUBLE), 6)"
+        " AS {k}".format(
+            v=_num[k], d=_den.get(k, "nchars"), k=k
+        )
+        for k, _ in _GRT
+    )
+    _reason = "CASE " + " ".join(
+        "WHEN COALESCE({v}, 0) * 100 > {t} * {d} THEN '{k}'".format(
+            v=_num[k], t=_thr[k], d=_den.get(k, "nchars"), k=k
+        )
+        for k, _ in _GRT
+    ) + " END"
+    sql["gopher_repetition_rules"] = f"""
+        WITH p0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+                   'repeat line here now.' || chr(10) ||
+                   'repeat line here now.'
+                 ELSE text END AS t
+          FROM documents
+        ), p1 AS (
+          SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN t ||
+            chr(10) || chr(10) || 'same paragraph twice content.' ||
+            chr(10) || chr(10) || 'same paragraph twice content.'
+            ELSE t END AS t FROM p0
+        ), p2 AS (
+          SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN t || ' ' ||
+            '{("spam ham " * 12).strip()}' ELSE t END AS t FROM p1
+        ), base AS (
+          SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN t ||
+            ' one two three four five six one two three four five six'
+            ELSE t END AS t FROM p2
+        ), b AS (
+          SELECT doc_id, t, length(t) AS nchars FROM base
+        ), lu AS (
+          SELECT doc_id, md5(u.x) AS h, length(u.x) AS l
+          FROM b, unnest(list_filter(string_split(t, chr(10)),
+                                     x -> x <> '')) AS u(x)
+        ), lcx AS (
+          SELECT doc_id, h, COUNT(*) AS c, MAX(l) AS l
+          FROM lu GROUP BY 1, 2
+        ), lag_ AS (
+          SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dup_lines,
+                 SUM((c - 1) * l) AS dup_lines_chars
+          FROM lcx GROUP BY 1
+        ), pu AS (
+          SELECT doc_id, md5(u.x) AS h, length(u.x) AS l
+          FROM b, unnest(list_filter(
+                 string_split(t, chr(10) || chr(10)),
+                 x -> x <> '')) AS u(x)
+        ), pcx AS (
+          SELECT doc_id, h, COUNT(*) AS c, MAX(l) AS l
+          FROM pu GROUP BY 1, 2
+        ), pag AS (
+          SELECT doc_id, SUM(c) AS n_paras, SUM(c - 1) AS dup_paras,
+                 SUM((c - 1) * l) AS dup_paras_chars
+          FROM pcx GROUP BY 1
+        ), ww AS (
+          SELECT doc_id, string_split(t, ' ') AS ws FROM b
+        ), wx AS (
+          SELECT doc_id, u.i, md5(ws[u.i + 1]) AS h,
+                 length(ws[u.i + 1]) AS wl
+          FROM ww, unnest(range(0, len(ws))) AS u(i)
+        ), ws2 AS (
+          SELECT doc_id, i, h, wl,
+                 COALESCE(SUM(wl + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS start
+          FROM wx
+        ), lds AS (
+          SELECT doc_id, start, h, wl,
+                 {_lead_cols}
+          FROM ws2
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY i)
+        ), g AS (
+{_gram_selects}
+        ), cnt AS (
+          SELECT doc_id, n, gh, COUNT(*) AS c, MAX(gl) AS gl
+          FROM g GROUP BY 1, 2, 3
+        ), t1 AS (
+          SELECT doc_id, n, MAX(c) AS cmax FROM cnt
+          WHERE n <= 4 AND c >= 2 GROUP BY 1, 2
+        ), t2 AS (
+          SELECT c.doc_id, c.n, MAX(t1.cmax * c.gl) AS tchars
+          FROM cnt c JOIN t1 USING (doc_id, n)
+          WHERE c.c = t1.cmax GROUP BY 1, 2
+        ), topp AS (
+          SELECT doc_id, {_top_cases} FROM t2 GROUP BY 1
+        ), occ AS (
+          SELECT g.doc_id, g.n, g.start, g.gl
+          FROM g JOIN cnt USING (doc_id, n, gh)
+          WHERE cnt.c >= 2 AND g.n >= 5
+        ), isl AS (
+          SELECT doc_id, n, start, gl,
+                 CASE WHEN start > COALESCE(MAX(start + gl) OVER (
+                   PARTITION BY doc_id, n ORDER BY start, gl
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), -1) THEN 1 ELSE 0 END AS ni
+          FROM occ
+        ), isl2 AS (
+          SELECT doc_id, n, start, gl,
+                 SUM(ni) OVER (PARTITION BY doc_id, n
+                               ORDER BY start, gl) AS grp
+          FROM isl
+        ), cv AS (
+          SELECT doc_id, n, grp,
+                 MAX(start + gl) - MIN(start) AS cov
+          FROM isl2 GROUP BY 1, 2, 3
+        ), cv2 AS (
+          SELECT doc_id, n, SUM(cov) AS dup FROM cv GROUP BY 1, 2
+        ), covp AS (
+          SELECT doc_id, {_cov_cases} FROM cv2 GROUP BY 1
+        ), j AS (
+          SELECT b.doc_id, b.nchars,
+                 COALESCE(lag_.n_lines, 0) AS n_lines,
+                 COALESCE(pag.n_paras, 0) AS n_paras,
+                 dup_lines, dup_lines_chars, dup_paras, dup_paras_chars,
+                 top2_chars, top3_chars, top4_chars,
+                 dup5_chars, dup6_chars, dup7_chars, dup8_chars,
+                 dup9_chars, dup10_chars
+          FROM b LEFT JOIN lag_ USING (doc_id)
+                 LEFT JOIN pag USING (doc_id)
+                 LEFT JOIN topp USING (doc_id)
+                 LEFT JOIN covp USING (doc_id)
+        )
+        SELECT doc_id, CAST(nchars AS BIGINT) AS n_chars,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_paras AS BIGINT) AS n_paras,
+               {_fracs},
+               ({_reason}) IS NULL AS keep,
+               ({_reason}) AS reason
+        FROM j
+        ORDER BY doc_id
     """
 
     sql["repetition_scores"] = """

@@ -338,6 +338,11 @@ def main():
         # r6 fifth-session addition (excluded): Best-Fit-Decreasing
         # whole-document packing (Ding 2024)
         "bestfit_pack_bins",
+        # r6 sixth-session additions (excluded): full Gopher repetition
+        # rule pack (Rae 2021 Table A1), Dirichlet query likelihood
+        # (Zhai & Lafferty 2001)
+        "gopher_repetition_rules",
+        "ql_dirichlet_topk_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -391,6 +396,8 @@ def main():
         "q_unimax_alloc",
         "q_c4_clean",
         "q_bestfit_pack_bins",
+        "q_gopher_repetition_rules",
+        "q_ql_dirichlet_topk_per_source",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

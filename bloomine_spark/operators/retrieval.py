@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk_per_source"]
+__all__ = ["bm25_topk_per_source", "ql_dirichlet_topk_per_source"]
 
 
 def bm25_topk_per_source(
@@ -94,6 +94,124 @@ def bm25_topk_per_source(
         )
         .groupBy("source", "doc_id")
         .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.col("doc_id").cast("string")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def ql_dirichlet_topk_per_source(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Top-``k`` Dirichlet-smoothed query-likelihood hits per source
+    (Zhai & Lafferty SIGIR 2001 — the other canonical lexical ranker,
+    the LM counterpart of BM25):
+
+    ``score(q,d) = Σ_{t∈q} qtf_t · ln((tf(t,d) + μ·p(t|C)) / (dl + μ))``
+
+    with the collection model ``p(t|C) = ctf(t)/|C|``. Every document
+    gets a score (unmatched terms contribute the background mass), so
+    the naive relation is |vocab|-scale; we use the exact decomposition
+
+    ``score = Σ_{t∈q∩d} qtf·ln(1 + tf/(μ·p_t))
+              + Σ_{t∈q} qtf·ln(μ·p_t)  −  |q|·ln(dl + μ)``
+
+    whose first sum ranges only over MATCHED (doc, term) pairs, the
+    middle term is one broadcast scalar, and the last is a per-doc map
+    on ``dl`` — the corpus-scale part of the plan is identical to
+    BM25's query-term-bounded explode plus one narrow (doc, dl)
+    relation for the unmatched-doc tail. Query terms with zero corpus
+    frequency have no likelihood under the collection model and are
+    dropped (the standard convention).
+
+    Engine-portable like BM25: tf/ctf/dl/|C| are exact integers, the
+    two ln arguments are identical rationals, ranking orders by
+    ``round(score, 6)`` then doc_id-as-string. Returns
+    (source, doc_id, score, rank)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if mu <= 0:
+        raise ValueError("mu must be positive")
+    qtf: dict[str, int] = {}
+    for t in query_terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    terms = sorted(qtf)
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        words.alias("_w"),
+        F.size(F.filter(words, lambda x: x != F.lit("")))
+        .cast("long").alias("dl"),
+    )
+    stats = base.agg(F.sum("dl").cast("long").alias("c_len"))
+    tok = base.select(
+        "source", "doc_id", F.explode("_w").alias("t")
+    ).filter(F.col("t").isin(*terms))
+    tf = tok.groupBy("source", "doc_id", "t").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    ctf = tf.groupBy("t").agg(F.sum("tf").cast("long").alias("ctf"))
+    # matched part: Σ qtf·ln(1 + tf·|C| / (μ·ctf))
+    qtf_expr = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(qtf[t]))]
+    )
+    matched = (
+        tf.join(F.broadcast(ctf), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            "doc_id",
+            (
+                qtf_expr[F.col("t")].cast("double")
+                * F.log(
+                    1.0
+                    + F.col("tf") * F.col("c_len")
+                    / (F.lit(float(mu)) * F.col("ctf"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("source", "doc_id")
+        .agg(F.sum("part").alias("m"))
+    )
+    # doc-independent scalar Σ qtf·ln(μ·ctf/|C|) and query length |q|,
+    # over terms present in the corpus only
+    const = (
+        ctf.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                qtf_expr[F.col("t")].cast("double")
+                * F.log(F.lit(float(mu)) * F.col("ctf") / F.col("c_len"))
+            ).alias("c_q"),
+            F.sum(qtf_expr[F.col("t")]).cast("long").alias("q_len"),
+        )
+    )
+    scored = (
+        base.select("source", "doc_id", "dl")
+        .join(matched, ["source", "doc_id"], "left")
+        .crossJoin(F.broadcast(const))
+        .select(
+            "source",
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("m"), F.lit(0.0))
+                + F.coalesce(F.col("c_q"), F.lit(0.0))
+                + F.coalesce(-F.col("q_len"), F.lit(0.0))
+                * F.log(F.col("dl") + F.lit(float(mu))),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("score"), F.col("doc_id").cast("string")

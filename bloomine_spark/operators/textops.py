@@ -923,3 +923,287 @@ def source_jsd_pairs(
             ).alias("jsd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rule pack (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+# (rule, threshold-in-hundredths) in the paper's table order; `keep` is
+# the conjunction and `reason` the FIRST failing rule in this order
+GOPHER_REPETITION_THRESHOLDS: tuple[tuple[str, int], ...] = (
+    ("dup_line_frac", 30),
+    ("dup_para_frac", 30),
+    ("dup_line_char_frac", 20),
+    ("dup_para_char_frac", 20),
+    ("top2_char_frac", 20),
+    ("top3_char_frac", 18),
+    ("top4_char_frac", 16),
+    ("dup5_char_frac", 15),
+    ("dup6_char_frac", 14),
+    ("dup7_char_frac", 13),
+    ("dup8_char_frac", 12),
+    ("dup9_char_frac", 11),
+    ("dup10_char_frac", 10),
+)
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, int] | None = None,
+) -> DataFrame:
+    """Gopher repetition rule pack (Rae et al. 2021 Table A1 — the
+    standard intra-document repetition gate, the other half of
+    ``gopher_quality``): per document,
+
+      dup_line_frac / dup_para_frac      fraction of non-empty lines /
+                                         blank-line-separated paragraphs
+                                         that are repeats (occurrences
+                                         beyond the first)
+      dup_line_char_frac / dup_para_..   characters in those repeats
+                                         over total characters
+      topN_char_frac   (N = 2,3,4)       characters covered by ALL
+                                         occurrences of the single most
+                                         frequent word N-gram (count
+                                         ties -> longer gram), counted
+                                         only when that gram occurs
+                                         >= 2 times — a unique gram is
+                                         not repetition
+      dupN_char_frac   (N = 5..10)       characters inside at least one
+                                         word N-gram whose content
+                                         occurs >= 2 times in the doc —
+                                         ALL occurrences, overlaps
+                                         merged positionally
+                                         (gaps-and-islands) so every
+                                         character counts once
+
+    plus ``keep`` (all 13 rules pass) and ``reason`` (first failing rule
+    in table order, NULL if kept). Thresholds are the paper's, passed in
+    HUNDREDTHS so every rule is an integer cross-multiplication
+    (covered*100 <= thr*total) — no float boundary can flip a rule
+    across engines; reported fractions are round(x, 6) for display.
+
+    Words are the raw single-space split (runs of spaces yield empty
+    words), so an N-gram IS the exact substring of the document and its
+    char span is [start, start+len) — positional coverage is exact.
+
+    Scale shape: neither line nor gram TEXT ever shuffles. Lines and
+    paragraphs reduce to (md5, length) before their per-doc counts; the
+    word relation shuffles once keyed by doc_id carrying only per-word
+    digests + lengths, and ONE window pass (9 leads) builds all nine
+    gram sizes; gram identity is md5-of-word-digests. The island merge
+    is a per-(doc, n) window over duplicated spans only. Everything is
+    built-in expressions — no Python in the path.
+    """
+    thr = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        thr.update(thresholds)
+    max_n = 10
+
+    d0 = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    base = d0.select(
+        "doc_id", "_t", F.length("_t").cast("long").alias("n_chars")
+    )
+
+    def _unit_dups(sep: str, prefix: str) -> DataFrame:
+        # repeats among non-empty units: count per (doc, md5(unit));
+        # identical digest => identical text => identical length
+        units = base.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("_t", sep), lambda x: x != F.lit(""))
+            ).alias("_u"),
+        ).select(
+            "doc_id",
+            F.md5("_u").alias("h"),
+            F.length("_u").cast("long").alias("l"),
+        )
+        per = units.groupBy("doc_id", "h").agg(
+            F.count("*").cast("long").alias("c"), F.max("l").alias("l")
+        )
+        return per.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(f"n_{prefix}"),
+            F.sum(F.col("c") - 1).cast("long").alias(f"dup_{prefix}"),
+            F.sum((F.col("c") - 1) * F.col("l")).cast("long").alias(
+                f"dup_{prefix}_chars"
+            ),
+        )
+
+    lines = _unit_dups("\n", "lines")
+    paras = _unit_dups("\n\n", "paras")
+
+    # word relation: digests + lengths only; start offsets by cumsum
+    w = d0.select(
+        "doc_id", F.posexplode(F.split("_t", " ")).alias("pos", "_w")
+    ).select(
+        "doc_id", "pos",
+        F.md5("_w").alias("h"),
+        F.length("_w").cast("long").alias("wl"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w = w.withColumn(
+        "start",
+        F.coalesce(
+            F.sum(F.col("wl") + 1).over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    # leads materialized in their own projection — window expressions
+    # may not appear inside the generator below
+    w = w.select(
+        "doc_id", "start", "h", "wl",
+        *[F.lead("h", k).over(win).alias(f"_h{k}") for k in range(1, max_n)],
+        *[F.lead("wl", k).over(win).alias(f"_l{k}")
+          for k in range(1, max_n)],
+    )
+    lead_h = [F.col(f"_h{k}") for k in range(1, max_n)]
+    lead_l = [F.col(f"_l{k}") for k in range(1, max_n)]
+    entries = []
+    for n in range(2, max_n + 1):
+        gl = F.col("wl") + F.lit(n - 1).cast("long")
+        for k in range(n - 1):
+            gl = gl + lead_l[k]
+        entries.append(
+            F.when(
+                lead_h[n - 2].isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.md5(
+                        F.concat_ws(" ", F.col("h"), *lead_h[: n - 1])
+                    ).alias("gh"),
+                    gl.alias("gl"),
+                ),
+            )
+        )
+    g = (
+        w.select(
+            "doc_id", "start",
+            F.explode(
+                F.filter(F.array(*entries), lambda x: x.isNotNull())
+            ).alias("_g"),
+        )
+        .select(
+            "doc_id", "start",
+            F.col("_g.n").alias("n"),
+            F.col("_g.gh").alias("gh"),
+            F.col("_g.gl").cast("long").alias("gl"),
+        )
+    )
+    counts = g.groupBy("doc_id", "n", "gh").agg(
+        F.count("*").cast("long").alias("c"), F.max("gl").alias("gl")
+    )
+
+    # top N-gram (N=2,3,4): struct max = highest count, ties longer gram;
+    # a gram occurring once is not repetition — only c >= 2 charges chars
+    # (otherwise every doc shorter than ~2/threshold words fails on its
+    # own first trigram)
+    top = (
+        counts.filter((F.col("n") <= 4) & (F.col("c") >= 2))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.struct(F.col("c"), F.col("gl"))).alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.col("m.c") * F.col("m.gl"),
+                    )
+                ).cast("long").alias(f"top{n}_chars")
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+
+    # duplicated N-grams (N=5..10): all occurrences of any gram with
+    # c >= 2, char spans merged per (doc, n) before counting
+    occ = g.join(
+        counts.filter((F.col("c") >= 2) & (F.col("n") >= 5))
+        .select("doc_id", "n", "gh"),
+        ["doc_id", "n", "gh"],
+    ).select("doc_id", "n", "start", "gl")
+    wisl = Window.partitionBy("doc_id", "n").orderBy("start", "gl")
+    prev_end = F.max(F.col("start") + F.col("gl")).over(
+        wisl.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        occ.withColumn(
+            "_ni",
+            (F.col("start") > F.coalesce(prev_end, F.lit(-1))).cast("long"),
+        )
+        .withColumn("_isl", F.sum("_ni").over(wisl))
+        .groupBy("doc_id", "n", "_isl")
+        .agg(
+            (
+                F.max(F.col("start") + F.col("gl")) - F.min("start")
+            ).alias("_cov")
+        )
+        .groupBy("doc_id", "n")
+        .agg(F.sum("_cov").cast("long").alias("_dup"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("_dup")))
+                .cast("long").alias(f"dup{n}_chars")
+                for n in range(5, max_n + 1)
+            ]
+        )
+    )
+
+    j = (
+        base.drop("_t")
+        .join(lines, "doc_id", "left")
+        .join(paras, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+    )
+    z = F.lit(0).cast("long")
+    num = {
+        "dup_line_frac": F.coalesce(F.col("dup_lines"), z),
+        "dup_para_frac": F.coalesce(F.col("dup_paras"), z),
+        "dup_line_char_frac": F.coalesce(F.col("dup_lines_chars"), z),
+        "dup_para_char_frac": F.coalesce(F.col("dup_paras_chars"), z),
+        "top2_char_frac": F.coalesce(F.col("top2_chars"), z),
+        "top3_char_frac": F.coalesce(F.col("top3_chars"), z),
+        "top4_char_frac": F.coalesce(F.col("top4_chars"), z),
+        **{
+            f"dup{n}_char_frac": F.coalesce(F.col(f"dup{n}_chars"), z)
+            for n in range(5, max_n + 1)
+        },
+    }
+    den = {
+        "dup_line_frac": F.coalesce(F.col("n_lines"), z),
+        "dup_para_frac": F.coalesce(F.col("n_paras"), z),
+    }
+    for name in num:
+        if name not in den:
+            den[name] = F.col("n_chars")
+
+    frac_cols = [
+        F.round(
+            num[name] / F.greatest(den[name], F.lit(1)), 6
+        ).alias(name)
+        for name, _ in GOPHER_REPETITION_THRESHOLDS
+    ]
+    fails = [
+        (name, num[name] * 100 > F.lit(thr[name]) * den[name])
+        for name, _ in GOPHER_REPETITION_THRESHOLDS
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(fails):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return j.select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("n_lines"), z).alias("n_lines"),
+        F.coalesce(F.col("n_paras"), z).alias("n_paras"),
+        *frac_cols,
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
