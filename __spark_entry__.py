@@ -1134,6 +1134,19 @@ def _q_zipf_fit_per_source(spark, sf_dir):
     return zipf_fit_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_heaps_fit_per_source(spark, sf_dir):
+    """Heaps' law vocabulary-growth fit per source (V = K·n^β): docs
+    ordered by doc_id, cumulative tokens vs cumulative first-occurrence
+    types, OLS of ln V on ln n. The vocab-scale relation reduces to
+    (source,type)→min(doc_id)→per-doc new-type counts BEFORE the
+    per-source window, so the window input is |docs|."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import heaps_fit_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return heaps_fit_per_source(load_table(spark, sf_dir, "documents"))
+
+
 def _q_source_jsd_pairs(spark, sf_dir):
     """Pairwise source Jensen–Shannon divergence over unigram
     distributions — shared types via one token self-join, the
@@ -1708,6 +1721,47 @@ def _q_repetition_scores(spark, sf_dir):
     return repetition_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _q_refinedweb_line_correct(spark, sf_dir):
+    """RefinedWeb line-wise corrections (Penedo 2023 App. G.2). The flat
+    synthetic corpus has no boilerplate, so lines are PLANTED
+    deterministically (c4_clean pattern; oracle plants identically):
+    %7 → shouting (mainly-uppercase) line, %11 → numeric-only line,
+    %13 → social-counter line, %17 → nav word, %41 → the whole text
+    replaced by a mostly-boilerplate page so the 50% document rule
+    fires. Composite moduli exercise multi-line removal."""
+    from bloomine_spark.operators.textops import refinedweb_line_correct
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = F.col("text")
+    p = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(p, F.lit("\nBUY NOW LIMITED TIME OFFER")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(p, F.lit("\n2026-08-18 12:00:05")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(p, F.lit("\n1234 likes")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(p, F.lit("\nLogin")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 41 == 0,
+        F.lit("SHOUTING HEADLINE ONE\n99 views\nsmall ok line"),
+    ).otherwise(p)
+    out = refinedweb_line_correct(docs.withColumn("text", p))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "n_lines_kept", "n_lines_removed", "removed_char_frac",
+        "keep", "reason",
+    )
+
+
 def _q_gopher_repetition_rules(spark, sf_dir):
     """Full Gopher repetition rule pack (Rae 2021 Table A1): duplicate
     line/paragraph fractions + char fractions, top-{2,3,4}-gram char
@@ -1924,6 +1978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "c4_clean": _q_c4_clean,
         "gopher_repetition_rules": _q_gopher_repetition_rules,
+        "refinedweb_line_correct": _q_refinedweb_line_correct,
+        "heaps_fit_per_source": _q_heaps_fit_per_source,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
@@ -3208,6 +3264,54 @@ def oracle_sql() -> dict[str, str]:
         FROM ag
     """
 
+    # Heaps fit: same cumulative curve (window sums over doc_id order),
+    # ln of the same integers, same closed-form OLS shape as Zipf.
+    sql["heaps_fit_per_source"] = """
+        WITH tok AS (
+          SELECT source, doc_id, t FROM (
+            SELECT source, doc_id,
+                   unnest(string_split(text, ' ')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ), per_doc AS (
+          SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+          FROM tok GROUP BY 1, 2
+        ), first_ AS (
+          SELECT source, t, MIN(doc_id) AS doc_id
+          FROM tok GROUP BY 1, 2
+        ), newt AS (
+          SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM first_ GROUP BY 1, 2
+        ), cum AS (
+          SELECT p.source,
+                 SUM(p.n_tok) OVER (PARTITION BY p.source
+                   ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cn,
+                 SUM(COALESCE(n.n_new, 0)) OVER (PARTITION BY p.source
+                   ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cv
+          FROM per_doc p LEFT JOIN newt n USING (source, doc_id)
+        ), xy AS (
+          SELECT source, ln(CAST(cn AS DOUBLE)) AS x,
+                 ln(CAST(cv AS DOUBLE)) AS y
+          FROM cum WHERE cn > 0 AND cv > 0
+        ), ag AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_fit,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM xy GROUP BY source
+        )
+        SELECT source, n_docs_fit,
+               (n_docs_fit * sxy - sx * sy)
+                 / NULLIF(n_docs_fit * sxx - sx * sx, 0) AS beta,
+               (sy - (n_docs_fit * sxy - sx * sy)
+                 / NULLIF(n_docs_fit * sxx - sx * sx, 0) * sx)
+                 / n_docs_fit AS ln_k
+        FROM ag
+    """
+
     # JSD: shared-type self-join + closed-form disjoint remainder; the
     # probability divides are the same integer pairs in both engines.
     sql["source_jsd_pairs"] = """
@@ -4010,6 +4114,64 @@ def oracle_sql() -> dict[str, str]:
                ({_reason}) AS reason
         FROM j
         ORDER BY doc_id
+    """
+
+    # --- refinedweb_line_correct: same planted lines, same regex
+    # automata (shared Java-regex/RE2 character-class syntax), same
+    # integer cross-multiplied document rule -----------------------------
+    sql["refinedweb_line_correct"] = """
+        WITH p0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+                   'BUY NOW LIMITED TIME OFFER' ELSE text END AS t
+          FROM documents
+        ), p1 AS (
+          SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN t || chr(10) ||
+            '2026-08-18 12:00:05' ELSE t END AS t FROM p0
+        ), p2 AS (
+          SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN t || chr(10) ||
+            '1234 likes' ELSE t END AS t FROM p1
+        ), p3 AS (
+          SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN t || chr(10) ||
+            'Login' ELSE t END AS t FROM p2
+        ), base AS (
+          SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN
+            'SHOUTING HEADLINE ONE' || chr(10) || '99 views' ||
+            chr(10) || 'small ok line' ELSE t END AS t FROM p3
+        ), k AS (
+          SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+                 list_filter(string_split(t, chr(10)), x -> NOT (
+                   ((length(x) - length(regexp_replace(x, '[A-Z]', '', 'g')))
+                      * 2
+                    > (length(x)
+                       - length(regexp_replace(x, '[A-Za-z]', '', 'g')))
+                    AND regexp_matches(x, '[A-Za-z]'))
+                   OR (regexp_matches(x, '^[-0-9 .,:%/]+$')
+                       AND regexp_matches(x, '[0-9]'))
+                   OR regexp_matches(lower(trim(x)),
+                      '^[0-9]+ (likes|comments|shares|views|retweets|followers)$')
+                   OR list_contains(['home','menu','login','register',
+                                     'share','print','subscribe'],
+                                    lower(trim(x)))
+                 )) AS kl
+          FROM base
+        ), r AS (
+          SELECT doc_id,
+                 COALESCE(array_to_string(kl, chr(10)), '') AS kept,
+                 len(ls) AS nl, len(kl) AS nk,
+                 length(t) AS tc
+          FROM k
+        )
+        SELECT doc_id, kept AS text,
+               CAST(nk AS BIGINT) AS n_lines_kept,
+               CAST(nl - nk AS BIGINT) AS n_lines_removed,
+               ROUND((tc - length(kept)) / CAST(GREATEST(tc, 1) AS DOUBLE),
+                     6) AS removed_char_frac,
+               (CASE WHEN (tc - length(kept)) * 100 > 50 * tc
+                     THEN 'excess_removal' END) IS NULL AS keep,
+               CASE WHEN (tc - length(kept)) * 100 > 50 * tc
+                    THEN 'excess_removal' END AS reason
+        FROM r
     """
 
     sql["repetition_scores"] = """

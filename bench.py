@@ -343,6 +343,10 @@ def main():
         # (Zhai & Lafferty 2001)
         "gopher_repetition_rules",
         "ql_dirichlet_topk_per_source",
+        # r6 sixth-session additions (excluded): RefinedWeb line-wise
+        # corrections (Penedo 2023 G.2), Heaps' law vocab-growth fit
+        "refinedweb_line_correct",
+        "heaps_fit_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -398,6 +402,8 @@ def main():
         "q_bestfit_pack_bins",
         "q_gopher_repetition_rules",
         "q_ql_dirichlet_topk_per_source",
+        "q_refinedweb_line_correct",
+        "q_heaps_fit_per_source",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

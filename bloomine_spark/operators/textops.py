@@ -735,6 +735,88 @@ def c4_clean(
     )
 
 
+REFINEDWEB_NAV_WORDS = (
+    "home", "menu", "login", "register", "share", "print", "subscribe",
+)
+REFINEDWEB_COUNTER_WORDS = (
+    "likes", "comments", "shares", "views", "retweets", "followers",
+)
+
+
+def refinedweb_line_correct(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_removed_pct: int = 50,
+    nav_words: tuple[str, ...] = REFINEDWEB_NAV_WORDS,
+    counter_words: tuple[str, ...] = REFINEDWEB_COUNTER_WORDS,
+) -> DataFrame:
+    """RefinedWeb line-wise corrections (Penedo et al. 2023, Appendix
+    G.2 — the boilerplate scrubber applied after trafilatura extraction
+    and before the Gopher/dedup stages). Per ``\\n``-line, remove:
+
+      * ``mainly_uppercase`` — more than half of the line's LETTERS are
+        uppercase (and the line has at least one letter)
+      * ``numeric_only`` — only digits / spaces / ``.,:%/-`` punctuation,
+        with at least one digit (timestamps, vote tallies, page numbers)
+      * ``social_counter`` — ``<number> <likes|comments|shares|views|
+        retweets|followers>`` (case-insensitive, trimmed)
+      * ``nav_word`` — a single navigation boilerplate word (trimmed,
+        case-insensitive: home/menu/login/…)
+
+    then drop the whole document when the corrections removed more than
+    ``max_removed_pct`` % of its characters (the paper's G.2 document
+    rule) — the threshold test is the integer cross-multiplication
+    ``removed*100 > pct*total`` so no float boundary can flip a doc.
+
+    Returns one row per input doc: all non-text columns, ``text`` =
+    the rebuilt page, n_lines_kept, n_lines_removed, removed_char_frac
+    (round 6, display only), keep, reason (``excess_removal`` or NULL).
+
+    Pure codegen (split / filter-lambda / regexp length-difference
+    counting) — a zero-shuffle map over the scan like the C4 and Gopher
+    packs; character classes are shared Java-regex/RE2 syntax so the
+    DuckDB oracle evaluates the identical automata.
+    """
+    upper_frac = lambda l: (
+        (F.length(l) - F.length(F.regexp_replace(l, "[A-Z]", ""))) * 2
+        > (F.length(l) - F.length(F.regexp_replace(l, "[A-Za-z]", "")))
+    ) & l.rlike("[A-Za-z]")
+    numeric_only = lambda l: l.rlike("^[-0-9 .,:%/]+$") & l.rlike("[0-9]")
+    counter_re = "^[0-9]+ (" + "|".join(counter_words) + ")$"
+    counter = lambda l: F.lower(F.trim(l)).rlike(counter_re)
+    nav_set = tuple(w.lower() for w in nav_words)
+    nav = lambda l: F.lower(F.trim(l)).isin(*nav_set)
+
+    lines = F.split(F.col(text_col), "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: ~(upper_frac(l) | numeric_only(l) | counter(l) | nav(l)),
+    )
+    d = docs.select(
+        "*",
+        F.length(text_col).cast("long").alias("_tc"),
+        F.size(lines).cast("long").alias("_nl"),
+        kept_lines.alias("_kl"),
+    ).select("*", F.concat_ws("\n", "_kl").alias("_kept"))
+    removed = F.col("_tc") - F.length("_kept")
+    reason = F.when(
+        removed * 100 > F.lit(int(max_removed_pct)) * F.col("_tc"),
+        F.lit("excess_removal"),
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return d.select(
+        *out_cols,
+        F.col("_kept").alias(text_col),
+        F.size("_kl").cast("long").alias("n_lines_kept"),
+        (F.col("_nl") - F.size("_kl")).cast("long").alias("n_lines_removed"),
+        F.round(
+            removed / F.greatest(F.col("_tc"), F.lit(1)), 6
+        ).alias("removed_char_frac"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     ks: tuple[int, ...] = (100, 1000, 10000),
@@ -852,6 +934,96 @@ def zipf_fit_per_source(
         slope.alias("slope"),
         F.when(denom != 0, (F.col("sy") - slope * F.col("sx")) / n)
         .alias("intercept"),
+    )
+
+
+def heaps_fit_per_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Heaps' law vocabulary-growth fit per source: ``V(n) = K·n^β``
+    (Heaps 1978; β ≈ 0.5 for natural text) — the companion diagnostic to
+    the Zipf fit. A source whose vocabulary growth flattens (low β) is
+    template/boilerplate-heavy; synthetic or noisy text pushes β toward
+    1. Curation runs log (β, ln K) per source next to the Zipf slope.
+
+    Growth curve construction is fully relational and deterministic:
+    docs are ordered by ``doc_id`` within each source, cumulative token
+    count ``n_i`` is a window sum of per-doc counts, and cumulative
+    vocabulary ``V_i`` is a window sum of the types whose FIRST
+    occurrence (min doc_id over the (source, type) relation) is doc i.
+    OLS of ``ln V`` on ``ln n`` over the per-doc points (zero-token
+    prefix rows excluded — no ln 0), same closed form and NULL-on-
+    degenerate-denominator guard as ``zipf_fit_per_source``.
+
+    Scale shape: one corpus scan; the vocab-scale relation reduces to
+    (source, type) → min(doc_id) then immediately to per-doc new-type
+    counts, so the window input is |docs|, never |vocab|; two narrow
+    shuffles + one per-source window.
+
+    Returns (source, n_docs_fit, beta, ln_k)."""
+    tok = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    per_doc = tok.groupBy("source", "doc_id").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    first = tok.groupBy("source", "t").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    new_types = first.groupBy("source", "doc_id").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = (
+        per_doc.join(new_types, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tok"),
+            F.coalesce(F.col("n_new"), F.lit(0).cast("long")).alias("n_new"),
+        )
+        .select(
+            "source",
+            F.sum("n_tok").over(w).alias("cn"),
+            F.sum("n_new").over(w).alias("cv"),
+        )
+        .filter((F.col("cn") > 0) & (F.col("cv") > 0))
+        .select(
+            "source",
+            F.log(F.col("cn").cast("double")).alias("x"),
+            F.log(F.col("cv").cast("double")).alias("y"),
+        )
+    )
+    agg = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_fit"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_docs_fit").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        denom != 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+    )
+    return agg.select(
+        "source",
+        "n_docs_fit",
+        beta.alias("beta"),
+        F.when(denom != 0, (F.col("sy") - beta * F.col("sx")) / n)
+        .alias("ln_k"),
     )
 
 

@@ -511,3 +511,49 @@ def test_semdedup_pairs_plan(spark):
     assert f.n_exchanges == 1, f.text
     assert not f.join_strategies, f.text
     assert_columns_pruned(q, {"label"})
+
+
+@needs_data
+def test_refinedweb_and_gopher_repetition_plans(spark):
+    """RefinedWeb line corrections are a pure-codegen MAP like C4 —
+    zero exchanges, zero Python, unused doc columns never reach the
+    scan. The Gopher repetition pack shuffles only doc_id-keyed digest
+    relations (never line/word text): pure Catalyst, no cartesian."""
+    import __spark_entry__ as em
+
+    r = em.queries()["refinedweb_line_correct"](spark, SF)
+    fr = plan_facts(r)
+    assert not fr.has_python_eval, fr.text
+    assert fr.n_exchanges == 0, fr.text
+    assert_columns_pruned(r, {"lang", "source", "n_chars"})
+
+    g = em.queries()["gopher_repetition_rules"](spark, SF)
+    fg = plan_facts(g)
+    assert not fg.has_python_eval, fg.text
+    assert "CartesianProduct" not in fg.join_strategies, fg.text
+    assert_columns_pruned(g, {"lang", "source", "n_chars"})
+
+
+@needs_data
+def test_ql_and_heaps_plans(spark):
+    """Dirichlet QL: the ctf table joins back by BROADCAST; the only
+    nested-loop joins are the 1-row scalar broadcasts (|C|, query
+    constant); no Python. Heaps fit: the vocab-scale relation collapses
+    to per-doc counts before the per-source window — pure Catalyst,
+    no cartesian."""
+    import __spark_entry__ as em
+
+    q = em.queries()["ql_dirichlet_topk_per_source"](spark, SF)
+    q.collect()  # AQE finalizes join strategies
+    fq = plan_facts(q)
+    assert not fq.has_python_eval, fq.text
+    assert "CartesianProduct" not in fq.join_strategies, fq.text
+    final = fq.text.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 3, final
+
+    h = em.queries()["heaps_fit_per_source"](spark, SF)
+    fh = plan_facts(h)
+    assert not fh.has_python_eval, fh.text
+    assert "CartesianProduct" not in fh.join_strategies, fh.text
+    assert_columns_pruned(h, {"lang", "n_chars"})
