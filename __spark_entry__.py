@@ -1721,6 +1721,30 @@ def _q_repetition_scores(spark, sf_dir):
     return repetition_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _q_gpt3_window_decontaminate(spark, sf_dir):
+    """GPT-3 surgical decontamination (Brown 2020 App. C): the eval set
+    is derived IN-QUERY from the corpus itself — words 4..16 of every
+    doc_id%23 doc form one exact 13-gram each (deterministic, no
+    external data; the oracle derives identically). Colliding docs get
+    a 60-char window cut around each hit, pieces <40 chars die, docs
+    shattering into >10 pieces are dropped; everything else passes
+    through whole. Result is Bloom-independent: bloom_semi_join is
+    exact (FPs removed by the inner semi-join)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import gpt3_window_decontaminate
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 23 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 4, 13), " ")
+        .alias("text"),
+    )
+    return gpt3_window_decontaminate(
+        docs, ev, n=13, window=60, min_piece_chars=40, max_pieces=10,
+    ).orderBy("doc_id", "piece_idx")
+
+
 def _q_refinedweb_line_correct(spark, sf_dir):
     """RefinedWeb line-wise corrections (Penedo 2023 App. G.2). The flat
     synthetic corpus has no boilerplate, so lines are PLANTED
@@ -1980,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_rules": _q_gopher_repetition_rules,
         "refinedweb_line_correct": _q_refinedweb_line_correct,
         "heaps_fit_per_source": _q_heaps_fit_per_source,
+        "gpt3_window_decontaminate": _q_gpt3_window_decontaminate,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
@@ -4114,6 +4139,118 @@ def oracle_sql() -> dict[str, str]:
                ({_reason}) AS reason
         FROM j
         ORDER BY doc_id
+    """
+
+    # --- gpt3_window_decontaminate: gram ids are md5-of-word-digests on
+    # both sides (the engine's convention), eval set derived in-query
+    # from %23 docs' words 4..16, identical window/piece arithmetic ----
+    _N13 = 13
+    _lead13 = ",\n                 ".join(
+        f"lead(h, {k}) OVER wd AS h{k}, lead(wl, {k}) OVER wd AS l{k}"
+        for k in range(1, _N13)
+    )
+    _gh13 = " || ' ' || ".join(["h"] + [f"h{k}" for k in range(1, _N13)])
+    _gl13 = "wl + " + " + ".join(
+        f"l{k}" for k in range(1, _N13)
+    ) + f" + {_N13 - 1}"
+    sql["gpt3_window_decontaminate"] = f"""
+        WITH b AS (
+          SELECT doc_id, text AS t, length(text) AS len FROM documents
+        ), ev AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_slice(string_split(text, ' '), 4, 16), ' ') AS t
+          FROM documents WHERE doc_id % 23 = 0
+        ), eww AS (
+          SELECT doc_id, string_split(t, ' ') AS ws FROM ev
+        ), ewx AS (
+          SELECT doc_id, u.i, md5(ws[u.i + 1]) AS h,
+                 length(ws[u.i + 1]) AS wl
+          FROM eww, unnest(range(0, len(ws))) AS u(i)
+        ), elds AS (
+          SELECT doc_id, h, wl,
+                 {_lead13}
+          FROM ewx
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY i)
+        ), eg AS (
+          SELECT DISTINCT md5({_gh13}) AS gh
+          FROM elds WHERE h{_N13 - 1} IS NOT NULL
+        ), ww AS (
+          SELECT doc_id, string_split(t, ' ') AS ws FROM b
+        ), wx AS (
+          SELECT doc_id, u.i, md5(ws[u.i + 1]) AS h,
+                 length(ws[u.i + 1]) AS wl
+          FROM ww, unnest(range(0, len(ws))) AS u(i)
+        ), ws2 AS (
+          SELECT doc_id, i, h, wl,
+                 COALESCE(SUM(wl + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS start
+          FROM wx
+        ), lds AS (
+          SELECT doc_id, start, h, wl,
+                 {_lead13}
+          FROM ws2
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY i)
+        ), g AS (
+          SELECT doc_id, start, md5({_gh13}) AS gh, {_gl13} AS gl
+          FROM lds WHERE h{_N13 - 1} IS NOT NULL
+        ), hits AS (
+          SELECT g.doc_id,
+                 GREATEST(g.start - 60, 0) AS s,
+                 LEAST(g.start + g.gl + 60, b.len) AS e
+          FROM g JOIN eg USING (gh) JOIN b USING (doc_id)
+        ), isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > COALESCE(MAX(e) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), -1) THEN 1 ELSE 0 END AS ni
+          FROM hits
+        ), isl2 AS (
+          SELECT doc_id, s, e,
+                 SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+          FROM isl
+        ), merged AS (
+          SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+          FROM isl2 GROUP BY doc_id, grp
+        ), before AS (
+          SELECT doc_id,
+                 COALESCE(LAG(e) OVER (
+                   PARTITION BY doc_id ORDER BY s), 0) AS ps,
+                 s AS pe
+          FROM merged
+        ), tail_ AS (
+          SELECT m.doc_id, MAX(m.e) AS ps, ANY_VALUE(b.len) AS pe
+          FROM merged m JOIN b USING (doc_id) GROUP BY m.doc_id
+        ), pieces AS (
+          SELECT p.doc_id, p.ps,
+                 substring(b.t, CAST(p.ps + 1 AS INT),
+                           CAST(p.pe - p.ps AS INT)) AS text,
+                 p.pe - p.ps AS n_chars
+          FROM (SELECT * FROM before UNION ALL SELECT * FROM tail_) p
+          JOIN b USING (doc_id)
+          WHERE p.pe - p.ps >= 40
+        ), capped AS (
+          SELECT doc_id, ps, text, n_chars,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS np,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY ps) - 1 AS piece_idx
+          FROM pieces
+        ), contaminated AS (
+          SELECT doc_id, CAST(piece_idx AS BIGINT) AS piece_idx, text,
+                 CAST(n_chars AS BIGINT) AS n_chars, TRUE AS contaminated
+          FROM capped WHERE np <= 10
+        ), untouched AS (
+          SELECT b.doc_id, CAST(0 AS BIGINT) AS piece_idx, b.t AS text,
+                 CAST(b.len AS BIGINT) AS n_chars, FALSE AS contaminated
+          FROM b WHERE b.doc_id NOT IN (SELECT doc_id FROM merged)
+        )
+        SELECT * FROM contaminated
+        UNION ALL
+        SELECT * FROM untouched
+        ORDER BY doc_id, piece_idx
     """
 
     # --- refinedweb_line_correct: same planted lines, same regex

@@ -347,6 +347,9 @@ def main():
         # corrections (Penedo 2023 G.2), Heaps' law vocab-growth fit
         "refinedweb_line_correct",
         "heaps_fit_per_source",
+        # r6 sixth-session addition (excluded): GPT-3 surgical window
+        # decontamination (Brown 2020 App. C)
+        "gpt3_window_decontaminate",
     ):
         if name in capture:
             def run(n=name):
@@ -404,6 +407,7 @@ def main():
         "q_ql_dirichlet_topk_per_source",
         "q_refinedweb_line_correct",
         "q_heaps_fit_per_source",
+        "q_gpt3_window_decontaminate",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

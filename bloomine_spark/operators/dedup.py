@@ -846,6 +846,180 @@ def decontaminate(
     )
 
 
+def gpt3_window_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    window: int = 200,
+    min_piece_chars: int = 200,
+    max_pieces: int = 10,
+    fp: float = 1e-4,
+) -> DataFrame:
+    """Surgical decontamination, GPT-3 style (Brown et al. 2020,
+    Appendix C): instead of dropping a whole training document that
+    shares an ``n``-gram with the eval corpus (``decontaminate``),
+    remove a ``window``-character span around EACH colliding ``n``-gram
+    occurrence, split the document at the removed spans, discard pieces
+    shorter than ``min_piece_chars``, and drop documents that shatter
+    into more than ``max_pieces`` surviving pieces (heavily
+    contaminated). Paper defaults: 13-grams, 200-character windows,
+    200-character minimum pieces, 10-piece cap.
+
+    Returns one row per surviving piece:
+    ``(doc_id, piece_idx, text, n_chars, contaminated)`` — uncontaminated
+    docs pass through whole as ``piece_idx = 0`` with
+    ``contaminated = false``.
+
+    Word semantics match the repetition/dup-span family: words are the
+    raw single-space split, so an n-gram IS the exact substring and its
+    char span [start, start+len) is exact; removal spans are clipped to
+    the document and merged positionally (gaps-and-islands) before the
+    complement is cut, so overlapping collisions never double-cut.
+
+    Scale shape: gram TEXT never shuffles — the train side reduces to
+    (doc_id, start, gram_digest) via one window pass over per-word md5
+    digests (gram id = md5 of joined word digests, same convention as
+    ``gopher_repetition``, so a DuckDB oracle rebuilds identical ids);
+    the eval side collapses to its distinct digest set and a Bloom built
+    from it prefilters train grams INSIDE the scan stage
+    (``bloom_semi_join``), so the only wide exchange carries (probable)
+    collisions. Island merge, piece cutting, and the substring rebuild
+    are narrow per-doc windows plus ONE doc_id-keyed join back to the
+    text."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    base = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("long").alias("_len"),
+    )
+
+    def _gram_digests(df, txt):
+        # grams never span documents: every window partitions by doc_id
+        w = df.select(
+            "doc_id",
+            F.posexplode(F.split(txt, " ")).alias("pos", "_w"),
+        ).select(
+            "doc_id", "pos",
+            F.md5("_w").alias("h"),
+            F.length("_w").cast("long").alias("wl"),
+        )
+        win = Window.partitionBy("doc_id").orderBy("pos")
+        w = w.withColumn(
+            "start",
+            F.coalesce(
+                F.sum(F.col("wl") + 1).over(
+                    win.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        lead_h = [F.lead("h", k).over(win).alias(f"_h{k}")
+                  for k in range(1, n)]
+        lead_l = [F.lead("wl", k).over(win).alias(f"_l{k}")
+                  for k in range(1, n)]
+        w = w.select("*", *lead_h, *lead_l)
+        gl = F.col("wl") + F.lit(n - 1).cast("long")
+        for k in range(1, n):
+            gl = gl + F.col(f"_l{k}")
+        gh = F.md5(F.concat_ws(
+            " ", F.col("h"), *[F.col(f"_h{k}") for k in range(1, n)]
+        ))
+        keep = (
+            F.col(f"_h{n-1}").isNotNull() if n > 1 else F.lit(True)
+        )
+        return w.filter(keep).select(
+            "doc_id", "start", gh.alias("gh"), gl.alias("gl")
+        )
+
+    grams = _gram_digests(base, "_t")
+    te = _gram_digests(
+        test.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(text_col).alias("_tt"),
+        ),
+        "_tt",
+    ).select("gh").distinct()
+
+    from bloomine_spark.operators.bloomjoin import bloom_semi_join
+
+    hits = bloom_semi_join(grams, te, "gh", fp=fp).join(
+        base.select("doc_id", "_len"), "doc_id"
+    ).select(
+        "doc_id",
+        F.greatest(F.col("start") - window, F.lit(0).cast("long"))
+        .alias("s"),
+        F.least(F.col("start") + F.col("gl") + window, F.col("_len"))
+        .alias("e"),
+    )
+
+    # merge overlapping/touching removal spans (gaps-and-islands)
+    wisl = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        wisl.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn(
+            "_ni", (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("long")
+        )
+        .withColumn("_isl", F.sum("_ni").over(wisl))
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+    # complement: piece before each island + the tail piece after the last
+    word = Window.partitionBy("doc_id").orderBy("s")
+    before = islands.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(word), F.lit(0).cast("long"))
+        .alias("ps"),
+        F.col("s").alias("pe"),
+    )
+    tail = islands.groupBy("doc_id").agg(F.max("e").alias("ps")).join(
+        base.select("doc_id", F.col("_len").alias("pe")), "doc_id"
+    ).select("doc_id", "ps", "pe")
+    pieces = (
+        before.unionByName(tail)
+        .filter(F.col("pe") - F.col("ps") >= min_piece_chars)
+        .join(base.select("doc_id", "_t"), "doc_id")
+        .select(
+            "doc_id", "ps",
+            F.substring(
+                F.col("_t"), (F.col("ps") + 1).cast("int"),
+                (F.col("pe") - F.col("ps")).cast("int"),
+            ).alias("text"),
+            (F.col("pe") - F.col("ps")).cast("long").alias("n_chars"),
+        )
+    )
+    wn = Window.partitionBy("doc_id")
+    contaminated = (
+        pieces.withColumn("_np", F.count("*").over(wn))
+        .filter(F.col("_np") <= max_pieces)
+        .withColumn(
+            "piece_idx",
+            (F.row_number().over(wn.orderBy("ps")) - 1).cast("long"),
+        )
+        .select(
+            "doc_id", "piece_idx", "text", "n_chars",
+            F.lit(True).alias("contaminated"),
+        )
+    )
+    untouched = (
+        base.join(islands.select("doc_id").distinct(), "doc_id",
+                  "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("piece_idx"),
+            F.col("_t").alias("text"),
+            F.col("_len").alias("n_chars"),
+            F.lit(False).alias("contaminated"),
+        )
+    )
+    return contaminated.unionByName(untouched)
+
+
 # ---------------------------------------------------------------------------
 # pair → cluster → canonical survivor (connected components)
 # ---------------------------------------------------------------------------

@@ -5,6 +5,9 @@ operators, with per-stage resumable parquet (the same _SUCCESS +
 _PARAMS.json protocol as the screen cascade):
 
   scrubbed  — PII scrub (emails/IPv4s/phones → typed tags, counts kept)
+  refinedweb— (only with --refinedweb) RefinedWeb line-wise corrections:
+              boilerplate lines cut, pages rebuilt, mostly-boilerplate
+              docs dropped (Penedo 2023 App. G.2)
   scored    — quality + repetition + token-count features joined on doc_id
   filtered  — threshold pass (quality ≥ --quality-min, top-2-gram
               fraction ≤ --top2-max, n_ws_tokens ≥ --min-tokens)
@@ -75,6 +78,14 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="mixture token budget (default: the corpus size, "
                     "i.e. resample to the same scale)")
+    ap.add_argument("--refinedweb", action="store_true",
+                    help="apply the RefinedWeb line-wise corrections "
+                         "(Penedo 2023 App. G.2) right after the PII scrub "
+                         "— its position after extraction in the original "
+                         "pipeline: mainly-uppercase / numeric-only / "
+                         "social-counter / nav-word lines removed, pages "
+                         "rebuilt, docs losing >50% of their characters "
+                         "dropped before any later stage sees them")
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 rule pack (Raffel 2020 §2.2) after "
                          "the PII scrub: lines without terminal punctuation "
@@ -89,6 +100,12 @@ def main() -> None:
                     "cross-multiplication rules")
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-min-stopwords", type=int, default=2)
+    ap.add_argument("--gopher-repetition", action="store_true",
+                    help="also gate docs on the Gopher REPETITION pack "
+                    "(Rae 2021 Table A1) in the filter stage: duplicate "
+                    "line/paragraph fractions, top-{2,3,4}-gram char "
+                    "share, duplicated-{5..10}-gram positional coverage "
+                    "— all 13 thresholds integer cross-multiplications")
     ap.add_argument("--trim-dup-spans", type=int, default=None, metavar="K",
                     help="surgically remove cross-corpus duplicated "
                     "K-token spans after dedup (ExactSubstr semantics at "
@@ -117,10 +134,12 @@ def main() -> None:
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
         "near_dup_keep": args.near_dup_keep,
         "eval_set": args.eval_set, "decontam_n": args.decontam_n,
+        "refinedweb": bool(args.refinedweb),
         "c4": bool(args.c4),
         "gopher": bool(args.gopher),
         "gopher_min_words": args.gopher_min_words,
         "gopher_min_stopwords": args.gopher_min_stopwords,
+        "gopher_repetition": bool(args.gopher_repetition),
         "split": bool(args.split), "pack": args.pack,
         "pack_shards": args.pack_shards,
         "mixture_alpha": args.mixture_alpha,
@@ -143,6 +162,22 @@ def main() -> None:
 
     scrubbed = runner.stage("scrubbed", _scrub,
                             manifest=dict(manifest, stage="scrubbed"))
+
+    if args.refinedweb:
+        from bloomine_spark.operators.textops import refinedweb_line_correct
+
+        def _refinedweb():
+            # line corrections precede every rule pack (RefinedWeb runs
+            # them straight after extraction): boilerplate lines are cut,
+            # text is REBUILT, and mostly-boilerplate docs die here
+            cols = scrubbed.columns
+            return (
+                refinedweb_line_correct(scrubbed)
+                .filter("keep").select(*cols)
+            )
+
+        scrubbed = runner.stage("refinedweb", _refinedweb,
+                                manifest=dict(manifest, stage="refinedweb"))
 
     if args.c4:
         from bloomine_spark.operators.textops import c4_clean
@@ -190,6 +225,11 @@ def main() -> None:
                 min_words=args.gopher_min_words,
                 min_stopwords=args.gopher_min_stopwords,
             ).filter("keep").select(*cols)
+        if args.gopher_repetition:
+            from bloomine_spark.operators.textops import gopher_repetition
+
+            rep_keep = gopher_repetition(out).filter("keep").select("doc_id")
+            out = out.join(rep_keep, "doc_id", "left_semi")
         return out
 
     filtered = runner.stage("filtered", _filter,

@@ -557,3 +557,19 @@ def test_ql_and_heaps_plans(spark):
     assert not fh.has_python_eval, fh.text
     assert "CartesianProduct" not in fh.join_strategies, fh.text
     assert_columns_pruned(h, {"lang", "n_chars"})
+
+
+@needs_data
+def test_gpt3_window_decontaminate_plan(spark):
+    """GPT-3 surgical decontamination: the Bloom probe (MapInArrow)
+    prunes train grams before the exact semi-join's exchange (same
+    posture as contamination_screen); gram text never rides the plan —
+    grams are md5 digests; no cartesian; the text join back is
+    doc_id-keyed."""
+    import __spark_entry__ as em
+
+    q = em.queries()["gpt3_window_decontaminate"](spark, SF)
+    assert_no_cartesian(q)
+    f = plan_facts(q)
+    assert "MapInArrow" in f.text
+    assert "LeftSemi" in f.text or "left_semi" in f.text.lower()

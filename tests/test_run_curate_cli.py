@@ -276,3 +276,58 @@ def test_run_curate_cli_c4(spark, tmp_path):
     t2 = cur.set_index("doc_id").loc[2, "text"]
     assert "javascript" not in t2              # line dropped...
     assert "mill" in t2 and t2.count("\n") == 2  # ...page rebuilt from 3
+
+
+def test_run_curate_cli_refinedweb_and_repetition(spark, tmp_path):
+    """--refinedweb cuts boilerplate lines right after the scrub (pages
+    rebuilt, mostly-boilerplate docs die before scoring);
+    --gopher-repetition gates the filter stage on the full Table A1
+    pack, catching repeated-line docs the top2 filter can't see."""
+    long_line = ("the meadow stays calm and green while the river keeps "
+                 "moving slowly past the village and the hills beyond")
+    rep_line = "the rain falls gently tonight"
+    rows = [
+        # one boilerplate line inside a good page -> line cut, doc stays
+        # (second content line shares no 5-gram with the first, so the
+        # repetition pack leaves the doc alone)
+        {"doc_id": 1, "text": "\n".join(
+            [long_line, "BUY NOW LIMITED TIME OFFER",
+             "a small forest bird sings early before anyone in town "
+             "wakes up to hear that bright song"]),
+         "lang": "en", "source": "s0"},
+        # mostly boilerplate -> dropped at the refinedweb stage
+        {"doc_id": 2, "text": "SHOUTING HEADLINE ONE\n99 views\nok",
+         "lang": "en", "source": "s0"},
+        # repeated line x3: top2_frac is tiny (3/34) but dup_line_frac
+        # is 0.5 -> only the repetition pack kills it
+        {"doc_id": 3, "text": "\n".join(
+            [long_line.replace("meadow", "garden"),
+             rep_line, rep_line, rep_line]),
+         "lang": "en", "source": "s1"},
+        # clean control
+        {"doc_id": 4, "text": long_line.replace("meadow", "valley"),
+         "lang": "en", "source": "s1"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["text"].str.len()
+    inp = str(tmp_path / "docs_rw")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "rw",
+        "--quality-min", "0.2", "--top2-max", "0.5", "--min-tokens", "5",
+        "--refinedweb", "--gopher-repetition",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "stages ran: ['scrubbed', 'refinedweb', 'scored', 'filtered'," \
+        in r.stdout
+    cur = spark.read.parquet(f"{out}/rw/curated").toPandas()
+    ids = set(cur["doc_id"])
+    assert ids == {1, 4}            # 2: excess removal, 3: dup lines
+    t1 = cur.set_index("doc_id").loc[1, "text"]
+    assert "BUY NOW" not in t1      # boilerplate line cut...
+    assert "forest" in t1 and t1.count("\n") == 1  # ...page rebuilt
