@@ -1134,6 +1134,52 @@ def _q_zipf_fit_per_source(spark, sf_dir):
     return zipf_fit_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_nb_langid_confusion(spark, sf_dir):
+    """Trained hashed-bigram Naive Bayes classifier (fastText/CLD-style
+    language/domain ID): fit on the corpus with label = source, classify
+    the same docs, emit the (actual, predicted) confusion counts. The
+    synthetic sources share a vocabulary so accuracy is near-chance —
+    the gate is DETERMINISM of the full fit+classify pipeline (hashed
+    features, smoothed likelihoods, rounded-rank argmax), not accuracy;
+    separable-language accuracy is pytest-gated."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.classify import nb_classify, nb_train
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    model = nb_train(
+        docs.select(F.col("source").alias("label"), "text"),
+        n_buckets=256,
+    )
+    pred = nb_classify(docs, model, n_buckets=256).select(
+        "doc_id", F.col("label").alias("predicted")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(pred, "doc_id")
+        .groupBy("source", "predicted")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source", "predicted")
+    )
+
+
+def _q_ngram_novelty_per_source(spark, sf_dir):
+    """RAVEN n-gram novelty curves (McCoy 2021): per (source, n≤8), the
+    fraction of gram occurrences that are corpus-first, occurrence order
+    = (doc_id, char start). One window pass (7 leads over word digests)
+    builds all gram sizes; the corpus-wide first-occurrence reduction is
+    one digest-keyed aggregate."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import ngram_novelty_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return ngram_novelty_per_source(
+        load_table(spark, sf_dir, "documents"), max_n=8
+    ).orderBy("source", "n")
+
+
 def _q_heaps_fit_per_source(spark, sf_dir):
     """Heaps' law vocabulary-growth fit per source (V = K·n^β): docs
     ordered by doc_id, cumulative tokens vs cumulative first-occurrence
@@ -2005,6 +2051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refinedweb_line_correct": _q_refinedweb_line_correct,
         "heaps_fit_per_source": _q_heaps_fit_per_source,
         "gpt3_window_decontaminate": _q_gpt3_window_decontaminate,
+        "ngram_novelty_per_source": _q_ngram_novelty_per_source,
+        "nb_langid_confusion": _q_nb_langid_confusion,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
@@ -4139,6 +4187,143 @@ def oracle_sql() -> dict[str, str]:
                ({_reason}) AS reason
         FROM j
         ORDER BY doc_id
+    """
+
+    # --- nb_langid_confusion: same hashed buckets (md5 hex 1-8 mod B),
+    # same smoothed-likelihood rationals, same expression order in the
+    # score, rounded-rank argmax with label tie-break -------------------
+    sql["nb_langid_confusion"] = """
+        WITH feats AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(substring(text, u.i, 2)), 1, 8))
+                      AS BIGINT) % 256 AS b
+          FROM documents, unnest(range(1, length(text))) AS u(i)
+        ), cnt AS (
+          SELECT source AS label, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM feats GROUP BY 1, 2
+        ), tot AS (
+          SELECT label, CAST(SUM(c) AS BIGINT) AS t_label
+          FROM cnt GROUP BY 1
+        ), dpl AS (
+          SELECT source AS label, CAST(COUNT(*) AS BIGINT) AS nd
+          FROM documents GROUP BY 1
+        ), nall AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        ), labs AS (
+          SELECT t.label, t.t_label,
+                 ln(d.nd / CAST(nall.n AS DOUBLE)) AS ln_prior,
+                 ln(1.0) - ln(t.t_label + 1.0 * 256) AS ln_unseen
+          FROM tot t JOIN dpl d USING (label) CROSS JOIN nall
+        ), bks AS (
+          SELECT DISTINCT b FROM cnt
+        ), model AS (
+          SELECT l.label, k.b,
+                 ln(COALESCE(c.c, 0) + 1.0)
+                   - ln(l.t_label + 1.0 * 256) AS log_p,
+                 l.ln_prior, l.ln_unseen
+          FROM labs l CROSS JOIN bks k
+          LEFT JOIN cnt c ON c.label = l.label AND c.b = k.b
+        ), tf AS (
+          SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM feats GROUP BY 1, 2
+        ), pd AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feat
+          FROM tf GROUP BY 1
+        ), mt AS (
+          SELECT tf.doc_id, m.label,
+                 SUM(tf.tf * m.log_p) AS m,
+                 CAST(SUM(tf.tf) AS BIGINT) AS covered
+          FROM tf JOIN model m USING (b)
+          GROUP BY 1, 2
+        ), sc AS (
+          SELECT d.doc_id, l.label,
+                 l.ln_prior + COALESCE(mt.m, 0.0)
+                   + (COALESCE(pd.n_feat, 0) - COALESCE(mt.covered, 0))
+                     * l.ln_unseen AS score
+          FROM documents d
+          CROSS JOIN labs l
+          LEFT JOIN pd ON pd.doc_id = d.doc_id
+          LEFT JOIN mt ON mt.doc_id = d.doc_id AND mt.label = l.label
+        ), pred AS (
+          SELECT doc_id, label AS predicted FROM (
+            SELECT doc_id, label, ROW_NUMBER() OVER (
+              PARTITION BY doc_id
+              ORDER BY ROUND(score, 6) DESC, label ASC) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        )
+        SELECT d.source, p.predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+    # --- ngram_novelty_per_source: same md5-of-word-digest gram ids,
+    # first occurrence = ROW_NUMBER over (doc_id, start) per (n, gh) ---
+    _NOV_MAX = 8
+    _nov_leads = ",\n                 ".join(
+        f"lead(h, {k}) OVER wd AS h{k}" for k in range(1, _NOV_MAX)
+    )
+    _nov_grams = "\n          UNION ALL\n".join(
+        [
+            "          SELECT source, doc_id, start, 1 AS n, h AS gh"
+            "\n          FROM lds"
+        ]
+        + [
+            "          SELECT source, doc_id, start, {n} AS n,\n"
+            "                 md5({hh}) AS gh\n"
+            "          FROM lds WHERE h{nm1} IS NOT NULL".format(
+                n=n,
+                hh=" || ' ' || ".join(
+                    ["h"] + [f"h{k}" for k in range(1, n)]
+                ),
+                nm1=n - 1,
+            )
+            for n in range(2, _NOV_MAX + 1)
+        ]
+    )
+    sql["ngram_novelty_per_source"] = f"""
+        WITH ww AS (
+          SELECT source, doc_id, string_split(text, ' ') AS ws
+          FROM documents
+        ), wx AS (
+          SELECT source, doc_id, u.i, md5(ws[u.i + 1]) AS h,
+                 length(ws[u.i + 1]) AS wl
+          FROM ww, unnest(range(0, len(ws))) AS u(i)
+        ), ws2 AS (
+          SELECT source, doc_id, i, h, wl,
+                 COALESCE(SUM(wl + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS start
+          FROM wx
+        ), lds AS (
+          SELECT source, doc_id, start, h,
+                 {_nov_leads}
+          FROM ws2
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY i)
+        ), g AS (
+{_nov_grams}
+        ), fo AS (
+          SELECT source, n FROM (
+            SELECT source, n, ROW_NUMBER() OVER (
+              PARTITION BY n, gh ORDER BY doc_id, start) AS rn
+            FROM g
+          ) WHERE rn = 1
+        ), nov AS (
+          SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_novel
+          FROM fo GROUP BY 1, 2
+        ), tot AS (
+          SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM g GROUP BY 1, 2
+        )
+        SELECT t.source, CAST(t.n AS BIGINT) AS n, t.n_occurrences,
+               COALESCE(v.n_novel, 0) AS n_novel,
+               ROUND(COALESCE(v.n_novel, 0)
+                     / CAST(t.n_occurrences AS DOUBLE), 6) AS novel_frac
+        FROM tot t LEFT JOIN nov v USING (source, n)
+        ORDER BY source, n
     """
 
     # --- gpt3_window_decontaminate: gram ids are md5-of-word-digests on

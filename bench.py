@@ -350,6 +350,10 @@ def main():
         # r6 sixth-session addition (excluded): GPT-3 surgical window
         # decontamination (Brown 2020 App. C)
         "gpt3_window_decontaminate",
+        # r6 sixth-session additions (excluded): RAVEN n-gram novelty,
+        # trained hashed-bigram NB classifier
+        "ngram_novelty_per_source",
+        "nb_langid_confusion",
     ):
         if name in capture:
             def run(n=name):
@@ -408,6 +412,8 @@ def main():
         "q_refinedweb_line_correct",
         "q_heaps_fit_per_source",
         "q_gpt3_window_decontaminate",
+        "q_ngram_novelty_per_source",
+        "q_nb_langid_confusion",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

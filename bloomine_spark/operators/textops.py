@@ -817,6 +817,113 @@ def refinedweb_line_correct(
     )
 
 
+def ngram_novelty_per_source(
+    docs: DataFrame,
+    max_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """N-gram novelty curves (the RAVEN analysis — McCoy et al. 2021,
+    "How much do language models copy?"): for every gram size
+    ``n = 1..max_n``, the fraction of a source's n-gram OCCURRENCES that
+    are corpus-first (novel) vs repeats of something already seen.
+    Occurrence order is the deterministic corpus order (doc_id, char
+    start); a gram's single novel occurrence is attributed to the
+    source of the document where it first appears. Low novelty at small
+    n is normal (vocabulary reuse); low novelty at large n means the
+    source is copying long spans — the memorization forensics signal.
+
+    Returns (source, n, n_occurrences, n_novel, novel_frac) with
+    ``novel_frac`` rounded to 1e-6 for display.
+
+    Scale shape: gram TEXT never shuffles — one window pass (max_n − 1
+    leads over per-word md5 digests) builds every gram size, gram id =
+    md5 of joined word digests (the gopher_repetition convention, so a
+    DuckDB oracle rebuilds identical ids). The corpus-wide first-
+    occurrence reduction is the honest cost: one (n, gram-digest)-keyed
+    aggregate carrying only digests + two ints, followed by two tiny
+    per-(source, n) aggregates."""
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    w0 = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w"),
+    ).select(
+        "source", "doc_id", "pos",
+        F.md5("_w").alias("h"),
+        F.length("_w").cast("long").alias("wl"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w = w0.withColumn(
+        "start",
+        F.coalesce(
+            F.sum(F.col("wl") + 1).over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    if max_n > 1:
+        w = w.select(
+            "source", "doc_id", "start", "h",
+            *[F.lead("h", k).over(win).alias(f"_h{k}")
+              for k in range(1, max_n)],
+        )
+    entries = [
+        F.struct(F.lit(1).alias("n"), F.col("h").alias("gh"))
+    ]
+    for n in range(2, max_n + 1):
+        entries.append(
+            F.when(
+                F.col(f"_h{n-1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.md5(F.concat_ws(
+                        " ", F.col("h"),
+                        *[F.col(f"_h{k}") for k in range(1, n)],
+                    )).alias("gh"),
+                ),
+            )
+        )
+    g = w.select(
+        "source", "doc_id", "start",
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+        ).alias("_g"),
+    ).select(
+        "source", "doc_id", "start",
+        F.col("_g.n").alias("n"),
+        F.col("_g.gh").alias("gh"),
+    )
+    # a gram's unique first occurrence: min (doc_id, start) — source
+    # rides along because (doc_id, start) identifies one occurrence
+    firsts = g.groupBy("n", "gh").agg(
+        F.min(F.struct("doc_id", "start", "source")).alias("f")
+    )
+    novel = firsts.groupBy(F.col("f.source").alias("source"), "n").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    totals = g.groupBy("source", "n").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    return (
+        totals.join(novel, ["source", "n"], "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            "n_occurrences",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+            .alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+                / F.col("n_occurrences"), 6,
+            ).alias("novel_frac"),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     ks: tuple[int, ...] = (100, 1000, 10000),

@@ -573,3 +573,28 @@ def test_gpt3_window_decontaminate_plan(spark):
     f = plan_facts(q)
     assert "MapInArrow" in f.text
     assert "LeftSemi" in f.text or "left_semi" in f.text.lower()
+
+
+@needs_data
+def test_novelty_and_nb_plans(spark):
+    """N-gram novelty: one window pass builds every gram size, digests
+    only — pure Catalyst, no cartesian, unused doc columns pruned. NB
+    classifier: the corpus-scale side joins the model by BROADCAST
+    (model completion's tiny L x B' grid is the only deliberate cross);
+    no Python anywhere."""
+    import __spark_entry__ as em
+
+    q = em.queries()["ngram_novelty_per_source"](spark, SF)
+    f = plan_facts(q)
+    assert not f.has_python_eval, f.text
+    assert "CartesianProduct" not in f.join_strategies, f.text
+    assert_columns_pruned(q, {"lang", "n_chars"})
+
+    c = em.queries()["nb_langid_confusion"](spark, SF)
+    c.collect()  # AQE finalizes strategies
+    fc = plan_facts(c)
+    assert not fc.has_python_eval, fc.text
+    final = fc.text.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    # the only cross shapes are the broadcast scalar/grid joins
+    assert "CartesianProduct" not in final, final
