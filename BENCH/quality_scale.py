@@ -34,6 +34,9 @@ JOBS = [
     "refinedweb_lines",
     "ql_dirichlet",
     "heaps_fit",
+    "ngram_novelty",
+    "nb_fit_classify",
+    "gpt3_decontaminate",
 ]
 CONTROLS = {"jvm_control_explode_count"}
 
@@ -72,9 +75,19 @@ if not os.path.isdir(path):
 docs = spark.read.parquet(path)
 n_tokens = n_docs * 40
 
+from bloomine_spark.operators.classify import nb_classify, nb_train
+from bloomine_spark.operators.dedup import gpt3_window_decontaminate
 from bloomine_spark.operators.retrieval import ql_dirichlet_topk_per_source
 from bloomine_spark.operators.textops import (
-    gopher_repetition, heaps_fit_per_source, refinedweb_line_correct)
+    gopher_repetition, heaps_fit_per_source, ngram_novelty_per_source,
+    refinedweb_line_correct)
+
+# GPT-3 decontamination eval set: one exact 13-gram from every 23rd doc
+# (the driver query's derivation)
+_eval = docs.filter(F.col("doc_id") % 23 == 0).select(
+    "doc_id",
+    F.array_join(F.slice(F.split("text", " "), 4, 13), " ").alias("text"),
+)
 
 # plant boilerplate on 1/7 of docs so the RefinedWeb regexes do real
 # line-level string work (mirrors the driver query's planting)
@@ -98,6 +111,17 @@ FNS = {{
     "ql_dirichlet": lambda: ql_dirichlet_topk_per_source(
         docs, ["w1", "w17", "w4242"], k=5).collect(),
     "heaps_fit": lambda: heaps_fit_per_source(docs).collect(),
+    "ngram_novelty": lambda: ngram_novelty_per_source(docs, max_n=8)
+        .collect(),
+    "nb_fit_classify": lambda: nb_classify(
+        docs,
+        nb_train(docs.select(F.col("source").alias("label"), "text"),
+                 n_buckets=256),
+        n_buckets=256,
+    ).agg(F.count("*")).head(),
+    "gpt3_decontaminate": lambda: gpt3_window_decontaminate(
+        docs, _eval, n=13, window=60, min_piece_chars=40)
+        .agg(F.count("*"), F.sum("n_chars")).head(),
 }}
 
 docs.select(F.count("*")).head()  # warmup: page cache + codegen hot
@@ -142,8 +166,14 @@ def main():
         sizes[j] = n_docs * 8
     # the repetition pack does ~360 gram digests per doc (9 gram sizes
     # x 40 words) — real work by design; n_docs/8 still gives ~60s of
-    # signal at base cores
+    # signal at base cores. Novelty (8 gram sizes) and the NB classifier
+    # (~280 hashed char-bigram features per doc, fit + classify) carry
+    # comparable per-doc work; GPT-3 decon is lighter (13-grams only +
+    # Bloom probe) and runs at n_docs/2
     sizes["gopher_repetition"] = max(n_docs // 8, 10_000)
+    sizes["ngram_novelty"] = max(n_docs // 8, 10_000)
+    sizes["nb_fit_classify"] = max(n_docs // 8, 10_000)
+    sizes["gpt3_decontaminate"] = max(n_docs // 2, 10_000)
     for job in JOBS:
         # paired back-to-back so the box's throttle drift hits both sides
         r_hi = run(hi, sizes[job], job, 3)
@@ -166,26 +196,24 @@ def main():
         json.dump(rec, f, indent=1)
 
     rows = "\n".join(
-        f"| {j} | {t_base[j]} | {t_hi[j]} | {eff[j]}"
+        f"| {j} | {sizes[j]:,} | {t_base[j]} | {t_hi[j]} | {eff[j]}"
         f"{' (control)' if j in CONTROLS else ''} |"
         for j in JOBS
     )
     md = f"""# Quality/forensics family scaling (N vs 4N cores)
 
 Input: generated docs x 40 words from a 50k-type vocab (pure-codegen
-fixture, .data parquet, 64 pinned leaf splits): {n_docs:,} docs for the
-groupBy-heavy jobs, {n_docs * 8:,} for the scan-bound light jobs
-(control, refinedweb — at the smaller size they finish in ~1s and fixed
-overhead swamps the signal), {sizes['gopher_repetition']:,} for the
-repetition pack (~360 gram digests per doc — real work by design).
-Paired back-to-back runs per job, best of 3, local[{base}] vs
-local[{hi}]. Same box caveats as BENCH/BASELINE.md:
+fixture, .data parquet, 64 pinned leaf splits); per-job doc counts in
+the table below (scan-bound light jobs run at 8x so fixed overhead
+doesn't swamp the signal; the gram-digest-heavy packs at 1/8 — ~300+
+digest/feature rows per doc is real work by design). Paired
+back-to-back runs per job, best of 3, local[{base}] vs local[{hi}]. Same box caveats as BENCH/BASELINE.md:
 the JVM-codegen control bounds what this shared-DRAM VM can evidence in
 the same window; engine jobs at or above the control add no scaling
 penalty of their own.
 
-| job | {base}c secs | {hi}c secs | efficiency |
-|---|---|---|---|
+| job | docs | {base}c secs | {hi}c secs | efficiency |
+|---|---|---|---|---|
 {rows}
 
 gopher_repetition is the heaviest shape here: one doc_id-keyed word
@@ -194,7 +222,11 @@ aggregates — all shuffles carry (md5, length) pairs, never text.
 refinedweb_lines is a zero-shuffle codegen map (scan-bound by
 construction). ql_dirichlet is the term-filtered explode + broadcast
 scalars. heaps_fit is two vocab-collapsing aggregates + one per-source
-window over |docs| rows.
+window over |docs| rows. ngram_novelty shares the gopher window pass
+(7 leads, all gram sizes at once) plus ONE corpus-wide digest-keyed
+first-occurrence aggregate. nb_fit_classify is the full train+classify
+round trip (two fit aggregates, broadcast-model join). gpt3_decontaminate
+is the 13-gram digest window + Bloom-prefiltered semi-join + piece cut.
 """
     with open(os.path.join(REPO, "BENCH", "QUALITY_SCALE.md"), "w") as f:
         f.write(md)
