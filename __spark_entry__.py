@@ -1134,6 +1134,64 @@ def _q_zipf_fit_per_source(spark, sf_dir):
     return zipf_fit_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_wordpiece_fertility(spark, sf_dir):
+    """WordPiece (Wu 2016, the BERT tokenizer rule): corpus-trained
+    substring vocab (len ≤ 4, count ≥ 2, single chars force-kept), word
+    TYPES segmented by greedy longest-match-first, occurrence-weighted
+    fertility per source. Integer-deterministic end to end — no float
+    tie-break anywhere; the oracle unrolls the greedy loop (fixture max
+    word length 8 < 12 unrolled rounds)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.bpe import wordpiece_fertility_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return wordpiece_fertility_per_source(
+        load_table(spark, sf_dir, "documents"), max_len=4, min_count=2
+    ).orderBy("source")
+
+
+def _q_ccnet_normalize(spark, sf_dir):
+    """CCNet pre-LM text normalization (Wenzek 2020): lowercase, digits
+    →0, control chars handled, whitespace collapsed. Mess is PLANTED on
+    doc_id moduli (the corpus is already clean): %7 → mixed case +
+    digits, %11 → tabs/newlines + space runs, %13 → a control char."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import ccnet_normalize
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = F.col("text")
+    p = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(p, F.lit(" The Price IS 42,99 Today")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(p, F.lit("\tcol1\tcol2\nrow   with    runs  ")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(p, F.lit("\x07bell here")),
+    ).otherwise(p)
+    return ccnet_normalize(docs.withColumn("text", p)).orderBy("doc_id")
+
+
+def _q_sample_by_hash(spark, sf_dir):
+    """Deterministic md5-threshold Bernoulli sample at rate 0.25: the
+    kept set is a pure function of (doc_id, salt) — stable under corpus
+    growth and identical across engines (md5 hex-1-8 parity parse)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import sample_by_hash
+    from bloomine_spark.sources.tables import load_table
+
+    return sample_by_hash(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ),
+        0.25, salt="bench",
+    ).orderBy("doc_id")
+
+
 def _q_nb_langid_confusion(spark, sf_dir):
     """Trained hashed-bigram Naive Bayes classifier (fastText/CLD-style
     language/domain ID): fit on the corpus with label = source, classify
@@ -2053,6 +2111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpt3_window_decontaminate": _q_gpt3_window_decontaminate,
         "ngram_novelty_per_source": _q_ngram_novelty_per_source,
         "nb_langid_confusion": _q_nb_langid_confusion,
+        "ccnet_normalize": _q_ccnet_normalize,
+        "sample_by_hash": _q_sample_by_hash,
+        "wordpiece_fertility_per_source": _q_wordpiece_fertility,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
@@ -4186,6 +4247,119 @@ def oracle_sql() -> dict[str, str]:
                ({_reason}) IS NULL AS keep,
                ({_reason}) AS reason
         FROM j
+        ORDER BY doc_id
+    """
+
+    # --- wordpiece_fertility_per_source: unrolled greedy rounds (each
+    # consumes >= 1 char; 12 rounds > max fixture word length 8), same
+    # integer longest-match rule, same vocab construction ----------------
+    _WP_ROUNDS = 12
+    _wp_rounds_sql = ""
+    for _k in range(1, _WP_ROUNDS + 1):
+        _wp_rounds_sql += f"""
+        , r{_k}c AS (
+          SELECT s.word, s.len, s.p, s.np, s.pieces, c.l
+          FROM r{_k - 1} s CROSS JOIN (
+            SELECT unnest([1, 2, 3, 4]) AS l) c
+          WHERE s.p < s.len AND s.p + c.l <= s.len
+        ), r{_k}m AS (
+          SELECT c.word, c.len, c.p, c.np, c.pieces,
+                 COALESCE(MAX(CASE WHEN v.piece IS NOT NULL
+                               THEN c.l END), 1) AS bl
+          FROM r{_k}c c LEFT JOIN vocab v
+            ON v.piece = substr(c.word, CAST(c.p + 1 AS INT),
+                                CAST(c.l AS INT))
+          GROUP BY 1, 2, 3, 4, 5
+        ), r{_k} AS MATERIALIZED (
+          SELECT word, len, p + bl AS p, np + 1 AS np,
+                 pieces || (CASE WHEN np = 0 THEN '' ELSE '|' END)
+                        || substr(word, CAST(p + 1 AS INT),
+                                  CAST(bl AS INT)) AS pieces
+          FROM r{_k}m
+          UNION ALL
+          SELECT word, len, p, np, pieces FROM r{_k - 1} WHERE p >= len
+        )"""
+    sql["wordpiece_fertility_per_source"] = f"""
+        WITH wf AS (
+          SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM documents, unnest(string_split(text, ' ')) u(w)
+          WHERE u.w <> '' GROUP BY 1
+        ), pc AS (
+          SELECT substr(word, CAST(u.i AS INT), CAST(v.l AS INT)) AS piece,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM wf,
+               unnest(range(1, length(word) + 1)) u(i),
+               unnest(range(1, least(4, length(word) - u.i + 1) + 1)) v(l)
+          GROUP BY 1
+        ), vocab AS (
+          SELECT piece FROM pc WHERE cnt >= 2 OR length(piece) = 1
+        ), r0 AS (
+          SELECT word, length(word) AS len, 0 AS p, 0 AS np,
+                 '' AS pieces
+          FROM wf
+        ){_wp_rounds_sql}, seg AS (
+          SELECT word, np FROM r{_WP_ROUNDS}
+        ), ps AS (
+          SELECT source, u.w AS word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents, unnest(string_split(text, ' ')) u(w)
+          WHERE u.w <> '' GROUP BY 1, 2
+        )
+        SELECT ps.source,
+               CAST(SUM(ps.c) AS BIGINT) AS n_words,
+               CAST(SUM(ps.c * seg.np) AS BIGINT) AS n_pieces,
+               ROUND(SUM(ps.c * seg.np) / CAST(SUM(ps.c) AS DOUBLE), 6)
+                 AS fertility
+        FROM ps JOIN seg USING (word)
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+    # --- ccnet_normalize: identical planting, identical regex automata
+    # (shared Java-regex/RE2 classes), same replace order -----------------
+    sql["ccnet_normalize"] = """
+        WITH p0 AS (
+          SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                 THEN text || ' The Price IS 42,99 Today'
+                 ELSE text END AS t
+          FROM documents
+        ), p1 AS (
+          SELECT doc_id, CASE WHEN doc_id % 11 = 0
+                 THEN t || chr(9) || 'col1' || chr(9) || 'col2' ||
+                      chr(10) || 'row   with    runs  '
+                 ELSE t END AS t FROM p0
+        ), base AS (
+          SELECT doc_id, CASE WHEN doc_id % 13 = 0
+                 THEN t || chr(7) || 'bell here'
+                 ELSE t END AS t FROM p1
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(t), '[0-9]', '0', 'g'),
+                     '[\\t\\n\\r\\x0b\\x0c]', ' ', 'g'),
+                   '[\\x00-\\x1f\\x7f]', '', 'g'),
+                 ' +', ' ', 'g')) AS text,
+               CAST(length(t) AS BIGINT) AS n_chars_raw,
+               CAST(length(trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(t), '[0-9]', '0', 'g'),
+                     '[\\t\\n\\r\\x0b\\x0c]', ' ', 'g'),
+                   '[\\x00-\\x1f\\x7f]', '', 'g'),
+                 ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM base
+        ORDER BY doc_id
+    """
+
+    # --- sample_by_hash: md5 hex-1-8 threshold, pure function of
+    # (doc_id, salt) ------------------------------------------------------
+    sql["sample_by_hash"] = """
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE CAST(('0x' || substr(
+                md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) < 1073741824
         ORDER BY doc_id
     """
 

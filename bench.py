@@ -354,6 +354,11 @@ def main():
         # trained hashed-bigram NB classifier
         "ngram_novelty_per_source",
         "nb_langid_confusion",
+        # r6 sixth-session additions (excluded): CCNet normalization,
+        # deterministic hash sampling, WordPiece greedy segmentation
+        "ccnet_normalize",
+        "sample_by_hash",
+        "wordpiece_fertility_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -414,6 +419,9 @@ def main():
         "q_gpt3_window_decontaminate",
         "q_ngram_novelty_per_source",
         "q_nb_langid_confusion",
+        "q_ccnet_normalize",
+        "q_sample_by_hash",
+        "q_wordpiece_fertility_per_source",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -55,6 +55,9 @@ __all__ = [
     "bpe_merge_table",
     "bpe_source_stats",
     "bpe_transfer_stats",
+    "wordpiece_vocab",
+    "wordpiece_segment",
+    "wordpiece_fertility_per_source",
 ]
 
 
@@ -274,5 +277,173 @@ def bpe_source_stats(
                 F.col("n_subwords").cast("double")
                 / F.col("n_words").cast("double")
             ).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece: greedy longest-match-first segmentation (Wu et al. 2016 —
+# the BERT tokenizer's inference rule). INTEGER-deterministic end to end:
+# the only comparison is "longest vocab piece at this position", so there
+# is no float tie-break anywhere and a SQL oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    max_len: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(piece, count) — every substring of length 1..``max_len`` of every
+    word, counted across the corpus weighted by word-type frequency
+    (overlaps included), kept when ``count >= min_count``; ALL single
+    characters are force-kept so segmentation can never fail. The corpus
+    collapses once to word types; the piece enumeration is a per-type
+    expression (no shuffle carries text wider than a piece)."""
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    words = word_freq_table(docs, text_col)
+    cands = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_len), F.length("word") - i + 1),
+                ),
+                lambda l: F.col("word").substr(i, l),
+            ),
+        )
+    )
+    counts = (
+        words.select(F.explode(cands).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )
+    return counts.filter(
+        (F.col("count") >= min_count) | (F.length("piece") == 1)
+    )
+
+
+def wordpiece_segment(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_len: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Greedy longest-match segmentation of a (word, …) TYPE relation
+    against ``vocab`` (a (piece, …) relation): at each position take the
+    LONGEST vocab piece (length capped at ``max_len``); a position with
+    no match consumes one character as-is (cannot happen for a
+    ``wordpiece_vocab``-built vocab, which force-keeps single chars).
+
+    Returns (word, n_pieces, pieces) with ``pieces`` '|'-joined.
+
+    Loop shape (the BPE-round convention): one round per consumed piece —
+    each round is a bounded candidate explode (``max_len`` lengths), one
+    broadcast join against the vocab, one integer max per word;
+    ``localCheckpoint`` every few rounds caps lineage. Rounds are bounded
+    by the longest word, read once as a scalar (the same bound-only
+    driver read ``learn_bpe`` uses for its round count)."""
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    v = F.broadcast(vocab.select("piece").distinct())
+    state = words.select(
+        "word",
+        F.length("word").cast("long").alias("_len"),
+        F.lit(0).cast("long").alias("_p"),
+        F.lit(0).cast("long").alias("n_pieces"),
+        F.lit("").alias("pieces"),
+    )
+    max_rounds = state.agg(F.max("_len")).first()[0] or 0
+    for r in range(int(max_rounds)):
+        active = state.filter(F.col("_p") < F.col("_len"))
+        done = state.filter(F.col("_p") >= F.col("_len"))
+        if active.isEmpty():
+            break
+        cand = active.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_len), (F.col("_len") - F.col("_p"))
+                        .cast("int"),
+                    ),
+                )
+            ).alias("_l"),
+        ).withColumn(
+            "_pc",
+            F.col("word").substr(
+                (F.col("_p") + 1).cast("int"), F.col("_l").cast("int")
+            ),
+        )
+        best = (
+            cand.join(v, cand["_pc"] == v["piece"], "left")
+            .groupBy("word", "_len", "_p", "n_pieces", "pieces")
+            .agg(
+                F.coalesce(
+                    F.max(F.when(F.col("piece").isNotNull(), F.col("_l"))),
+                    F.lit(1),
+                ).cast("long").alias("_bl")
+            )
+        )
+        stepped = best.select(
+            "word", "_len",
+            (F.col("_p") + F.col("_bl")).alias("_p"),
+            (F.col("n_pieces") + 1).alias("n_pieces"),
+            F.concat(
+                F.col("pieces"),
+                F.when(F.col("n_pieces") == 0, F.lit("")).otherwise(
+                    F.lit("|")
+                ),
+                F.col("word").substr(
+                    (F.col("_p") + 1).cast("int"), F.col("_bl").cast("int")
+                ),
+            ).alias("pieces"),
+        )
+        state = done.unionByName(stepped)
+        if (r + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    return state.select("word", "n_pieces", "pieces")
+
+
+def wordpiece_fertility_per_source(
+    docs: DataFrame,
+    max_len: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-trained WordPiece fertility per source: vocab from the
+    whole corpus, word TYPES segmented once, occurrence-weighted
+    piece counts per source. Returns (source, n_words, n_pieces,
+    fertility) with fertility = pieces per word occurrence, round 6."""
+    vocab = wordpiece_vocab(docs, max_len=max_len, min_count=min_count,
+                            text_col=text_col)
+    types = word_freq_table(docs, text_col).select("word")
+    seg = wordpiece_segment(types, vocab, max_len=max_len)
+    per_src = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        per_src.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long")
+            .alias("n_pieces"),
+        )
+        .select(
+            "source", "n_words", "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 6)
+            .alias("fertility"),
         )
     )

@@ -817,6 +817,73 @@ def refinedweb_line_correct(
     )
 
 
+def ccnet_normalize(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet text normalization (Wenzek et al. 2020 — the canonical
+    pre-LM-scoring cleanup applied before KenLM perplexity): lowercase,
+    every digit mapped to ``0``, control/non-printing characters
+    removed, whitespace runs collapsed to single spaces, ends trimmed.
+    (The paper's Unicode accent folding needs ICU tables; this engine's
+    corpus contract is ASCII text, so the accent step is a no-op by
+    construction and intentionally omitted rather than approximated.)
+
+    Returns all input columns with ``text`` replaced by the normalized
+    form plus ``n_chars_raw`` / ``n_chars_norm``. Pure codegen
+    (lower/regexp_replace/trim) — a zero-shuffle map over the scan; the
+    regex character classes are shared Java-regex/RE2 syntax so a DuckDB
+    oracle evaluates identical automata."""
+    t = F.col(text_col)
+    norm = F.lower(t)
+    norm = F.regexp_replace(norm, "[0-9]", "0")
+    # whitespace-class controls become spaces (they separate words);
+    # the remaining controls are noise and vanish
+    norm = F.regexp_replace(norm, "[\\t\\n\\r\\x0b\\x0c]", " ")
+    norm = F.regexp_replace(norm, "[\\x00-\\x1f\\x7f]", "")
+    norm = F.trim(F.regexp_replace(norm, " +", " "))
+    out_cols = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *out_cols,
+        F.length(t).cast("long").alias("n_chars_raw"),
+        norm.alias(text_col),
+    ).select(
+        *out_cols,
+        text_col,
+        "n_chars_raw",
+        F.length(text_col).cast("long").alias("n_chars_norm"),
+    )
+
+
+def sample_by_hash(
+    docs: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff the first 8 hex
+    chars of ``md5(salt || ':' || id)`` parse below ``rate · 2^32``. The
+    standard reproducible-subset primitive for corpus work — the kept
+    set is a pure function of (id, salt), so it is stable under corpus
+    growth, identical across engines (the relational-sketch md5 parity
+    trick), and independent samples come from different salts. Unlike
+    ``df.sample`` there is no RNG state: re-running, resuming, or
+    re-partitioning cannot change the sample.
+
+    Zero-shuffle codegen filter pushed at the scan."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    threshold = int(rate * (1 << 32))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return docs.filter(h < F.lit(threshold))
+
+
 def ngram_novelty_per_source(
     docs: DataFrame,
     max_n: int = 8,

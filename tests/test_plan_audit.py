@@ -598,3 +598,29 @@ def test_novelty_and_nb_plans(spark):
     assert "BroadcastHashJoin" in final, final
     # the only cross shapes are the broadcast scalar/grid joins
     assert "CartesianProduct" not in final, final
+
+
+@needs_data
+def test_normalize_sample_wordpiece_plans(spark):
+    """CCNet normalization and hash sampling are codegen maps/filters —
+    no Python, at most the final sort's exchange, unused columns never
+    reach the scan. WordPiece's returned plan (post greedy loop) is
+    Python-free with no cartesian."""
+    import __spark_entry__ as em
+
+    n = em.queries()["ccnet_normalize"](spark, SF)
+    fn = plan_facts(n)
+    assert not fn.has_python_eval, fn.text
+    assert fn.n_exchanges <= 1, fn.text          # orderBy only
+    assert_columns_pruned(n, {"lang", "source", "n_chars"})
+
+    s = em.queries()["sample_by_hash"](spark, SF)
+    fs = plan_facts(s)
+    assert not fs.has_python_eval, fs.text
+    assert fs.n_exchanges <= 1, fs.text
+    assert_columns_pruned(s, {"lang", "text"})
+
+    w = em.queries()["wordpiece_fertility_per_source"](spark, SF)
+    fw = plan_facts(w)
+    assert not fw.has_python_eval, fw.text
+    assert "CartesianProduct" not in fw.join_strategies, fw.text
