@@ -4,7 +4,12 @@ The full pre-training document pass, composed from this engine's curation
 operators, with per-stage resumable parquet (the same _SUCCESS +
 _PARAMS.json protocol as the screen cascade):
 
+  (input)   — with --sample RATE, a deterministic md5-threshold
+              Bernoulli subset of the input (pure function of
+              (doc_id, salt); a filter, not a stage)
   scrubbed  — PII scrub (emails/IPv4s/phones → typed tags, counts kept)
+  normalized— (only with --normalize) CCNet text normalization before
+              any scoring (Wenzek 2020)
   refinedweb— (only with --refinedweb) RefinedWeb line-wise corrections:
               boilerplate lines cut, pages rebuilt, mostly-boilerplate
               docs dropped (Penedo 2023 App. G.2)
@@ -78,6 +83,17 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="mixture token budget (default: the corpus size, "
                     "i.e. resample to the same scale)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="CCNet text normalization (Wenzek 2020) right "
+                         "after the PII scrub: lowercase, digits→0, "
+                         "control chars handled, whitespace collapsed — "
+                         "the canonical pre-LM-scoring cleanup")
+    ap.add_argument("--sample", type=float, default=None, metavar="RATE",
+                    help="deterministic md5-threshold Bernoulli sample of "
+                         "the input docs before anything else runs — the "
+                         "kept set is a pure function of (doc_id, salt), "
+                         "stable under corpus growth and resume")
+    ap.add_argument("--sample-salt", default="curate")
     ap.add_argument("--refinedweb", action="store_true",
                     help="apply the RefinedWeb line-wise corrections "
                          "(Penedo 2023 App. G.2) right after the PII scrub "
@@ -134,6 +150,8 @@ def main() -> None:
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
         "near_dup_keep": args.near_dup_keep,
         "eval_set": args.eval_set, "decontam_n": args.decontam_n,
+        "normalize": bool(args.normalize),
+        "sample": args.sample, "sample_salt": args.sample_salt,
         "refinedweb": bool(args.refinedweb),
         "c4": bool(args.c4),
         "gopher": bool(args.gopher),
@@ -148,6 +166,12 @@ def main() -> None:
     }
 
     docs = spark.read.parquet(args.input)
+    if args.sample is not None:
+        from bloomine_spark.operators.textops import sample_by_hash
+
+        # a filter, not a stage: deterministic by (doc_id, salt), so it
+        # needs no materialization to be resumable
+        docs = sample_by_hash(docs, args.sample, salt=args.sample_salt)
 
     def _scrub():
         s = scrub_pii(docs)
@@ -162,6 +186,16 @@ def main() -> None:
 
     scrubbed = runner.stage("scrubbed", _scrub,
                             manifest=dict(manifest, stage="scrubbed"))
+
+    if args.normalize:
+        from bloomine_spark.operators.textops import ccnet_normalize
+
+        def _normalize():
+            cols = scrubbed.columns
+            return ccnet_normalize(scrubbed).select(*cols)
+
+        scrubbed = runner.stage("normalized", _normalize,
+                                manifest=dict(manifest, stage="normalized"))
 
     if args.refinedweb:
         from bloomine_spark.operators.textops import refinedweb_line_correct

@@ -331,3 +331,48 @@ def test_run_curate_cli_refinedweb_and_repetition(spark, tmp_path):
     t1 = cur.set_index("doc_id").loc[1, "text"]
     assert "BUY NOW" not in t1      # boilerplate line cut...
     assert "forest" in t1 and t1.count("\n") == 1  # ...page rebuilt
+
+
+def test_run_curate_cli_normalize_and_sample(spark, tmp_path):
+    """--sample keeps the md5-threshold subset of doc_ids before any
+    stage runs; --normalize folds case/digits after the scrub so every
+    downstream score sees the cleaned text."""
+    import hashlib
+    body = ("the quick brown fox jumps over a lazy dog and then KEEPS "
+            "Going past 3 old barns until the night comes and a quiet "
+            "wind settles over the hills")
+    # letter-keyed variation: digit variation would COLLAPSE under the
+    # normalizer's digit->0 fold and exact dedup would then (correctly)
+    # keep only one doc per collapsed group
+    rows = [
+        {"doc_id": i,
+         "text": body.replace("fox", "fox" + "abcdefghijklmnopqrst"[i]),
+         "lang": "en", "source": "s0"}
+        for i in range(20)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["text"].str.len()
+    inp = str(tmp_path / "docs_ns")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "ns",
+        "--quality-min", "0.2", "--top2-max", "0.5", "--min-tokens", "5",
+        "--normalize", "--sample", "0.5", "--sample-salt", "t0",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "stages ran: ['scrubbed', 'normalized', 'scored'," in r.stdout
+    cur = spark.read.parquet(f"{out}/ns/curated").toPandas()
+    expected = {
+        i for i in range(20)
+        if int(hashlib.md5(f"t0:{i}".encode()).hexdigest()[:8], 16)
+        < int(0.5 * (1 << 32))
+    }
+    assert set(cur["doc_id"]) == expected
+    t = cur.set_index("doc_id").iloc[0]["text"]
+    assert "KEEPS" not in t and "keeps" in t      # case folded
+    assert " 0 old barns " in t                   # digit folded
