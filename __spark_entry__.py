@@ -1150,6 +1150,22 @@ def _q_wordpiece_fertility(spark, sf_dir):
     ).orderBy("source")
 
 
+def _q_unigram_segment_stats(spark, sf_dir):
+    """Unigram-LM Viterbi segmentation (Kudo 2018, the SentencePiece
+    inference rule): corpus substring vocab with unigram log-probs,
+    per-word-type best-path DP, occurrence-weighted fertility + mean
+    path score per source. Path comparison = (round(score,6) DESC,
+    n_pieces ASC, pieces ASC) — a full tie is an identical path, so the
+    carried scores are identical rationals on both engines."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.bpe import unigram_segment_stats_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    return unigram_segment_stats_per_source(
+        load_table(spark, sf_dir, "documents"), max_len=4, min_count=2
+    ).orderBy("source")
+
+
 def _q_ccnet_normalize(spark, sf_dir):
     """CCNet pre-LM text normalization (Wenzek 2020): lowercase, digits
     →0, control chars handled, whitespace collapsed. Mess is PLANTED on
@@ -2114,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_normalize": _q_ccnet_normalize,
         "sample_by_hash": _q_sample_by_hash,
         "wordpiece_fertility_per_source": _q_wordpiece_fertility,
+        "unigram_segment_stats_per_source": _q_unigram_segment_stats,
         "repetition_scores": _q_repetition_scores,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "media_jpeg_features": _q_media_jpeg_features,
@@ -4309,6 +4326,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(ps.c * seg.np) AS BIGINT) AS n_pieces,
                ROUND(SUM(ps.c * seg.np) / CAST(SUM(ps.c) AS DOUBLE), 6)
                  AS fertility
+        FROM ps JOIN seg USING (word)
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+    # --- unigram_segment_stats_per_source: unrolled Viterbi positions
+    # (12 > max fixture word length 8), every dp CTE MATERIALIZED (the
+    # DuckDB inlining pitfall), identical tie-break comparator -----------
+    _UV_ROUNDS = 12
+    _uv_sql = ""
+    for _i in range(1, _UV_ROUNDS + 1):
+        _branches = "\n          UNION ALL\n".join(
+            "          SELECT s.word, s.len, s.score + v.logp AS score,\n"
+            "                 s.np + 1 AS np,\n"
+            "                 s.pieces || (CASE WHEN s.np = 0 THEN ''\n"
+            "                              ELSE '|' END)\n"
+            "                   || substr(s.word, {jp1}, {l}) AS pieces\n"
+            "          FROM dp{j} s JOIN uvocab v\n"
+            "            ON v.piece = substr(s.word, {jp1}, {l})\n"
+            "          WHERE s.len >= {i}".format(
+                j=_j, jp1=_j + 1, l=_i - _j, i=_i,
+            )
+            for _j in range(max(0, _i - 4), _i)
+        )
+        _uv_sql += f"""
+        , dp{_i}c AS (
+{_branches}
+        ), dp{_i} AS MATERIALIZED (
+          SELECT word, len, score, np, pieces FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY word
+              ORDER BY ROUND(score, 6) DESC, np ASC, pieces DESC) AS rn
+            FROM dp{_i}c
+          ) WHERE rn = 1
+        )"""
+    _uv_final = "\n          UNION ALL\n".join(
+        f"          SELECT word, score, np FROM dp{_i} WHERE len = {_i}"
+        for _i in range(1, _UV_ROUNDS + 1)
+    )
+    sql["unigram_segment_stats_per_source"] = f"""
+        WITH wf AS (
+          SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM documents, unnest(string_split(text, ' ')) u(w)
+          WHERE u.w <> '' GROUP BY 1
+        ), pc AS (
+          SELECT substr(word, CAST(u.i AS INT), CAST(v.l AS INT)) AS piece,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM wf,
+               unnest(range(1, length(word) + 1)) u(i),
+               unnest(range(1, least(4, length(word) - u.i + 1) + 1)) v(l)
+          GROUP BY 1
+        ), kept AS (
+          SELECT piece, cnt FROM pc WHERE cnt >= 2 OR length(piece) = 1
+        ), uvocab AS (
+          SELECT piece,
+                 ln(CAST(cnt AS DOUBLE))
+                   - ln(CAST((SELECT SUM(cnt) FROM kept) AS DOUBLE))
+                   AS logp
+          FROM kept
+        ), dp0 AS (
+          SELECT word, length(word) AS len, 0.0 AS score, 0 AS np,
+                 '' AS pieces
+          FROM wf
+        ){_uv_sql}, seg AS (
+{_uv_final}
+        ), ps AS (
+          SELECT source, u.w AS word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents, unnest(string_split(text, ' ')) u(w)
+          WHERE u.w <> '' GROUP BY 1, 2
+        )
+        SELECT ps.source,
+               CAST(SUM(ps.c) AS BIGINT) AS n_words,
+               CAST(SUM(ps.c * seg.np) AS BIGINT) AS n_pieces,
+               ROUND(SUM(ps.c * seg.np) / CAST(SUM(ps.c) AS DOUBLE), 6)
+                 AS fertility,
+               ROUND(SUM(ps.c * seg.score) / SUM(ps.c), 6) AS avg_logp
         FROM ps JOIN seg USING (word)
         GROUP BY 1
         ORDER BY 1

@@ -359,6 +359,9 @@ def main():
         "ccnet_normalize",
         "sample_by_hash",
         "wordpiece_fertility_per_source",
+        # r6 sixth-session addition (excluded): SentencePiece-style
+        # unigram Viterbi segmentation (Kudo 2018)
+        "unigram_segment_stats_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -422,6 +425,7 @@ def main():
         "q_ccnet_normalize",
         "q_sample_by_hash",
         "q_wordpiece_fertility_per_source",
+        "q_unigram_segment_stats_per_source",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

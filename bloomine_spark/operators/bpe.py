@@ -58,6 +58,9 @@ __all__ = [
     "wordpiece_vocab",
     "wordpiece_segment",
     "wordpiece_fertility_per_source",
+    "unigram_piece_vocab",
+    "unigram_viterbi_segment",
+    "unigram_segment_stats_per_source",
 ]
 
 
@@ -445,5 +448,167 @@ def wordpiece_fertility_per_source(
             "source", "n_words", "n_pieces",
             F.round(F.col("n_pieces") / F.col("n_words"), 6)
             .alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (Kudo 2018 — the SentencePiece
+# inference rule): segment each word into the vocab pieces maximizing
+# the sum of piece log-probabilities. The probabilistic counterpart of
+# WordPiece's greedy rule, sharing its round-loop shape: one bounded
+# candidate window per char position, a broadcast vocab join, one
+# per-word argmax. Determinism contract (the dsir/bm25 convention):
+# path comparison is (round(score,6) DESC, n_pieces ASC, pieces ASC) —
+# identical ln arguments on both engines keep rounded scores aligned,
+# and a full tie means an identical path.
+# ---------------------------------------------------------------------------
+
+
+def unigram_piece_vocab(
+    docs: DataFrame,
+    max_len: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(piece, count, logp) — the WordPiece substring vocab with a
+    unigram LM over it: ``logp = ln(count) − ln(Σ kept counts)``.
+    Single chars are force-kept (wordpiece_vocab), so every word has at
+    least one segmentation."""
+    vocab = wordpiece_vocab(docs, max_len=max_len, min_count=min_count,
+                            text_col=text_col)
+    total = vocab.agg(F.sum("count").cast("long").alias("tot"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece", "count",
+        (F.log(F.col("count").cast("double")) - F.log(F.col("tot")))
+        .alias("logp"),
+    )
+
+
+def unigram_viterbi_segment(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_len: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Viterbi DP over char positions of each word TYPE: ``dp[i]`` is the
+    best-scoring segmentation of the first ``i`` chars; position ``i``
+    extends every ``dp[j]`` (``i − max_len ≤ j < i``) whose closing piece
+    ``word[j+1..i]`` is in ``vocab``. Positions unreachable under the
+    vocab simply have no dp row; a ``unigram_piece_vocab`` vocab keeps
+    all single chars so the final position is always reached.
+
+    Returns (word, score, n_pieces, pieces) with ``pieces`` '|'-joined
+    and score the unrounded path sum (round at the consumer).
+
+    Loop shape: one round per char position (bounded by the longest
+    word, read once as a scalar), each round a ≤``max_len``-row window
+    over the cumulative dp relation, one broadcast vocab join, one
+    struct-max per word; localCheckpoint caps lineage."""
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    v = F.broadcast(vocab.select("piece", "logp"))
+    base = words.select("word", F.length("word").cast("long").alias("_n"))
+    dp = base.select(
+        "word", "_n",
+        F.lit(0).cast("long").alias("_i"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).cast("long").alias("n_pieces"),
+        F.lit("").alias("pieces"),
+    )
+    max_rounds = int(base.agg(F.max("_n")).first()[0] or 0)
+    for i in range(1, max_rounds + 1):
+        ext = (
+            dp.filter(
+                (F.col("_i") >= i - max_len) & (F.col("_i") < i)
+                & (F.col("_n") >= i)
+            )
+            .withColumn(
+                "_pc",
+                F.col("word").substr(
+                    (F.col("_i") + 1).cast("int"),
+                    (F.lit(i) - F.col("_i")).cast("int"),
+                ),
+            )
+            .join(v, F.col("_pc") == v["piece"])
+            .select(
+                "word", "_n",
+                (F.col("score") + F.col("logp")).alias("score"),
+                (F.col("n_pieces") + 1).alias("n_pieces"),
+                F.concat(
+                    F.col("pieces"),
+                    F.when(F.col("n_pieces") == 0, F.lit(""))
+                    .otherwise(F.lit("|")),
+                    F.col("_pc"),
+                ).alias("pieces"),
+            )
+        )
+        best = (
+            ext.groupBy("word", "_n")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.round("score", 6).alias("r"),
+                        (-F.col("n_pieces")).alias("nn"),
+                        F.col("pieces").alias("pieces"),
+                        F.col("score").alias("score"),
+                        F.col("n_pieces").alias("n_pieces"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "word", "_n",
+                F.lit(i).cast("long").alias("_i"),
+                F.col("b.score").alias("score"),
+                F.col("b.n_pieces").alias("n_pieces"),
+                F.col("b.pieces").alias("pieces"),
+            )
+        )
+        dp = dp.unionByName(best)
+        if i % checkpoint_every == 0:
+            dp = dp.localCheckpoint()
+    return dp.filter(
+        (F.col("_i") == F.col("_n")) & (F.col("_n") > 0)
+    ).select("word", "score", "n_pieces", "pieces")
+
+
+def unigram_segment_stats_per_source(
+    docs: DataFrame,
+    max_len: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-trained unigram-Viterbi segmentation stats per source:
+    (source, n_words, n_pieces, fertility, avg_logp) — fertility =
+    pieces per word occurrence, avg_logp = occurrence-weighted mean
+    best-path score, both round 6."""
+    vocab = unigram_piece_vocab(docs, max_len=max_len,
+                                min_count=min_count, text_col=text_col)
+    types = word_freq_table(docs, text_col).select("word")
+    seg = unigram_viterbi_segment(types, vocab, max_len=max_len)
+    per_src = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        per_src.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long")
+            .alias("n_pieces"),
+            F.sum(F.col("c") * F.col("score")).alias("_s"),
+        )
+        .select(
+            "source", "n_words", "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 6)
+            .alias("fertility"),
+            F.round(F.col("_s") / F.col("n_words"), 6).alias("avg_logp"),
         )
     )

@@ -624,3 +624,16 @@ def test_normalize_sample_wordpiece_plans(spark):
     fw = plan_facts(w)
     assert not fw.has_python_eval, fw.text
     assert "CartesianProduct" not in fw.join_strategies, fw.text
+
+
+@needs_data
+def test_unigram_viterbi_plan(spark):
+    """Viterbi segmentation runs on word TYPES with a broadcast vocab —
+    the final plan is Python-free with no cartesian; the dp loop's
+    lineage is capped by localCheckpoint."""
+    import __spark_entry__ as em
+
+    q = em.queries()["unigram_segment_stats_per_source"](spark, SF)
+    f = plan_facts(q)
+    assert not f.has_python_eval, f.text
+    assert "CartesianProduct" not in f.join_strategies, f.text
