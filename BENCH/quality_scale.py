@@ -157,7 +157,6 @@ def main():
     hi = base * 4
     t_base: dict[str, float] = {}
     t_hi: dict[str, float] = {}
-    tokens = 0
     # scan-bound light jobs get 8x the docs so fixed job overhead does
     # not swamp the scaling signal (named_scale.py lesson); the window-
     # heavy repetition pack and the groupBy-heavy fits run at n_docs
@@ -179,14 +178,17 @@ def main():
         r_hi = run(hi, sizes[job], job, 3)
         r_lo = run(base, sizes[job], job, 3)
         t_hi[job], t_base[job] = r_hi["best"], r_lo["best"]
-        tokens = r_hi["tokens"]
         print(f"{job}: {base}c {t_base[job]}s  {hi}c {t_hi[job]}s  "
               f"eff {t_base[job] / (4 * t_hi[job]):.3f}", flush=True)
 
     eff = {j: round(t_base[j] / (4 * t_hi[j]), 3) for j in JOBS}
     engine_min = min(v for j, v in eff.items() if j not in CONTROLS)
     rec = {
-        "n_docs": n_docs, "job_sizes": sizes, "tokens": tokens,
+        "n_docs": n_docs, "job_sizes": sizes,
+        # per-job tokens, not a single scalar: jobs run at different
+        # doc counts (8x / /8 / /2), so one "tokens" field would be
+        # whichever job ran last and silently mis-normalize throughput
+        "job_tokens": {j: sizes[j] * 40 for j in JOBS},
         "base_cores": base,
         "times_base": t_base, "times_4x": t_hi, "efficiency": eff,
         "control_efficiency": eff["jvm_control_explode_count"],

@@ -46,6 +46,8 @@ JOBS = [
     "vocab_coverage",
     "unigram_nll",
     "bpe_round",
+    "wordpiece_fertility",
+    "unigram_viterbi_stats",
 ]
 CONTROLS = {"jvm_control_explode_count"}
 
@@ -85,7 +87,9 @@ if not os.path.isdir(path):
 docs = spark.read.parquet(path)
 n_tokens = n_docs * 40
 
-from bloomine_spark.operators.bpe import _char_symbols, _pair_counts, word_freq_table
+from bloomine_spark.operators.bpe import (
+    _char_symbols, _pair_counts, unigram_segment_stats_per_source,
+    word_freq_table, wordpiece_fertility_per_source)
 from bloomine_spark.operators.textops import unigram_logprob_per_source, vocab_coverage
 
 def _bpe_round():
@@ -101,6 +105,13 @@ FNS = {{
     "vocab_coverage": lambda: vocab_coverage(docs).collect(),
     "unigram_nll": lambda: unigram_logprob_per_source(docs).collect(),
     "bpe_round": _bpe_round,
+    # segmentation inference: corpus collapses to the ~50k word TYPES,
+    # the round loops run on that bounded relation; the corpus-scale
+    # parts are the freq/per-source aggregates
+    "wordpiece_fertility": lambda: wordpiece_fertility_per_source(
+        docs, max_len=4, min_count=2).collect(),
+    "unigram_viterbi_stats": lambda: unigram_segment_stats_per_source(
+        docs, max_len=4, min_count=2).collect(),
 }}
 
 docs.select(F.count("*")).head()  # warmup: page cache + codegen hot
@@ -179,11 +190,14 @@ penalty of their own.
 |---|---|---|---|
 {rows}
 
-All three engine jobs share the corpus-collapse shape (explode + token
+The engine jobs share the corpus-collapse shape (explode + token
 aggregate) that dominates at 100 TB; vocab_coverage adds the bounded
 TakeOrderedAndProject + 10k-row window, unigram_nll the token->freq
 join, bpe_round the word-type pair aggregate — all on relations orders
-of magnitude smaller than the corpus.
+of magnitude smaller than the corpus. The two segmentation-inference
+jobs (WordPiece greedy, unigram Viterbi) add their round loops over the
+bounded word-TYPE relation plus one occurrence-weighted per-source
+aggregate back at corpus scale.
 """
     with open(os.path.join(REPO, "BENCH", "TOKENIZER_SCALE.md"),
               "w") as f:

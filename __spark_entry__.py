@@ -1155,7 +1155,7 @@ def _q_unigram_segment_stats(spark, sf_dir):
     inference rule): corpus substring vocab with unigram log-probs,
     per-word-type best-path DP, occurrence-weighted fertility + mean
     path score per source. Path comparison = (round(score,6) DESC,
-    n_pieces ASC, pieces ASC) — a full tie is an identical path, so the
+    n_pieces ASC, pieces DESC) — a full tie is an identical path, so the
     carried scores are identical rationals on both engines."""
     _ship_pkg(spark)
     from bloomine_spark.operators.bpe import unigram_segment_stats_per_source
@@ -4477,10 +4477,13 @@ def oracle_sql() -> dict[str, str]:
         ), nall AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
         ), labs AS (
-          SELECT t.label, t.t_label,
+          -- docs_per drives the label set (engine's LEFT join): a
+          -- feature-less label keeps its prior with t_label = 0
+          SELECT d.label, COALESCE(t.t_label, 0) AS t_label,
                  ln(d.nd / CAST(nall.n AS DOUBLE)) AS ln_prior,
-                 ln(1.0) - ln(t.t_label + 1.0 * 256) AS ln_unseen
-          FROM tot t JOIN dpl d USING (label) CROSS JOIN nall
+                 ln(1.0) - ln(COALESCE(t.t_label, 0) + 1.0 * 256)
+                   AS ln_unseen
+          FROM dpl d LEFT JOIN tot t USING (label) CROSS JOIN nall
         ), bks AS (
           SELECT DISTINCT b FROM cnt
         ), model AS (
@@ -4683,7 +4686,7 @@ def oracle_sql() -> dict[str, str]:
                  p.pe - p.ps AS n_chars
           FROM (SELECT * FROM before UNION ALL SELECT * FROM tail_) p
           JOIN b USING (doc_id)
-          WHERE p.pe - p.ps >= 40
+          WHERE p.pe > p.ps AND p.pe - p.ps >= 40
         ), capped AS (
           SELECT doc_id, ps, text, n_chars,
                  COUNT(*) OVER (PARTITION BY doc_id) AS np,

@@ -334,6 +334,7 @@ def wordpiece_segment(
     vocab: DataFrame,
     max_len: int = 4,
     checkpoint_every: int = 4,
+    max_word_chars: int = 64,
 ) -> DataFrame:
     """Greedy longest-match segmentation of a (word, …) TYPE relation
     against ``vocab`` (a (piece, …) relation): at each position take the
@@ -348,10 +349,17 @@ def wordpiece_segment(
     broadcast join against the vocab, one integer max per word;
     ``localCheckpoint`` every few rounds caps lineage. Rounds are bounded
     by the longest word, read once as a scalar (the same bound-only
-    driver read ``learn_bpe`` uses for its round count)."""
+    driver read ``learn_bpe`` uses for its round count).
+
+    ``max_word_chars`` bounds the loop against degenerate tokens: one
+    10k-char base64 blob in a web corpus would otherwise mean 10k
+    sequential rounds. Longer words are EXCLUDED (no output row) — at
+    corpus scale they are noise a curation pass kills anyway; raise the
+    cap if they matter."""
     if max_len < 1:
         raise ValueError("max_len must be >= 1")
     v = F.broadcast(vocab.select("piece").distinct())
+    words = words.filter(F.length("word") <= max_word_chars)
     state = words.select(
         "word",
         F.length("word").cast("long").alias("_len"),
@@ -459,7 +467,7 @@ def wordpiece_fertility_per_source(
 # WordPiece's greedy rule, sharing its round-loop shape: one bounded
 # candidate window per char position, a broadcast vocab join, one
 # per-word argmax. Determinism contract (the dsir/bm25 convention):
-# path comparison is (round(score,6) DESC, n_pieces ASC, pieces ASC) —
+# path comparison is (round(score,6) DESC, n_pieces ASC, pieces DESC) —
 # identical ln arguments on both engines keep rounded scores aligned,
 # and a full tie means an identical path.
 # ---------------------------------------------------------------------------
@@ -490,6 +498,7 @@ def unigram_viterbi_segment(
     vocab: DataFrame,
     max_len: int = 4,
     checkpoint_every: int = 4,
+    max_word_chars: int = 64,
 ) -> DataFrame:
     """Viterbi DP over char positions of each word TYPE: ``dp[i]`` is the
     best-scoring segmentation of the first ``i`` chars; position ``i``
@@ -504,11 +513,14 @@ def unigram_viterbi_segment(
     Loop shape: one round per char position (bounded by the longest
     word, read once as a scalar), each round a ≤``max_len``-row window
     over the cumulative dp relation, one broadcast vocab join, one
-    struct-max per word; localCheckpoint caps lineage."""
+    struct-max per word; localCheckpoint caps lineage. ``max_word_chars``
+    bounds the rounds against degenerate tokens (the wordpiece_segment
+    rationale); longer words are excluded."""
     if max_len < 1:
         raise ValueError("max_len must be >= 1")
     v = F.broadcast(vocab.select("piece", "logp"))
-    base = words.select("word", F.length("word").cast("long").alias("_n"))
+    base = words.filter(F.length("word") <= max_word_chars).select(
+        "word", F.length("word").cast("long").alias("_n"))
     dp = base.select(
         "word", "_n",
         F.lit(0).cast("long").alias("_i"),

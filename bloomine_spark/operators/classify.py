@@ -81,11 +81,17 @@ def nb_train(
         F.count("*").cast("long").alias("n_docs_label")
     )
     n_docs = base.agg(F.count("*").cast("long").alias("n_docs"))
+    # docs_per drives the label set (LEFT join): a label whose docs
+    # yield zero bigram features (all texts length <= 1) still exists in
+    # the model with t_label = 0 — its likelihoods are the pure-alpha
+    # smoothed ones, not a silent disappearance from the classifier
     labels = (
-        totals.join(docs_per, "label")
+        docs_per.join(totals, "label", "left")
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "label", "t_label",
+            "label",
+            F.coalesce(F.col("t_label"), F.lit(0).cast("long"))
+            .alias("t_label"),
             F.log(F.col("n_docs_label") / F.col("n_docs"))
             .alias("ln_prior"),
         )

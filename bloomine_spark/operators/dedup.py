@@ -896,51 +896,17 @@ def gpt3_window_decontaminate(
         F.length(text_col).cast("long").alias("_len"),
     )
 
-    def _gram_digests(df, txt):
-        # grams never span documents: every window partitions by doc_id
-        w = df.select(
-            "doc_id",
-            F.posexplode(F.split(txt, " ")).alias("pos", "_w"),
-        ).select(
-            "doc_id", "pos",
-            F.md5("_w").alias("h"),
-            F.length("_w").cast("long").alias("wl"),
-        )
-        win = Window.partitionBy("doc_id").orderBy("pos")
-        w = w.withColumn(
-            "start",
-            F.coalesce(
-                F.sum(F.col("wl") + 1).over(
-                    win.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0).cast("long"),
-            ),
-        )
-        lead_h = [F.lead("h", k).over(win).alias(f"_h{k}")
-                  for k in range(1, n)]
-        lead_l = [F.lead("wl", k).over(win).alias(f"_l{k}")
-                  for k in range(1, n)]
-        w = w.select("*", *lead_h, *lead_l)
-        gl = F.col("wl") + F.lit(n - 1).cast("long")
-        for k in range(1, n):
-            gl = gl + F.col(f"_l{k}")
-        gh = F.md5(F.concat_ws(
-            " ", F.col("h"), *[F.col(f"_h{k}") for k in range(1, n)]
-        ))
-        keep = (
-            F.col(f"_h{n-1}").isNotNull() if n > 1 else F.lit(True)
-        )
-        return w.filter(keep).select(
-            "doc_id", "start", gh.alias("gh"), gl.alias("gl")
-        )
+    from bloomine_spark.functions.grams import word_gram_digests
 
-    grams = _gram_digests(base, "_t")
-    te = _gram_digests(
+    # grams never span documents (the helper windows by doc_id); the
+    # eval side gets synthetic ids — gram identity is id-independent
+    grams = word_gram_digests(base, [n], "_t", with_length=True).drop("n")
+    te = word_gram_digests(
         test.select(
             F.monotonically_increasing_id().alias("doc_id"),
             F.col(text_col).alias("_tt"),
         ),
-        "_tt",
+        [n], "_tt",
     ).select("gh").distinct()
 
     from bloomine_spark.operators.bloomjoin import bloom_semi_join
@@ -980,9 +946,15 @@ def gpt3_window_decontaminate(
     tail = islands.groupBy("doc_id").agg(F.max("e").alias("ps")).join(
         base.select("doc_id", F.col("_len").alias("pe")), "doc_id"
     ).select("doc_id", "ps", "pe")
+    # pe > ps guards the min_piece_chars=0 boundary: an island touching
+    # char 0 (or the doc end) yields an empty complement slot, which is
+    # not a piece — the replay semantics never emit length-0 text
     pieces = (
         before.unionByName(tail)
-        .filter(F.col("pe") - F.col("ps") >= min_piece_chars)
+        .filter(
+            (F.col("pe") > F.col("ps"))
+            & (F.col("pe") - F.col("ps") >= min_piece_chars)
+        )
         .join(base.select("doc_id", "_t"), "doc_id")
         .select(
             "doc_id", "ps",

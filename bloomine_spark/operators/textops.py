@@ -913,56 +913,15 @@ def ngram_novelty_per_source(
     per-(source, n) aggregates."""
     if max_n < 1:
         raise ValueError("max_n must be >= 1")
-    w0 = docs.select(
-        F.col(source_col).alias("source"),
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w"),
-    ).select(
-        "source", "doc_id", "pos",
-        F.md5("_w").alias("h"),
-        F.length("_w").cast("long").alias("wl"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    w = w0.withColumn(
-        "start",
-        F.coalesce(
-            F.sum(F.col("wl") + 1).over(
-                win.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0).cast("long"),
+    from bloomine_spark.functions.grams import word_gram_digests
+
+    g = word_gram_digests(
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
         ),
-    )
-    if max_n > 1:
-        w = w.select(
-            "source", "doc_id", "start", "h",
-            *[F.lead("h", k).over(win).alias(f"_h{k}")
-              for k in range(1, max_n)],
-        )
-    entries = [
-        F.struct(F.lit(1).alias("n"), F.col("h").alias("gh"))
-    ]
-    for n in range(2, max_n + 1):
-        entries.append(
-            F.when(
-                F.col(f"_h{n-1}").isNotNull(),
-                F.struct(
-                    F.lit(n).alias("n"),
-                    F.md5(F.concat_ws(
-                        " ", F.col("h"),
-                        *[F.col(f"_h{k}") for k in range(1, n)],
-                    )).alias("gh"),
-                ),
-            )
-        )
-    g = w.select(
-        "source", "doc_id", "start",
-        F.explode(
-            F.filter(F.array(*entries), lambda x: x.isNotNull())
-        ).alias("_g"),
-    ).select(
-        "source", "doc_id", "start",
-        F.col("_g.n").alias("n"),
-        F.col("_g.gh").alias("gh"),
+        range(1, max_n + 1), "_t", carry_cols=("source",),
     )
     # a gram's unique first occurrence: min (doc_id, start) — source
     # rides along because (doc_id, start) identifies one occurrence
@@ -1345,6 +1304,12 @@ def gopher_repetition(
     """
     thr = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(
+                f"unknown repetition rule(s): {sorted(unknown)}; "
+                f"valid: {sorted(thr)}"
+            )
         thr.update(thresholds)
     max_n = 10
 
@@ -1382,64 +1347,13 @@ def gopher_repetition(
     lines = _unit_dups("\n", "lines")
     paras = _unit_dups("\n\n", "paras")
 
-    # word relation: digests + lengths only; start offsets by cumsum
-    w = d0.select(
-        "doc_id", F.posexplode(F.split("_t", " ")).alias("pos", "_w")
-    ).select(
-        "doc_id", "pos",
-        F.md5("_w").alias("h"),
-        F.length("_w").cast("long").alias("wl"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    w = w.withColumn(
-        "start",
-        F.coalesce(
-            F.sum(F.col("wl") + 1).over(
-                win.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0).cast("long"),
-        ),
-    )
-    # leads materialized in their own projection — window expressions
-    # may not appear inside the generator below
-    w = w.select(
-        "doc_id", "start", "h", "wl",
-        *[F.lead("h", k).over(win).alias(f"_h{k}") for k in range(1, max_n)],
-        *[F.lead("wl", k).over(win).alias(f"_l{k}")
-          for k in range(1, max_n)],
-    )
-    lead_h = [F.col(f"_h{k}") for k in range(1, max_n)]
-    lead_l = [F.col(f"_l{k}") for k in range(1, max_n)]
-    entries = []
-    for n in range(2, max_n + 1):
-        gl = F.col("wl") + F.lit(n - 1).cast("long")
-        for k in range(n - 1):
-            gl = gl + lead_l[k]
-        entries.append(
-            F.when(
-                lead_h[n - 2].isNotNull(),
-                F.struct(
-                    F.lit(n).alias("n"),
-                    F.md5(
-                        F.concat_ws(" ", F.col("h"), *lead_h[: n - 1])
-                    ).alias("gh"),
-                    gl.alias("gl"),
-                ),
-            )
-        )
-    g = (
-        w.select(
-            "doc_id", "start",
-            F.explode(
-                F.filter(F.array(*entries), lambda x: x.isNotNull())
-            ).alias("_g"),
-        )
-        .select(
-            "doc_id", "start",
-            F.col("_g.n").alias("n"),
-            F.col("_g.gh").alias("gh"),
-            F.col("_g.gl").cast("long").alias("gl"),
-        )
+    # word relation: digests + lengths only — functions/grams.py owns
+    # the shared digest convention (one window pass builds all sizes)
+    from bloomine_spark.functions.grams import word_gram_digests
+
+    g = word_gram_digests(
+        d0.select("doc_id", "_t"), range(2, max_n + 1), "_t",
+        with_length=True,
     )
     counts = g.groupBy("doc_id", "n", "gh").agg(
         F.count("*").cast("long").alias("c"), F.max("gl").alias("gl")

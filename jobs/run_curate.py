@@ -8,11 +8,12 @@ _PARAMS.json protocol as the screen cascade):
               Bernoulli subset of the input (pure function of
               (doc_id, salt); a filter, not a stage)
   scrubbed  — PII scrub (emails/IPv4s/phones → typed tags, counts kept)
-  normalized— (only with --normalize) CCNet text normalization before
-              any scoring (Wenzek 2020)
   refinedweb— (only with --refinedweb) RefinedWeb line-wise corrections:
               boilerplate lines cut, pages rebuilt, mostly-boilerplate
               docs dropped (Penedo 2023 App. G.2)
+  normalized— (only with --normalize) CCNet text normalization
+              (Wenzek 2020) — after the line packs (they need raw case
+              and newlines), before any scoring
   scored    — quality + repetition + token-count features joined on doc_id
   filtered  — threshold pass (quality ≥ --quality-min, top-2-gram
               fraction ≤ --top2-max, n_ws_tokens ≥ --min-tokens)
@@ -84,10 +85,11 @@ def main() -> None:
                     help="mixture token budget (default: the corpus size, "
                     "i.e. resample to the same scale)")
     ap.add_argument("--normalize", action="store_true",
-                    help="CCNet text normalization (Wenzek 2020) right "
-                         "after the PII scrub: lowercase, digits→0, "
-                         "control chars handled, whitespace collapsed — "
-                         "the canonical pre-LM-scoring cleanup")
+                    help="CCNet text normalization (Wenzek 2020) after "
+                         "the line-based packs (which need raw case and "
+                         "newlines) and before scoring: lowercase, "
+                         "digits→0, control chars handled, whitespace "
+                         "collapsed — the canonical pre-LM-scoring cleanup")
     ap.add_argument("--sample", type=float, default=None, metavar="RATE",
                     help="deterministic md5-threshold Bernoulli sample of "
                          "the input docs before anything else runs — the "
@@ -187,16 +189,6 @@ def main() -> None:
     scrubbed = runner.stage("scrubbed", _scrub,
                             manifest=dict(manifest, stage="scrubbed"))
 
-    if args.normalize:
-        from bloomine_spark.operators.textops import ccnet_normalize
-
-        def _normalize():
-            cols = scrubbed.columns
-            return ccnet_normalize(scrubbed).select(*cols)
-
-        scrubbed = runner.stage("normalized", _normalize,
-                                manifest=dict(manifest, stage="normalized"))
-
     if args.refinedweb:
         from bloomine_spark.operators.textops import refinedweb_line_correct
 
@@ -225,6 +217,19 @@ def main() -> None:
 
         scrubbed = runner.stage("c4", _c4,
                                 manifest=dict(manifest, stage="c4"))
+
+    if args.normalize:
+        from bloomine_spark.operators.textops import ccnet_normalize
+
+        def _normalize():
+            # AFTER the line-based packs (refinedweb/c4): normalization
+            # lowercases and folds newlines to spaces, which would blind
+            # the mainly-uppercase rule and the line splits entirely
+            cols = scrubbed.columns
+            return ccnet_normalize(scrubbed).select(*cols)
+
+        scrubbed = runner.stage("normalized", _normalize,
+                                manifest=dict(manifest, stage="normalized"))
 
     def _score():
         ids = F.col("doc_id").cast("string")

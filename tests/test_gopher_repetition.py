@@ -160,3 +160,9 @@ def test_threshold_override(spark):
         df, thresholds={"top2_char_frac": 0}
     ).collect()[0]
     assert not tight["keep"] and tight["reason"] == "top2_char_frac"
+
+
+def test_unknown_threshold_name_raises(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dup5_charfrac"):
+        gopher_repetition(df, thresholds={"dup5_charfrac": 0})

@@ -144,3 +144,16 @@ def test_validation(spark):
     tr = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         gpt3_window_decontaminate(tr, tr, n=0)
+
+
+def test_min_piece_zero_never_emits_empty_pieces(spark):
+    # collision at char 0: the leading complement slot is empty and must
+    # NOT become a piece even at min_piece_chars=0
+    t = "BAD HIT here trailing words stay"
+    test = [(0, "x BAD HIT y")]
+    got = _run(spark, [(1, t)], test, n=2, window=0,
+               min_piece_chars=0, max_pieces=10)
+    exp = _replay([(1, t)], test, 2, 0, 0, 10)
+    assert got == exp
+    assert all(r[3] > 0 and r[2] != "" for r in got)
+    assert got[0][1] == 0          # first surviving piece is idx 0

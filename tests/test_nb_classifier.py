@@ -132,3 +132,21 @@ def test_validation(spark):
         nb_train(tr, n_buckets=0)
     with pytest.raises(ValueError):
         nb_train(tr, alpha=0)
+
+
+def test_featureless_label_keeps_prior(spark):
+    # 'xx' docs have no char bigrams (single-char texts) — the label must
+    # stay in the model with the pure-alpha likelihoods, not vanish
+    tr = spark.createDataFrame(
+        [("en", "hello there"), ("en", "more text"), ("xx", "a"),
+         ("xx", "b"), ("xx", "c")],
+        "label string, text string",
+    )
+    model = nb_train(tr, n_buckets=32)
+    labels = {r["label"] for r in model.select("label").distinct().collect()}
+    assert labels == {"en", "xx"}
+    # an empty doc scores on priors alone: xx (3/5) beats en (2/5)
+    te = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    r = nb_classify(te, model, n_buckets=32).collect()[0]
+    assert r["label"] == "xx"
+    assert r["score"] == pytest.approx(math.log(3 / 5), abs=1e-6)

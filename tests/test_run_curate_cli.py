@@ -376,3 +376,40 @@ def test_run_curate_cli_normalize_and_sample(spark, tmp_path):
     t = cur.set_index("doc_id").iloc[0]["text"]
     assert "KEEPS" not in t and "keeps" in t      # case folded
     assert " 0 old barns " in t                   # digit folded
+
+
+def test_run_curate_cli_normalize_with_refinedweb_order(spark, tmp_path):
+    """--normalize combined with --refinedweb: the line pack MUST see raw
+    case and newlines (normalization lowercases and folds \\n), so the
+    stage order is refinedweb -> normalized; the boilerplate line still
+    dies and the surviving text is normalized."""
+    body = ("the quick brown fox jumps over a lazy dog while the River "
+            "keeps moving past 3 old barns and the hills beyond")
+    rows = [
+        {"doc_id": 1, "text": body + "\nBUY NOW LIMITED TIME OFFER",
+         "lang": "en", "source": "s0"},
+        {"doc_id": 2, "text": "SHOUT ONE\n99 views\nok",
+         "lang": "en", "source": "s0"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["text"].str.len()
+    inp = str(tmp_path / "docs_nr")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "nr",
+        "--quality-min", "0.2", "--top2-max", "0.5", "--min-tokens", "5",
+        "--normalize", "--refinedweb",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert ("stages ran: ['scrubbed', 'refinedweb', 'normalized', "
+            "'scored',") in r.stdout
+    cur = spark.read.parquet(f"{out}/nr/curated").toPandas()
+    assert set(cur["doc_id"]) == {1}       # 2 dies on excess removal
+    t = cur.iloc[0]["text"]
+    assert "buy now" not in t and "BUY NOW" not in t  # line pack fired
+    assert "river" in t and " 0 old barns " in t      # then normalized
