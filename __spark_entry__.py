@@ -1659,6 +1659,29 @@ def _q_dedup_group_assign(spark, sf_dir):
     )
 
 
+def _q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup (He et al. 2024): reweight near-duplicates instead of
+    dropping them. Same exact 3-gram Jaccard pair graph as
+    `dedup_group_assign`, resolved to components; each doc gets
+    commonness = group size and weight = (1/commonness)·N/G with G the
+    exact group count (Σ 1/cᵢ = G, so the normalizer is integer-exact
+    and the only float op is one division per row — hash-portable).
+    The DuckDB oracle recomputes the closure recursively and applies
+    the identical arithmetic."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        soft_dedup_weights,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=100)
+    return soft_dedup_weights(docs, pairs).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+
+
 def _q_semdedup_assign(spark, sf_dir):
     """SemDeDup (Abbas 2023): cluster-scoped cosine pairs → transitive
     groups → one survivor per group. Cells here are the deterministic
@@ -2107,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": _q_exact_dup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_group_assign": _q_dedup_group_assign,
+        "soft_dedup_weights": _q_soft_dedup_weights,
         "contamination_screen": _q_contamination_screen,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_dups": _q_simhash_dups,
@@ -2671,6 +2695,57 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         LEFT JOIN comp c ON doc_id = c.id
         LEFT JOIN csize cs ON c.comp = cs.comp
+    """
+
+    # soft_dedup_weights: same recursive closure; weight arithmetic is
+    # one double division chain per row (normalizer G is integer-exact
+    # because each size-c group contributes c·(1/c) = 1 to Σ 1/cᵢ).
+    sql["soft_dedup_weights"] = """
+        WITH RECURSIVE d AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), s AS (
+          SELECT DISTINCT id, array_to_string(toks[i + 1 : i + 3], ' ') AS g
+          FROM d, unnest(range(0, len(toks) - 2)) AS u(i)
+        ), capped AS (
+          SELECT id, g FROM (
+            SELECT id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM s
+          ) WHERE df <= 100
+        ), sz AS (
+          SELECT id, COUNT(*) AS sz FROM capped GROUP BY id
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+          FROM capped a JOIN capped b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+          WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), comp AS (
+          SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+        ), csize AS (
+          SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp
+        ), base AS (
+          SELECT doc_id,
+                 COALESCE(cs.n, 1) AS commonness,
+                 COALESCE(c.comp, doc_id) AS gid
+          FROM documents
+          LEFT JOIN comp c ON doc_id = c.id
+          LEFT JOIN csize cs ON c.comp = cs.comp
+        ), scal AS (
+          SELECT COUNT(*) AS n, COUNT(DISTINCT gid) AS grp FROM base
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(commonness AS BIGINT) AS commonness,
+               (CAST(n AS DOUBLE) / grp) / commonness AS weight
+        FROM base, scal
     """
 
     sql["cascade_combined_scores"] = f"""

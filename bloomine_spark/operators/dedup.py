@@ -1161,6 +1161,67 @@ def dedup_groups(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """SoftDeDup (He et al. 2024, "SoftDedup: an Efficient Data
+    Reweighting Method for Speeding Up Language Model Pre-training"):
+    instead of DROPPING near-duplicates, keep every document and assign
+    it a sampling weight inversely proportional to its *commonness* —
+    here the size of its near-dup group — renormalized so total
+    sampling mass is conserved (Σ weight = N).
+
+    Returns one row per ``df`` row: (id, commonness, weight) with
+    ``commonness`` = near-dup group size (1 for documents in no pair)
+    and ``weight`` = (1/commonness) · N / G where G is the number of
+    distinct groups. The normalizer is EXACT integer arithmetic — each
+    size-c group contributes c·(1/c) = 1 to Σᵢ 1/cᵢ, so Σᵢ 1/cᵢ = G,
+    the group count — which keeps the weights engine-portable (one
+    float division per row, no order-dependent float sum).
+
+    Plan shape at 100 TB: connected components over the pair graph
+    (narrow (node,label) shuffles, rounds ~ log₂ diameter), one
+    group-size aggregation proportional to the DUP subgraph only, a
+    narrow left join back on id, and a 1-row scalar broadcast — the
+    corpus itself is scanned once.
+    """
+    cc = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("_csize"))
+    member = cc.join(sizes, "component").select(
+        F.col("id").alias("_mid"), "component", "_csize"
+    )
+    base = (
+        df.select(F.col(id_col))
+        .join(member, F.col(id_col) == F.col("_mid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_csize"), F.lit(1)).cast("long").alias(
+                "commonness"
+            ),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("_gid"),
+        )
+    )
+    scalars = base.agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("_gid").alias("_g"),
+    )
+    return (
+        base.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            "commonness",
+            (
+                (F.col("_n").cast("double") / F.col("_g"))
+                / F.col("commonness")
+            ).alias("weight"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document duplicated-span detection (exact-substring dedup family)
 # ---------------------------------------------------------------------------

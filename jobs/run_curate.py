@@ -61,6 +61,11 @@ def main() -> None:
                     default="min-id",
                     help="cluster survivor rule: min doc_id (default, "
                     "deterministic) or best quality score (ties → min id)")
+    ap.add_argument("--soft-dedup", action="store_true",
+                    help="SoftDeDup (He 2024): keep every near-duplicate "
+                    "but attach (commonness, weight) — sampling weight "
+                    "inversely proportional to near-dup group size, mass-"
+                    "conserving. Mutually exclusive with --near-dup.")
     ap.add_argument("--eval-set", default=None, metavar="PATH",
                     help="parquet of eval docs (doc_id, text): drop curated "
                     "docs sharing any word n-gram with it (decontamination)")
@@ -132,6 +137,9 @@ def main() -> None:
                     "dropped")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
+    if args.near_dup and args.soft_dedup:
+        ap.error("--near-dup (drop) and --soft-dedup (reweight) are "
+                 "mutually exclusive")
 
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
@@ -151,6 +159,7 @@ def main() -> None:
         "quality_min": args.quality_min, "top2_max": args.top2_max,
         "min_tokens": args.min_tokens, "near_dup": bool(args.near_dup),
         "near_dup_keep": args.near_dup_keep,
+        "soft_dedup": bool(args.soft_dedup),
         "eval_set": args.eval_set, "decontam_n": args.decontam_n,
         "normalize": bool(args.normalize),
         "sample": args.sample, "sample_salt": args.sample_salt,
@@ -302,6 +311,18 @@ def main() -> None:
                 groups.filter(F.col("keep")).select("doc_id"),
                 "doc_id", "left_semi",
             )
+        elif args.soft_dedup:
+            from bloomine_spark.operators.dedup import (
+                minhash_lsh_duplicates,
+                soft_dedup_weights,
+            )
+
+            pairs = minhash_lsh_duplicates(out, text_col="text")
+            # reweight, don't drop: every doc survives with a sampling
+            # weight inversely proportional to its near-dup group size
+            # (mass-conserving — Σ weight = N)
+            w = soft_dedup_weights(out, pairs)
+            out = out.join(w, "doc_id")
         return out
 
     deduped = runner.stage("deduped", _dedup,

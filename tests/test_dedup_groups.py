@@ -163,3 +163,49 @@ def test_cc_string_ids(spark):
         r["id"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup reweighting (He et al. 2024)
+# ---------------------------------------------------------------------------
+
+def _soft(spark, n_docs, edges):
+    from bloomine_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n_docs)], "doc_id: long"
+    )
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    return {
+        r["doc_id"]: (r["commonness"], r["weight"])
+        for r in soft_dedup_weights(docs, pairs).collect()
+    }
+
+
+def test_soft_dedup_no_pairs_is_uniform(spark):
+    got = _soft(spark, 5, [])
+    assert got == {i: (1, 1.0) for i in range(5)}
+
+
+def test_soft_dedup_triangle_weights(spark):
+    # docs 0-1-2 form one group of 3; docs 3..9 are singletons.
+    # N = 10, G = 8 groups -> singleton weight 10/8, member (10/8)/3.
+    got = _soft(spark, 10, [(0, 1), (1, 2)])
+    for i in (0, 1, 2):
+        assert got[i][0] == 3
+        assert got[i][1] == pytest.approx((10 / 8) / 3)
+    for i in range(3, 10):
+        assert got[i] == (1, 10 / 8)
+
+
+def test_soft_dedup_mass_conserved(spark):
+    random_edges = [(0, 1), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8)]
+    got = _soft(spark, 20, random_edges)
+    assert sum(w for _, w in got.values()) == pytest.approx(20.0)
+    # commonness matches the union-find component sizes
+    want = _union_find_components(20, random_edges)
+    sizes = {}
+    for v, c in want.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for v, (c, _) in got.items():
+        assert c == sizes[want[v]]
