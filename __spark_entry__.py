@@ -1208,6 +1208,26 @@ def _q_sample_by_hash(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_priority_sample_per_source(spark, sf_dir):
+    """Priority sampling (Duffield–Lund–Thorup 2007): top-10 weighted
+    sample per source with weight = n_chars, plus the τ-calibrated
+    subset-sum estimator term max(weight, τ). Priorities come from the
+    md5 hex-1-8 uniform, so sample, ranks, τ and estimator are all a
+    pure function of (doc_id, salt) and hash-match the SQL oracle. The
+    rank filter compiles to WindowGroupLimit — per-map partial top-k
+    before the exchange (pinned in tests/test_priority_sample.py)."""
+    _ship_pkg(spark)
+    from bloomine_spark.sketch.priority import priority_sample
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return priority_sample(
+        docs, 10, "n_chars", group_col="source", salt="ps"
+    ).withColumn("doc_id", F.col("doc_id").cast("string"))
+
+
 def _q_nb_langid_confusion(spark, sf_dir):
     """Trained hashed-bigram Naive Bayes classifier (fastText/CLD-style
     language/domain ID): fit on the corpus with label = source, classify
@@ -2153,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_confusion": _q_nb_langid_confusion,
         "ccnet_normalize": _q_ccnet_normalize,
         "sample_by_hash": _q_sample_by_hash,
+        "priority_sample_per_source": _q_priority_sample_per_source,
         "wordpiece_fertility_per_source": _q_wordpiece_fertility,
         "unigram_segment_stats_per_source": _q_unigram_segment_stats,
         "repetition_scores": _q_repetition_scores,
@@ -4529,6 +4550,34 @@ def oracle_sql() -> dict[str, str]:
                 md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8))
               AS BIGINT) < 1073741824
         ORDER BY doc_id
+    """
+
+    # --- priority_sample_per_source: DLT priority sampling — priority =
+    # weight / u with u = (md5-hex-1-8 + 1)/2^32, top-10 per source,
+    # τ = the 11th priority, estimator term = max(weight, τ) ------------
+    sql["priority_sample_per_source"] = """
+        WITH w AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST(n_chars AS DOUBLE) /
+                   ((CAST(('0x' || substr(
+                       md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1) / 4294967296.0) AS priority
+          FROM documents
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY priority DESC, doc_id
+                 ) AS rn
+          FROM w
+        ), t AS (
+          SELECT *, MAX(CASE WHEN rn = 11 THEN priority END)
+                      OVER (PARTITION BY source) AS tau
+          FROM r WHERE rn <= 11
+        )
+        SELECT source, CAST(doc_id AS VARCHAR) AS doc_id, weight,
+               priority, CAST(rn AS BIGINT) AS rank,
+               GREATEST(CAST(weight AS DOUBLE), COALESCE(tau, 0.0))
+                 AS est_weight
+        FROM t WHERE rn <= 10
     """
 
     # --- nb_langid_confusion: same hashed buckets (md5 hex 1-8 mod B),
