@@ -391,3 +391,229 @@ def ivf_topk_indexed(
         df, queries, k=k, nlist=len(centroids), nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, centroids=centroids, assign=assign,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011): compress vectors
+# to m sub-codes, score with per-query ADC lookup tables
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    fraction: float | None = None,
+) -> np.ndarray:
+    """Driver-side PQ codebook training: split each (normalized) vector
+    into ``m`` contiguous subvectors of d/m dims and run an independent
+    seeded k-means (``ksub`` centroids, L2 — the PQ objective is
+    reconstruction error) per subspace over the SAME content-hash,
+    content-ordered sample as ``train_ivf_centroids`` — so the codebooks
+    are a pure function of corpus content, invariant to partitioning.
+
+    Returns (m, ksub, dsub) float64. Memory/scale math: the codebooks
+    are m·ksub·dsub = d·ksub floats — kilobytes — while the encoded
+    corpus shrinks from d floats to m small ints per vector (64-dim
+    float64 → 8 bytes of codes is 64×), which is what lets a 100 TB
+    embedding table's index live in a fraction of the scan budget.
+    """
+    d_probe = len(emb.select(vec_col).first()[0])
+    if d_probe % m != 0:
+        raise ValueError(f"m={m} must divide the embedding dim {d_probe}")
+    n = None
+    if fraction is None:
+        n = emb.count()
+        fraction = min(1.0, (sample * 1.2) / max(n, 1))
+    frac = min(1.0, fraction)
+    mod = 1 << 30
+    pdf = (
+        emb.select(vec_col)
+        .filter(
+            F.pmod(F.xxhash64(F.col(vec_col)) + F.lit(int(seed)), F.lit(mod))
+            < F.lit(int(frac * mod))
+        )
+        .toPandas()
+    )
+    x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+    if len(x) == 0:
+        n_rows = n if n is not None else emb.count()
+        if n_rows > max(sample * 50, 100_000):
+            raise ValueError(
+                f"content-hash sample at fraction={frac:g} selected 0 of "
+                f"{n_rows} rows; raise `fraction` (the full-table fallback "
+                "is reserved for small tables)"
+            )
+        pdf = emb.select(vec_col).toPandas()
+        x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+    x = x[np.lexsort(x.T)]  # content order: collect-order invariant
+    rng = np.random.default_rng(seed)
+    if len(x) > sample:
+        x = x[rng.choice(len(x), size=sample, replace=False)]
+    dsub = x.shape[1] // m
+    kk = min(ksub, len(x))
+    books = np.empty((m, kk, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            # L2 argmin via the dot-product identity (||c||² constant per c)
+            a = np.argmax(xs @ cent.T - 0.5 * (cent * cent).sum(1), axis=1)
+            for c in range(kk):
+                members = xs[a == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its m nearest-sub-centroid codes (the PQ
+    index): one Arrow pass, output (id, codes array<int>) — the 64×
+    smaller relation ADC scans instead of the raw vectors."""
+    bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def kernel(batches):
+        books = bc.value
+        m, kk, dsub = books.shape
+        half = 0.5 * (books * books).sum(axis=2)  # (m, kk)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmax(xs @ books[j].T - half[j], axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.mapInPandas(kernel, schema=schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: np.ndarray,
+    k: int = 10,
+    emb: DataFrame | None = None,
+    refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over the PQ code
+    relation: per query build the (m, ksub) lookup table of subvector
+    dot products ONCE, then each candidate costs m table lookups — no
+    float vector is read at scan time. Returns (query_id, neighbor_id,
+    score) with score = the ADC inner-product estimate.
+
+    ``refine > 1`` adds the standard re-ranking stage (IVFADC+R,
+    Jégou 2011 §V): ADC keeps the top k·refine candidates, then ONE
+    broadcast-semi-join scan of the raw ``emb`` table rescores exactly
+    that candidate set with true cosines — the shuffle is q·k·refine
+    rows, never the corpus, and the final ranking is exact over the
+    candidate pool (recall is then bounded only by ADC's candidate
+    recall, the cheap dial).
+    """
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    m, kk_books, dsub = codebooks.shape
+    # LUT[q, j, c] = q_sub_j · codebook[j, c]
+    lut = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(len(q_mat), m, dsub), codebooks
+    )
+    bc = codes.sparkSession.sparkContext.broadcast((q_ids, lut))
+    kraw = k * max(int(refine), 1)
+
+    def kernel(batches):
+        qi, tab = bc.value
+        nq = len(qi)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cm = np.array(list(pdf["codes"]), dtype=np.int64)  # (b, m)
+            sims = np.zeros((nq, len(ids)), dtype=np.float64)
+            for j in range(tab.shape[1]):
+                sims += tab[:, j, cm[:, j]]
+            sims[qi[:, None] == ids[None, :]] = -np.inf
+            kb = min(kraw, sims.shape[1])
+            cols = np.empty((nq, kb), dtype=np.int64)
+            for i in range(nq):
+                order = np.lexsort((ids, -sims[i]))
+                cols[i] = order[:kb]
+            rows = np.repeat(qi, kb)
+            flat = cols.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": rows,
+                    "neighbor_id": ids[flat],
+                    "cosine": np.round(
+                        sims[np.repeat(np.arange(nq), kb), flat], 6
+                    ),
+                }
+            )
+
+    partial = codes.mapInPandas(kernel, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    adc = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kraw)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    if refine <= 1 or emb is None:
+        return adc.select(
+            "query_id", "neighbor_id", F.col("cosine").alias("score")
+        )
+
+    # exact re-rank: one scan of emb, hash-joined against the BROADCAST
+    # candidate list (q·k·refine rows), exact cosine per surviving row
+    cand = adc.select("query_id", "neighbor_id")
+    bcq = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    pairs = emb.join(
+        F.broadcast(cand),
+        emb[id_col] == cand["neighbor_id"],
+    ).select("query_id", "neighbor_id", vec_col)
+
+    def rescore(batches):
+        qi, qm = bcq.value
+        pos = {int(q): i for i, q in enumerate(qi)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            qrows = qm[[pos[int(q)] for q in pdf["query_id"]]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": np.round((qrows * v).sum(axis=1), 6),
+                }
+            )
+
+    exact = pairs.mapInPandas(rescore, schema=_TOPK_SCHEMA)
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine").alias("score"))
+    )
