@@ -453,3 +453,128 @@ def f2_by_key_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_LSH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+_LSH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.BinaryType())),
+    ]
+)
+
+
+def lsh_dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 256,
+    idle_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate monitor: the streaming twin
+    of batch ``minhash_lsh_duplicates(verify="est")``. Signatures come
+    from the SAME stateless mapInArrow kernel (one code path, batch and
+    stream); the banded (band, bucket) explode keys an
+    ``applyInPandasWithState`` state holding the bucket's seen
+    (doc_id, signature) members, so a new arrival is compared against
+    every co-bucketed document seen SO FAR — across triggers — and each
+    pair whose matching-signature fraction ≥ threshold is emitted the
+    moment the second member arrives. This is the ingest-time "is this
+    shard a replay of something we already crawled" alarm that batch
+    dedup only raises after the fact.
+
+    State per bucket is capped at ``max_bucket`` members (new arrivals
+    past the cap still COMPARE against the stored members but are not
+    added — an over-full bucket is a degenerate hot shingle cluster,
+    the same pathology the batch path's max_doc_freq cap bounds; the
+    cap keeps per-key state O(max_bucket·num_perm) regardless of
+    stream length). ``idle_ttl_ms`` evicts idle buckets like the other
+    monitors. A pair colliding in several bands (or several triggers
+    via re-arrival) can be emitted more than once — downstream sinks
+    dedupe with ``dropDuplicates`` per microbatch; cross-trigger pair
+    identity is (id_a, id_b).
+    """
+    from bloomine_spark.operators.dedup import minhash_signatures
+
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(stream_df, text_col, id_col, n, num_perm)
+    banded = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("bb.band", "bb.bucket", "doc_id", "signature")
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if idle_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids_b, sigs_b = state.get
+            ids = list(ids_b)
+            sigs = [np.frombuffer(bytes(s), dtype=np.int64) for s in sigs_b]
+        else:
+            ids, sigs = [], []
+        out_a, out_b, out_j = [], [], []
+        for pdf in pdfs:
+            for did, sig_arr in zip(pdf["doc_id"], pdf["signature"]):
+                did = int(did)
+                v = np.asarray(sig_arr, dtype=np.int64)
+                if ids:
+                    mat = np.stack(sigs)
+                    est = (mat == v).mean(axis=1)
+                    for idx in np.nonzero(est >= threshold)[0]:
+                        a, b = sorted((ids[idx], did))
+                        if a == b:
+                            continue
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(round(float(est[idx]), 6))
+                if did not in ids and len(ids) < max_bucket:
+                    ids.append(did)
+                    sigs.append(v)
+        state.update(
+            (ids, [s.tobytes() for s in sigs])
+        )
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(int(idle_ttl_ms))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "est_jaccard": out_j}
+            )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=_LSH_OUT_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

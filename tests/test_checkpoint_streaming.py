@@ -909,3 +909,97 @@ def test_streaming_f2_stateful(spark, seq_parquet, tmp_path):
     for _, row in out.iterrows():
         assert int(row["est"]) == int(batch[row["source"]])
     assert out["nr"].sum() == batch_df.count()
+
+
+def test_streaming_lsh_dedup_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup monitor: the distinct pair set
+    emitted over the whole stream must EQUAL the batch
+    minhash_lsh_duplicates(verify='est') pairs on the same corpus —
+    same signature kernel, same banding, same estimator — including
+    pairs whose two members arrive in DIFFERENT triggers (state carries
+    the bucket across microbatches)."""
+    from bloomine_spark.operators.dedup import minhash_lsh_duplicates
+    from bloomine_spark.streaming.stream_ops import lsh_dedup_stream
+
+    base = ("the quick brown fox jumps over a lazy dog and then runs "
+            "far away past the old barn until night comes and a quiet "
+            "wind settles over the distant hills near the river")
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"{base} unique tail {i} "
+                     f"with words {i * 7} and {i * 13} apart"})
+    # planted near-dups: copies of docs 0..7 with one word swapped
+    for i in range(8):
+        rows.append({"doc_id": 1000 + i,
+                     "text": rows[i]["text"].replace("quick", "swift")})
+    src = str(tmp_path / "lshdocs")
+    spark.createDataFrame(pd.DataFrame(rows)).repartition(6).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    want = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in minhash_lsh_duplicates(
+            batch_df, num_perm=64, bands=16, threshold=0.7, verify="est"
+        ).collect()
+    }
+    assert len(want) >= 6  # planted signal present
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = lsh_dedup_stream(
+        stream, num_perm=64, bands=16, threshold=0.7
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("lsh_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lshck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT DISTINCT id_a, id_b FROM lsh_pairs"
+    ).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert got_pairs == want
+
+
+def test_streaming_lsh_dedup_bucket_cap(spark, tmp_path):
+    """max_bucket caps state: past the cap new members still compare
+    against STORED members (pairs to the bucket head survive) but are
+    not added (pairs among the overflow are the accepted loss)."""
+    from bloomine_spark.streaming.stream_ops import lsh_dedup_stream
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    pdf = pd.DataFrame(
+        [{"doc_id": i, "text": text} for i in (1, 2, 3)]
+    )
+    src = str(tmp_path / "capdocs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+    )
+    pairs = lsh_dedup_stream(stream, max_bucket=1, threshold=0.9)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("lsh_cap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "capck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT DISTINCT id_a, id_b FROM lsh_cap").toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    # doc 1 fills the bucket; 2 and 3 each pair with 1 only
+    assert got_pairs == {(1, 2), (1, 3)}
