@@ -304,7 +304,7 @@ def main():
     # tiny post-aggregation outputs); the rest are count()-driven
     collected: dict[str, list] = {}
     capture = {"minhash_lsh_dups", "ngram_jaccard_pairs", "ann_cosine_topk",
-               "ann_ivf_topk", "embedding_near_dup_lsh"}
+               "ann_ivf_topk", "embedding_near_dup_lsh", "ann_pq_topk"}
     for name in (
         "two_phase_screen",
         "minhash_lsh_dups",
@@ -362,6 +362,11 @@ def main():
         # r6 sixth-session addition (excluded): SentencePiece-style
         # unigram Viterbi segmentation (Kudo 2018)
         "unigram_segment_stats_per_source",
+        # r6 seventh-session additions (excluded): SoftDedup reweighting
+        # (He 2024), DLT priority sampling, PQ/ADC ANN (Jégou 2011)
+        "soft_dedup_weights",
+        "priority_sample_per_source",
+        "ann_pq_topk",
     ):
         if name in capture:
             def run(n=name):
@@ -389,6 +394,10 @@ def main():
     if exact_nn:
         recall["ann_ivf_recall_at_10"] = round(
             len(_pairs("ann_ivf_topk", "query_id", "neighbor_id") & exact_nn)
+            / len(exact_nn), 4
+        )
+        recall["ann_pq_recall_at_10"] = round(
+            len(_pairs("ann_pq_topk", "query_id", "neighbor_id") & exact_nn)
             / len(exact_nn), 4
         )
     # the embedding-LSH query plants 10 clone pairs (vec_id, vec_id+1e6) —

@@ -578,3 +578,113 @@ def lsh_dedup_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_PRIO_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("est_weight", T.DoubleType()),
+    ]
+)
+_PRIO_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+        T.StructField("prios", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def priority_sample_by_key_stream(
+    stream_df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "",
+    idle_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``sketch.priority.priority_sample``: a running
+    top-k weighted sample + τ-calibrated subset-sum estimator per group,
+    maintained across triggers with O(k) state per key (the sketch's
+    top-(k+1) rows — τ needs the (k+1)-th priority). Priorities are the
+    SAME md5-derived deterministic uniforms as the batch operator, so
+    after the stream drains the emitted sample is bit-identical to the
+    batch sample of the same corpus — arrival order cannot change it
+    (pinned in tests). Emits the full current sample each trigger
+    (update-mode semantics, k rows per group)."""
+    import hashlib
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _prio(key: int, weight: int) -> float:
+        h = int(
+            hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16
+        )
+        return float(weight) / ((h + 1) / 4294967296.0)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if idle_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            keys_b, weights_b, prios_b = state.get
+            rows = {
+                int(kk): (int(w), float(p))
+                for kk, w, p in zip(keys_b, weights_b, prios_b)
+            }
+        else:
+            rows = {}
+        for pdf in pdfs:
+            for kk, w in zip(pdf[key_col], pdf[weight_col]):
+                kk, w = int(kk), int(w)
+                if kk not in rows:
+                    rows[kk] = (w, _prio(kk, w))
+        # top-(k+1) by (priority desc, key asc) — the sketch state
+        ordered = sorted(
+            rows.items(), key=lambda it: (-it[1][1], it[0])
+        )[: k + 1]
+        state.update(
+            (
+                [kk for kk, _ in ordered],
+                [w for _, (w, _) in ordered],
+                [p for _, (_, p) in ordered],
+            )
+        )
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(int(idle_ttl_ms))
+        tau = ordered[k][1][1] if len(ordered) > k else 0.0
+        sample = ordered[:k]
+        yield pd.DataFrame(
+            {
+                "group": [str(key[0])] * len(sample),
+                "key": [kk for kk, _ in sample],
+                "weight": [w for _, (w, _) in sample],
+                "priority": [p for _, (_, p) in sample],
+                "rank": list(range(1, len(sample) + 1)),
+                "est_weight": [
+                    max(float(w), tau) for _, (w, _) in sample
+                ],
+            }
+        )
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=_PRIO_OUT_SCHEMA,
+        stateStructType=_PRIO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

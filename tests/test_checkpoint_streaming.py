@@ -1003,3 +1003,72 @@ def test_streaming_lsh_dedup_bucket_cap(spark, tmp_path):
     got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
     # doc 1 fills the bucket; 2 and 3 each pair with 1 only
     assert got_pairs == {(1, 2), (1, 3)}
+
+
+def test_streaming_priority_sample_matches_batch(spark, tmp_path):
+    """Streaming priority-sample twin: after the stream drains, the last
+    emitted sample per group is BIT-IDENTICAL to the batch
+    priority_sample of the same corpus — priorities are deterministic
+    md5 uniforms, and top-(k+1) state is a valid merge state (top-m of
+    a union is top-m of per-part top-ms), so arrival order is
+    irrelevant."""
+    from bloomine_spark.sketch.priority import priority_sample
+    from bloomine_spark.streaming.stream_ops import (
+        priority_sample_by_key_stream,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(600),
+            "source": [f"s{i % 3}" for i in range(600)],
+            "wt": [(i * 17) % 101 + 1 for i in range(600)],
+        }
+    )
+    src = str(tmp_path / "priodocs")
+    spark.createDataFrame(pdf).repartition(5).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    want = (
+        priority_sample(batch_df, 8, "wt", group_col="source", salt="st")
+        .toPandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+
+    final = {}
+
+    def sink(bdf, _bid):
+        for g, grp in bdf.toPandas().groupby("group"):
+            final[g] = grp.sort_values("rank").reset_index(drop=True)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    est = priority_sample_by_key_stream(
+        stream, 8, "wt", key_col="doc_id", group_col="source", salt="st"
+    )
+    q = (
+        est.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "prick"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert set(final) == {"s0", "s1", "s2"}
+    for g, got in final.items():
+        w = want[want["source"] == g].reset_index(drop=True)
+        assert got["key"].tolist() == w["doc_id"].tolist()
+        assert got["weight"].tolist() == w["weight"].tolist()
+        assert got["rank"].tolist() == w["rank"].tolist()
+        assert got["priority"].tolist() == pytest.approx(
+            w["priority"].tolist()
+        )
+        assert got["est_weight"].tolist() == pytest.approx(
+            w["est_weight"].tolist()
+        )
