@@ -637,3 +637,54 @@ def test_unigram_viterbi_plan(spark):
     f = plan_facts(q)
     assert not f.has_python_eval, f.text
     assert "CartesianProduct" not in f.join_strategies, f.text
+
+
+@needs_data
+def test_soft_dedup_and_priority_sample_plans(spark):
+    """SoftDedup: no cartesian — the only BNLJ is the 1-row scalar
+    broadcast (N, G); text is pruned from the final weight join's scan
+    side. Priority sample: Python-free, WindowGroupLimit partial top-k
+    before the single hash exchange, text/lang never read."""
+    import __spark_entry__ as em
+
+    sd = em.queries()["soft_dedup_weights"](spark, SF)
+    fsd = plan_facts(sd)
+    assert "CartesianProduct" not in fsd.join_strategies, fsd.text
+    # exactly one BroadcastNestedLoopJoin: the 1-row (n, g) scalar
+    assert fsd.join_strategies.count("BroadcastNestedLoopJoin") == 1, (
+        fsd.join_strategies
+    )
+
+    ps = em.queries()["priority_sample_per_source"](spark, SF)
+    fps = plan_facts(ps)
+    assert not fps.has_python_eval, fps.text
+    plan = fps.text.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan, plan
+    assert_columns_pruned(ps, {"text", "lang"})
+
+
+@needs_data
+def test_pq_ann_plans(spark):
+    """PQ: encode is ONE Arrow pass over the scan with zero exchanges;
+    the refined top-k plan broadcasts the tiny candidate list (never
+    shuffles the embedding table) and has no cartesian."""
+    from bloomine_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, ksub=16)
+    codes = pq_encode(emb, books)
+    fc = plan_facts(codes)
+    assert fc.has_python_eval, fc.text
+    assert fc.n_exchanges == 0, fc.text
+
+    rows = emb.limit(3).collect()
+    qs = [(int(r["vec_id"]), list(map(float, r["embedding"]))) for r in rows]
+    top = pq_topk(codes, qs, books, k=5, emb=emb, refine=4)
+    ft = plan_facts(top)
+    assert "CartesianProduct" not in ft.join_strategies, ft.text
+    assert "BroadcastHashJoin" in ft.join_strategies, ft.text
+    assert "SortMergeJoin" not in ft.join_strategies, ft.text
