@@ -1166,6 +1166,135 @@ def _q_unigram_segment_stats(spark, sf_dir):
     ).orderBy("source")
 
 
+def _web_html_expr():
+    """Deterministic HTML planting shared by the Spark query and (as a
+    documented contract) the DuckDB oracle: four page shapes keyed by
+    doc_id % 4 — head/style/script page, comment+list page, entity
+    page, table page."""
+    t = F.col("text")
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<html><head><title>t</title><style>p{color:red}"
+                      "</style></head><body><h1>Head</h1><p>"),
+                t,
+                F.lit("</p><script>var x='<p>no</p>';</script>"
+                      "</body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("<div>"), t,
+                F.lit("</div><!-- note --><ul><li>alpha</li>"
+                      "<li>beta</li></ul>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("<p>"), t,
+                F.lit(" &amp; &lt;tag&gt; &#39;q&#39;&nbsp;end</p>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<table><tr><td>"), t,
+                F.lit("</td><td>cell2</td></tr></table>"),
+            )
+        )
+    )
+
+
+def _q_html_extract_docs(spark, sf_dir):
+    """HTML→text extraction (the C4/CCNet/RefinedWeb front-end): plant
+    four deterministic page shapes around the document texts, run the
+    pure-codegen extraction chain (non-content subtree kill → block
+    tags → newlines → tag strip → entity decode → whitespace
+    normalization). The DuckDB oracle interpolates the SAME pattern
+    constants from operators/webops.py, so the two engines cannot
+    drift."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.webops import html_extract
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return html_extract(docs.withColumn("html", _web_html_expr()))
+
+
+def _web_url_expr():
+    """Deterministic URL planting shared with the oracle: uppercase
+    scheme/host, www, default/explicit ports, path depth, non-document
+    extensions, tracking params, fragments — each on its own modulus."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 17 == 0, F.lit("ftp"))
+        .when(d % 7 == 0, F.lit("HTTP"))
+        .otherwise(F.lit("https"))
+    )
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("h"),
+        (d % 40).cast("string"),
+        F.lit(".Example.com"),
+    )
+    port = F.when(
+        d % 11 == 0,
+        F.when(d % 7 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/"),
+        F.expr("repeat('a/', cast(doc_id % 15 as int))"),
+        F.lit("page"),
+        (d % 100).cast("string"),
+        F.when(d % 13 == 0, F.lit(".jpg")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 5 == 0, F.lit("?utm_source=x&q=1"))
+        .when(d % 5 == 1, F.lit("?fbclid=zz"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 0, F.lit("#top")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _q_url_canonical_filter(spark, sf_dir):
+    """URL canonicalization + first-failing-rule filter: lowercased
+    scheme/host, www/default-port/fragment/tracking-param stripping,
+    then scheme / extension / blocked-host / path-depth rules — the
+    crawl-frontier hygiene stage ahead of any text filter."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.webops import canonicalize_url_df, url_filter
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = canonicalize_url_df(docs.withColumn("url", _web_url_expr()))
+    return url_filter(
+        urls, blocked_hosts=["h7.example.com"], max_path_depth=12
+    ).select("doc_id", "url_canon", "url_keep", "url_reason")
+
+
+def _q_url_host_cap_dedup(spark, sf_dir):
+    """Canonical-URL exact dedup (min-id survivor) + per-host document
+    cap (md5-rank quota) over the same planted URLs — FineWeb-style
+    URL-level dedup with hot-host bounding; both windows are rank
+    filters (WindowGroupLimit-eligible)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.webops import (
+        canonicalize_url_df,
+        url_dedup_with_host_cap,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = canonicalize_url_df(docs.withColumn("url", _web_url_expr()))
+    return url_dedup_with_host_cap(urls, max_per_host=10).select(
+        "doc_id", "url_canon", "url_rank",
+        F.col("host_rank").cast("long").alias("host_rank"), "keep",
+    )
+
+
 def _q_ccnet_normalize(spark, sf_dir):
     """CCNet pre-LM text normalization (Wenzek 2020): lowercase, digits
     →0, control chars handled, whitespace collapsed. Mess is PLANTED on
@@ -2195,6 +2324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpt3_window_decontaminate": _q_gpt3_window_decontaminate,
         "ngram_novelty_per_source": _q_ngram_novelty_per_source,
         "nb_langid_confusion": _q_nb_langid_confusion,
+        "html_extract_docs": _q_html_extract_docs,
+        "url_canonical_filter": _q_url_canonical_filter,
+        "url_host_cap_dedup": _q_url_host_cap_dedup,
         "ccnet_normalize": _q_ccnet_normalize,
         "sample_by_hash": _q_sample_by_hash,
         "priority_sample_per_source": _q_priority_sample_per_source,
@@ -4574,6 +4706,165 @@ def oracle_sql() -> dict[str, str]:
                 md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8))
               AS BIGINT) < 1073741824
         ORDER BY doc_id
+    """
+
+    # --- web front-end: the SQL applies the SAME pattern constants the
+    # Spark operators use (imported from webops, not retyped) ------------
+    from bloomine_spark.operators.webops import (
+        _ANY_TAG,
+        _BLOCK_TAGS,
+        _COMMENTS,
+        _KILL_BLOCKS,
+        _NON_DOC_EXT,
+        _TRACKING,
+    )
+
+    def _html_chain_sql(expr: str) -> str:
+        s = f"regexp_replace({expr}, '{_KILL_BLOCKS}', ' ', 'g')"
+        s = f"regexp_replace({s}, '{_COMMENTS}', ' ', 'g')"
+        s = f"regexp_replace({s}, '{_BLOCK_TAGS}', chr(10), 'g')"
+        s = f"regexp_replace({s}, '{_ANY_TAG}', ' ', 'g')"
+        for ent, ch in (
+            ("&nbsp;", " "),
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "''"),   # SQL-escaped single quote
+            ("&amp;", "&"),
+        ):
+            s = f"replace({s}, '{ent}', '{ch}')"
+        s = rf"regexp_replace({s}, '[ \t\r\f]+', ' ', 'g')"
+        s = rf"regexp_replace({s}, ' ?\n ?', chr(10), 'g')"
+        s = rf"regexp_replace({s}, '\n{{2,}}', chr(10), 'g')"
+        s = rf"regexp_replace({s}, '^\n+|\n+$', '', 'g')"
+        return f"trim({s})"
+
+    sql["html_extract_docs"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN '<html><head><title>t</title><style>p{{color:red}}'
+                || '</style></head><body><h1>Head</h1><p>' || text
+                || '</p><script>var x=''<p>no</p>'';</script></body></html>'
+              WHEN 1 THEN '<div>' || text
+                || '</div><!-- note --><ul><li>alpha</li><li>beta</li></ul>'
+              WHEN 2 THEN '<p>' || text
+                || ' &amp; &lt;tag&gt; &#39;q&#39;&nbsp;end</p>'
+              ELSE '<table><tr><td>' || text
+                || '</td><td>cell2</td></tr></table>'
+            END AS html
+          FROM documents
+        ), x AS (
+          SELECT doc_id, {_html_chain_sql("html")} AS t FROM h
+        )
+        SELECT doc_id, t AS text,
+               CASE WHEN t = '' THEN 0
+                    ELSE CAST(len(string_split(t, chr(10))) AS BIGINT)
+               END AS n_lines
+        FROM x
+    """
+
+    _URL_BUILD = """
+          SELECT doc_id,
+            (CASE WHEN doc_id % 17 = 0 THEN 'ftp'
+                  WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'https' END)
+            || '://'
+            || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+            || 'h' || CAST(doc_id % 40 AS VARCHAR) || '.Example.com'
+            || (CASE WHEN doc_id % 11 = 0 THEN
+                  (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE ':443' END)
+                ELSE '' END)
+            || '/' || repeat('a/', CAST(doc_id % 15 AS INT))
+            || 'page' || CAST(doc_id % 100 AS VARCHAR)
+            || (CASE WHEN doc_id % 13 = 0 THEN '.jpg' ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&q=1'
+                     WHEN doc_id % 5 = 1 THEN '?fbclid=zz' ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+          FROM documents
+    """
+
+    _URL_CANON = rf"""
+          SELECT doc_id, scheme || '://' ||
+            (CASE WHEN scheme = 'https'
+                  THEN regexp_replace(h2, ':443$', '')
+                  ELSE h2 END) ||
+            (CASE WHEN rest4 = '' THEN '/' ELSE rest4 END) AS url_canon
+          FROM (
+            SELECT doc_id, scheme,
+              CASE WHEN scheme = 'http'
+                   THEN regexp_replace(h1, ':80$', '') ELSE h1 END AS h2,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(rest1, '\?&+', '?', 'g'),
+                  '&&+', '&', 'g'),
+                '[?&]+$', '', 'g') AS rest4
+            FROM (
+              SELECT doc_id,
+                lower(regexp_extract(s1,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(s1,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www\.', '') AS h1,
+                regexp_replace(regexp_extract(s1,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                  '{_TRACKING}', '', 'g') AS rest1
+              FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS s1
+                    FROM u)
+            )
+          )
+    """
+
+    sql["url_canonical_filter"] = f"""
+        WITH u AS ({_URL_BUILD}), c AS ({_URL_CANON}), f AS (
+          SELECT doc_id, url_canon,
+            regexp_extract(url_canon,
+              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+            len(string_split(regexp_extract(url_canon,
+              '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/')) - 1
+              AS depth
+          FROM c
+        )
+        SELECT doc_id, url_canon,
+               (CASE
+                  WHEN regexp_extract(url_canon, '^(https?)://', 1) = ''
+                    THEN 'scheme'
+                  WHEN length(url_canon) > 2048 THEN 'too_long'
+                  WHEN regexp_matches(url_canon, '{_NON_DOC_EXT}')
+                    THEN 'extension'
+                  WHEN host LIKE '%h7.example.com%' THEN 'blocked_host'
+                  WHEN depth > 12 THEN 'path_depth'
+                END) IS NULL AS url_keep,
+               CASE
+                 WHEN regexp_extract(url_canon, '^(https?)://', 1) = ''
+                   THEN 'scheme'
+                 WHEN length(url_canon) > 2048 THEN 'too_long'
+                 WHEN regexp_matches(url_canon, '{_NON_DOC_EXT}')
+                   THEN 'extension'
+                 WHEN host LIKE '%h7.example.com%' THEN 'blocked_host'
+                 WHEN depth > 12 THEN 'path_depth'
+               END AS url_reason
+        FROM f
+    """
+
+    sql["url_host_cap_dedup"] = f"""
+        WITH u AS ({_URL_BUILD}), c AS ({_URL_CANON}), r AS (
+          SELECT doc_id, url_canon,
+            ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY doc_id)
+              AS url_rank,
+            regexp_extract(url_canon,
+              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+          FROM c
+        ), r2 AS (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY host
+              ORDER BY CASE WHEN url_rank <> 1 THEN 1 ELSE 0 END,
+                       md5(CAST(doc_id AS VARCHAR)), doc_id) AS host_rank
+          FROM r
+        )
+        SELECT doc_id, url_canon, CAST(url_rank AS BIGINT) AS url_rank,
+               CAST(host_rank AS BIGINT) AS host_rank,
+               (url_rank = 1 AND host_rank <= 10) AS keep
+        FROM r2
     """
 
     # --- priority_sample_per_source: DLT priority sampling — priority =
