@@ -367,6 +367,11 @@ def main():
         "soft_dedup_weights",
         "priority_sample_per_source",
         "ann_pq_topk",
+        # r6 eighth-session additions (excluded): web front-end — HTML
+        # extraction, URL canonicalize+filter, URL dedup with host cap
+        "html_extract_docs",
+        "url_canonical_filter",
+        "url_host_cap_dedup",
     ):
         if name in capture:
             def run(n=name):
@@ -435,6 +440,16 @@ def main():
         "q_sample_by_hash",
         "q_wordpiece_fertility_per_source",
         "q_unigram_segment_stats_per_source",
+        # r6 seventh session (these three were measured from the start
+        # but mistakenly left OUT of this exclusion set — they inflated
+        # any headline run taken between those commits and this fix)
+        "q_soft_dedup_weights",
+        "q_priority_sample_per_source",
+        "q_ann_pq_topk",
+        # r6 eighth session
+        "q_html_extract_docs",
+        "q_url_canonical_filter",
+        "q_url_host_cap_dedup",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3
