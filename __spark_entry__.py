@@ -1295,6 +1295,78 @@ def _q_url_host_cap_dedup(spark, sf_dir):
     )
 
 
+def _linked_page_exprs():
+    """Deterministic (page url, html-with-anchors) planting shared with
+    the oracles: pages live on hosts h(doc_id%40); pages whose host
+    residue is < 30 carry one absolute anchor (uppercase host —
+    exercises lowering), one protocol-relative anchor with a fragment,
+    and modulus-gated root-relative / mailto / directory-relative
+    anchors (the latter three never produce host edges: same-host,
+    non-web scheme, unresolvable). Hosts 30–39 publish NO links, so the
+    host graph has genuinely dangling nodes for PageRank."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 40).cast("string"),
+        F.lit(".example.com/p/"), (d % 100).cast("string"),
+    )
+    anchors = F.concat(
+        F.lit('<a href="https://H'), ((d * 7 + 3) % 40).cast("string"),
+        F.lit('.Example.com/x'), (d % 9).cast("string"), F.lit('">a</a>'),
+        F.lit("<a href='//h"), ((d * 11 + 1) % 40).cast("string"),
+        F.lit(".example.com/y#frag'>b</a>"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit('<a href="/local/'), (d % 5).cast("string"),
+                        F.lit('">c</a>'))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit('<a href="mailto:x@y.z">m</a>'))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit('<a href="rel/page.html">r</a>'))
+        .otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit("<p>intro</p>"),
+        F.when(d % 40 < 30, anchors).otherwise(F.lit("<p>no links</p>")),
+    )
+    return url, html
+
+
+def _q_html_links_docs(spark, sf_dir):
+    """Anchor extraction + URL resolution (the crawl-graph front-end):
+    one regexp_extract_all + explode, hrefs resolved against the page
+    URL (absolute → scheme/host lowered; protocol-relative → page
+    scheme; root-relative → page root; fragments cut; mailto/
+    javascript/directory-relative dropped). Zero-exchange codegen."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkgraph import extract_links
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    return extract_links(pages)
+
+
+def _q_pagerank_hosts(spark, sf_dir):
+    """Host-graph PageRank (Page 1999) — the centrality weight OSCAR/
+    RefinedWeb-style corpora hang off CommonCrawl's host ranks: links
+    extracted from the planted pages → distinct host edges (hosts 30–39
+    are dangling) → 8 fixed damped power-iteration rounds with uniform
+    dangling-mass redistribution. The oracle unrolls the same 8 rounds
+    as MATERIALIZED CTEs over the formula-derived edge set."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkgraph import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    return pagerank(edges, iterations=8).orderBy("node")
+
+
 def _q_ccnet_normalize(spark, sf_dir):
     """CCNet pre-LM text normalization (Wenzek 2020): lowercase, digits
     →0, control chars handled, whitespace collapsed. Mess is PLANTED on
@@ -2327,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": _q_html_extract_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
+        "html_links_docs": _q_html_links_docs,
+        "pagerank_hosts": _q_pagerank_hosts,
         "ccnet_normalize": _q_ccnet_normalize,
         "sample_by_hash": _q_sample_by_hash,
         "priority_sample_per_source": _q_priority_sample_per_source,
@@ -4865,6 +4939,112 @@ def oracle_sql() -> dict[str, str]:
                CAST(host_rank AS BIGINT) AS host_rank,
                (url_rank = 1 AND host_rank <= 10) AS keep
         FROM r2
+    """
+
+    # --- link graph: anchor extraction + PageRank ------------------------
+    from bloomine_spark.operators.linkgraph import _HREF
+
+    _PAGE_PLANT = """
+          SELECT doc_id,
+            'https://h' || (doc_id % 40) || '.example.com/p/'
+              || (doc_id % 100) AS url,
+            '<p>intro</p>' || CASE WHEN doc_id % 40 < 30 THEN
+              '<a href="https://H' || ((doc_id*7+3) % 40) || '.Example.com/x'
+                || (doc_id % 9) || '">a</a>'
+              || '<a href=''//h' || ((doc_id*11+1) % 40)
+                || '.example.com/y#frag''>b</a>'
+              || CASE WHEN doc_id % 3 = 0 THEN
+                   '<a href="/local/' || (doc_id % 5) || '">c</a>'
+                 ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN
+                   '<a href="mailto:x@y.z">m</a>' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN
+                   '<a href="rel/page.html">r</a>' ELSE '' END
+            ELSE '<p>no links</p>' END AS html
+          FROM documents
+    """
+
+    sql["html_links_docs"] = rf"""
+        WITH p AS ({_PAGE_PLANT}), x AS (
+          SELECT doc_id, url,
+            unnest(regexp_extract_all(html,
+              '{_HREF.replace("'", "''")}', 1)) AS href0
+          FROM p
+        ), y AS (
+          SELECT doc_id, url,
+            regexp_replace(href0, '#.*$', '') AS h,
+            lower(regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS phost
+          FROM x
+        ), z AS (
+          SELECT doc_id, url,
+            CASE
+              WHEN regexp_matches(h, '^(?i)https?://') THEN
+                lower(regexp_extract(h, '^([A-Za-z]+)://', 1)) || '://'
+                || lower(regexp_extract(h, '^[A-Za-z]+://([^/?#]*)', 1))
+                || regexp_extract(h, '^[A-Za-z]+://[^/?#]*(.*)$', 1)
+              WHEN regexp_matches(h, '^//') THEN
+                scheme || '://' || lower(regexp_extract(h, '^//([^/?#]*)', 1))
+                || regexp_extract(h, '^//[^/?#]*(.*)$', 1)
+              WHEN regexp_matches(h, '^/') THEN
+                scheme || '://' || phost || h
+            END AS link
+          FROM y
+        )
+        SELECT doc_id, url, link FROM z
+        WHERE link IS NOT NULL AND link <> ''
+    """
+
+    # PageRank: the edge set falls straight out of the planting formulas
+    # (the regex extraction path is itself oracle-checked by
+    # html_links_docs); 8 damped rounds unrolled — every round CTE is
+    # referenced twice (contributions + dangling mass), so each MUST be
+    # MATERIALIZED or DuckDB inlines the chain exponentially
+    _pr_rounds = []
+    for i in range(1, 9):
+        _pr_rounds.append(f"""
+        r{i} AS MATERIALIZED (
+          SELECT nd.node,
+            (1 - 0.85) / (SELECT n FROM nn) + 0.85 * (
+              COALESCE(c.contrib, 0)
+              + (SELECT COALESCE(SUM(r.pr), 0) FROM r{i-1} r
+                 LEFT JOIN o ON o.node = r.node
+                 WHERE o.node IS NULL) / (SELECT n FROM nn)
+            ) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.pr / o.outdeg) AS contrib
+            FROM e JOIN r{i-1} r ON e.src = r.node
+            JOIN o ON o.node = e.src
+            GROUP BY e.dst
+          ) c ON c.node = nd.node
+        )""")
+
+    sql["pagerank_hosts"] = f"""
+        WITH hp AS MATERIALIZED (
+          SELECT doc_id % 40 AS hs, (doc_id*7+3) % 40 AS d1,
+                 (doc_id*11+1) % 40 AS d2
+          FROM documents WHERE doc_id % 40 < 30
+        ), e AS MATERIALIZED (
+          SELECT DISTINCT 'h' || hs || '.example.com' AS src,
+                 'h' || d || '.example.com' AS dst
+          FROM (SELECT hs, d1 AS d FROM hp
+                UNION ALL SELECT hs, d2 FROM hp)
+          WHERE hs <> d
+        ), nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), nn AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+        ), o AS MATERIALIZED (
+          SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+          FROM e GROUP BY src
+        ), r0 AS MATERIALIZED (
+          SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+          FROM nodes
+        ),{",".join(_pr_rounds)}
+        SELECT node, pr FROM r8 ORDER BY node
     """
 
     # --- priority_sample_per_source: DLT priority sampling — priority =

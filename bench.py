@@ -372,6 +372,10 @@ def main():
         "html_extract_docs",
         "url_canonical_filter",
         "url_host_cap_dedup",
+        # r6 eighth-session additions (excluded): crawl graph — anchor
+        # extraction + host-level PageRank
+        "html_links_docs",
+        "pagerank_hosts",
     ):
         if name in capture:
             def run(n=name):
@@ -450,6 +454,8 @@ def main():
         "q_html_extract_docs",
         "q_url_canonical_filter",
         "q_url_host_cap_dedup",
+        "q_html_links_docs",
+        "q_pagerank_hosts",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -1,0 +1,202 @@
+"""Link-graph operators: anchor extraction from HTML, host-level edge
+building, and PageRank — the centrality signal CommonCrawl-derived
+corpora (OSCAR, RefinedWeb, FineWeb) use to weight hosts ahead of the
+text filters.
+
+Extraction is the same pure-codegen regex tier as
+``operators.webops`` (one ``regexp_extract_all`` + explode, patterns in
+the Java∩RE2 subset so the DuckDB oracles run them verbatim).
+Resolution handles absolute http(s), protocol-relative (``//host/…``)
+and root-relative (``/path``) hrefs; directory-relative hrefs and
+non-web schemes (mailto:, javascript:, …) are dropped — a documented
+boundary: directory-relative resolution needs dot-segment collapsing,
+which is not expressible as a bounded regex chain and is a vanishingly
+small fraction of crawl anchors.
+
+PageRank is the classic damped power iteration with uniform dangling-
+mass redistribution (Page 1999; the formulation every Spark example
+ships). Per round the plan is two narrow shuffles over (node, double)
+rows — ranks hash to the statically partitioned edge list on ``src``,
+partial-aggregated contributions hash on ``dst`` — with the edge list
+itself repartitioned ONCE and reused every round, which is the shape
+that survives a 100 TB crawl graph. Lineage is truncated per round
+with ``localCheckpoint`` (swap to ``checkpoint`` + a durable
+checkpoint dir on a real cluster), same discipline as
+``dedup.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["extract_links", "host_of", "host_edges", "pagerank"]
+
+# href value in single or double quotes; one capture group (the
+# character class excludes both quote kinds so the group never spans a
+# quote boundary); fragments are cut later, not here, so '#' stays out
+# of the class only at the resolution step
+_HREF = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]+)["']"""
+
+
+def host_of(url: Column) -> Column:
+    """Host part of an absolute lowercase-scheme URL (webops canonical
+    form or resolver output)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, url, link) — one row per resolvable anchor href, resolved to
+    an absolute lowercased-scheme/host URL against the page URL.
+    Zero-exchange codegen map + explode; unresolvable hrefs drop."""
+    page = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(page, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    root = F.concat(
+        scheme,
+        F.lit("://"),
+        F.lower(F.regexp_extract(page, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+    )
+    href = F.regexp_replace(F.col("_href"), r"#.*$", "")  # fragment off first
+    resolved = (
+        F.when(
+            href.rlike(r"^(?i)https?://"),
+            F.concat(
+                F.lower(F.regexp_extract(href, r"^([A-Za-z]+)://", 1)),
+                F.lit("://"),
+                F.lower(F.regexp_extract(href, r"^[A-Za-z]+://([^/?#]*)", 1)),
+                F.regexp_extract(href, r"^[A-Za-z]+://[^/?#]*(.*)$", 1),
+            ),
+        )
+        .when(
+            href.rlike(r"^//"),
+            F.concat(
+                scheme,
+                F.lit("://"),
+                F.lower(F.regexp_extract(href, r"^//([^/?#]*)", 1)),
+                F.regexp_extract(href, r"^//[^/?#]*(.*)$", 1),
+            ),
+        )
+        .when(href.rlike(r"^/"), F.concat(root, href))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(url_col),
+            F.explode(
+                F.regexp_extract_all(F.col(html_col), F.lit(_HREF), F.lit(1))
+            ).alias("_href"),
+        )
+        .select(F.col(id_col), F.col(url_col), resolved.alias("link"))
+        .filter(F.col("link").isNotNull() & (F.col("link") != ""))
+    )
+
+
+def host_edges(
+    links: DataFrame, url_col: str = "url", link_col: str = "link"
+) -> DataFrame:
+    """Distinct (src, dst) host pairs from resolved links, self-loops
+    dropped — the host-graph input to :func:`pagerank`. One exchange
+    (the distinct)."""
+    return (
+        links.select(
+            host_of(F.col(url_col)).alias("src"),
+            host_of(F.col(link_col)).alias("dst"),
+        )
+        .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 20,
+    tol: float | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list → (node, pr), ranks summing
+    to 1 over the node set (sources ∪ destinations).
+
+    Runs exactly ``iterations`` damped power-iteration rounds (fixed
+    count keeps the result a pure function of the graph — the driver
+    oracle unrolls the same rounds in SQL); pass ``tol`` to stop early
+    once the L1 delta between rounds drops below it. Dangling nodes
+    (no out-edges) spread their mass uniformly, so total mass is
+    conserved every round (pinned in tests).
+
+    Scale shape: the edge list is hash-partitioned on ``src`` once and
+    persisted; per round only (node, double) rows move — one exchange
+    of ranks onto the edges, one of partial contribution sums onto
+    ``dst``. The dangling mass and L1 delta are single scalars
+    (1-row aggregates). Rounds needed ≈ log(tol)/log(damping), graph-
+    size-independent, so a 100 TB crawl graph costs the same ~20-60
+    narrow-shuffle rounds as a toy one.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    e = e.repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "node string, pr double")
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    ).persist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    rounds = 0
+    for _ in range(iterations):
+        rounds += 1
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .head()[0]
+        )
+        contribs = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .withColumnRenamed("node", "src")
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+        )
+        new_ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("pr"),
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("pr", "prev"), "node")
+                .agg(F.sum(F.abs(F.col("pr") - F.col("prev"))))
+                .head()[0]
+            )
+            ranks = new_ranks.localCheckpoint(eager=True)
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    return ranks
