@@ -1223,6 +1223,28 @@ def _q_html_extract_docs(spark, sf_dir):
     return html_extract(docs.withColumn("html", _web_html_expr()))
 
 
+def _q_html_main_extract_docs(spark, sf_dir):
+    """html_extract plus the link-density boilerplate tier: every page
+    gets a planted nav bar (anchor-dominated line → dropped), content
+    with one short inline link (kept), and even docs a footer nav
+    (dropped). The oracle replays the same per-line density rule with
+    DuckDB list lambdas over the SAME pattern constants; the density
+    cut is the integer cross-multiplication 2·anchor > visible."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.webops import html_extract_main
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<div><a href="/">Home</a> | <a href="/about">About</a></div><p>'),
+        F.col("text"),
+        F.lit(' with <a href="/x">ref</a></p>'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit('<div><a href="/n">Next</a></div>')).otherwise(F.lit("")),
+    )
+    return html_extract_main(docs.withColumn("html", html))
+
+
 def _web_url_expr():
     """Deterministic URL planting shared with the oracle: uppercase
     scheme/host, www, default/explicit ports, path depth, non-document
@@ -1365,6 +1387,42 @@ def _q_pagerank_hosts(spark, sf_dir):
     pages = docs.withColumn("url", url).withColumn("html", html)
     edges = host_edges(extract_links(pages))
     return pagerank(edges, iterations=8).orderBy("node")
+
+
+def _q_harmonic_hosts_exact(spark, sf_dir):
+    """Exact harmonic centrality over the planted host graph (the
+    ranking CommonCrawl publishes for hosts): layered BFS closure —
+    each round expands the frontier one hop and anti-joins known
+    pairs, so every (u,v) materializes once at its minimal distance.
+    O(n²) guarded baseline; the HyperBall twin is the scale path."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.centrality import harmonic_centrality_exact
+    from bloomine_spark.operators.linkgraph import extract_links, host_edges
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    return harmonic_centrality_exact(edges).orderBy("node")
+
+
+def _q_hyperball_harmonic_hosts(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013): harmonic centrality via HLL
+    counters iterated along edges — register-max merges of the repo's
+    own HyperLogLog, one (node, 4 KB state) shuffle per round, rounds =
+    graph diameter. The approximation whose exact companion is
+    harmonic_hosts_exact (bench records the mean relative error)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.centrality import hyperball_harmonic
+    from bloomine_spark.operators.linkgraph import extract_links, host_edges
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    return hyperball_harmonic(edges).orderBy("node")
 
 
 def _q_ccnet_normalize(spark, sf_dir):
@@ -2397,10 +2455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_per_source": _q_ngram_novelty_per_source,
         "nb_langid_confusion": _q_nb_langid_confusion,
         "html_extract_docs": _q_html_extract_docs,
+        "html_main_extract_docs": _q_html_main_extract_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
         "pagerank_hosts": _q_pagerank_hosts,
+        "harmonic_hosts_exact": _q_harmonic_hosts_exact,
+        "hyperball_harmonic_hosts": _q_hyperball_harmonic_hosts,
         "ccnet_normalize": _q_ccnet_normalize,
         "sample_by_hash": _q_sample_by_hash,
         "priority_sample_per_source": _q_priority_sample_per_source,
@@ -4838,6 +4899,57 @@ def oracle_sql() -> dict[str, str]:
         FROM x
     """
 
+    # link-density boilerplate tier: the same per-line rule as
+    # webops.html_extract_main, replayed with DuckDB list lambdas; the
+    # density cut is the integer cross-multiplication 2·anchor > visible
+    from bloomine_spark.operators.webops import _A_INNER, _WS_RUN
+
+    def _vis_sql(l: str) -> str:
+        return (
+            f"length(trim(regexp_replace(regexp_replace({l}, "
+            f"'{_ANY_TAG}', ' ', 'g'), '{_WS_RUN}', ' ', 'g')))"
+        )
+
+    def _anch_sql(l: str) -> str:
+        return (
+            f"length(trim(regexp_replace(regexp_replace(coalesce("
+            f"array_to_string(regexp_extract_all({l}, '{_A_INNER}', 1), ' '),"
+            f" ''), '{_ANY_TAG}', ' ', 'g'), '{_WS_RUN}', ' ', 'g')))"
+        )
+
+    _BOILER = f"({_vis_sql('l')} > 0 AND 2*{_anch_sql('l')} > {_vis_sql('l')})"
+
+    sql["html_main_extract_docs"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+            '<div><a href="/">Home</a> | <a href="/about">About</a></div><p>'
+            || text || ' with <a href="/x">ref</a></p>'
+            || CASE WHEN doc_id % 2 = 0
+                 THEN '<div><a href="/n">Next</a></div>' ELSE '' END AS html
+          FROM documents
+        ), s AS (
+          SELECT doc_id, string_split(
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '{_KILL_BLOCKS}', ' ', 'g'), '{_COMMENTS}', ' ', 'g'),
+              '{_BLOCK_TAGS}', chr(10), 'g'), chr(10)) AS lines
+          FROM h
+        ), k AS (
+          SELECT doc_id,
+            coalesce(array_to_string(
+              list_filter(lines, l -> NOT {_BOILER}), chr(10)), '') AS kept,
+            len(list_filter(lines, l -> {_BOILER})) AS n_boiler
+          FROM s
+        ), x AS (
+          SELECT doc_id, {_html_chain_sql("kept")} AS t, n_boiler FROM k
+        )
+        SELECT doc_id, t AS text,
+               CASE WHEN t = '' THEN 0
+                    ELSE CAST(len(string_split(t, chr(10))) AS BIGINT)
+               END AS n_lines,
+               CAST(n_boiler AS BIGINT) AS n_boilerplate_lines
+        FROM x
+    """
+
     _URL_BUILD = """
           SELECT doc_id,
             (CASE WHEN doc_id % 17 = 0 THEN 'ftp'
@@ -5045,6 +5157,40 @@ def oracle_sql() -> dict[str, str]:
           FROM nodes
         ),{",".join(_pr_rounds)}
         SELECT node, pr FROM r8 ORDER BY node
+    """
+
+    # exact harmonic centrality: recursive closure over distinct
+    # (u, v, d) states — the UNION-distinct delta semantics bound the
+    # state space at n²·d_max, so cycles terminate; min distance per
+    # pair comes out in the final GROUP BY
+    sql["harmonic_hosts_exact"] = """
+        WITH RECURSIVE hp AS MATERIALIZED (
+          SELECT doc_id % 40 AS hs, (doc_id*7+3) % 40 AS d1,
+                 (doc_id*11+1) % 40 AS d2
+          FROM documents WHERE doc_id % 40 < 30
+        ), e AS MATERIALIZED (
+          SELECT DISTINCT 'h' || hs || '.example.com' AS src,
+                 'h' || d || '.example.com' AS dst
+          FROM (SELECT hs, d1 AS d FROM hp
+                UNION ALL SELECT hs, d2 FROM hp)
+          WHERE hs <> d
+        ), nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), paths(u, v, d) AS (
+          SELECT src, dst, 1 FROM e
+          UNION
+          SELECT p.u, e.dst, p.d + 1
+          FROM paths p JOIN e ON e.src = p.v
+          WHERE p.d < 64 AND p.u <> e.dst
+        ), md AS (
+          SELECT u, v, MIN(d) AS d FROM paths GROUP BY u, v
+        )
+        SELECT n.node,
+               COALESCE(SUM(CAST(1 AS DOUBLE) / md.d), 0) AS harmonic
+        FROM nodes n LEFT JOIN md ON md.v = n.node
+        GROUP BY n.node
+        ORDER BY n.node
     """
 
     # --- priority_sample_per_source: DLT priority sampling — priority =

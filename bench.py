@@ -304,7 +304,8 @@ def main():
     # tiny post-aggregation outputs); the rest are count()-driven
     collected: dict[str, list] = {}
     capture = {"minhash_lsh_dups", "ngram_jaccard_pairs", "ann_cosine_topk",
-               "ann_ivf_topk", "embedding_near_dup_lsh", "ann_pq_topk"}
+               "ann_ivf_topk", "embedding_near_dup_lsh", "ann_pq_topk",
+               "harmonic_hosts_exact", "hyperball_harmonic_hosts"}
     for name in (
         "two_phase_screen",
         "minhash_lsh_dups",
@@ -370,12 +371,16 @@ def main():
         # r6 eighth-session additions (excluded): web front-end — HTML
         # extraction, URL canonicalize+filter, URL dedup with host cap
         "html_extract_docs",
+        "html_main_extract_docs",
         "url_canonical_filter",
         "url_host_cap_dedup",
         # r6 eighth-session additions (excluded): crawl graph — anchor
-        # extraction + host-level PageRank
+        # extraction + host-level PageRank + harmonic centrality
+        # (exact BFS closure and its HyperBall sketch twin)
         "html_links_docs",
         "pagerank_hosts",
+        "harmonic_hosts_exact",
+        "hyperball_harmonic_hosts",
     ):
         if name in capture:
             def run(n=name):
@@ -415,6 +420,15 @@ def main():
     recall["embedding_lsh_planted_pair_recall"] = round(
         len(_pairs("embedding_near_dup_lsh") & planted) / len(planted), 4
     )
+    # HyperBall vs exact harmonic centrality on the same host graph
+    h_exact = {r["node"]: r["harmonic"] for r in collected["harmonic_hosts_exact"]}
+    h_est = {r["node"]: r["harmonic_est"]
+             for r in collected["hyperball_harmonic_hosts"]}
+    rel = [abs(h_est[k] - v) / v for k, v in h_exact.items() if v > 0]
+    if rel:
+        recall["hyperball_harmonic_mean_rel_err"] = round(
+            float(sum(rel) / len(rel)), 4
+        )
 
     # rows added after the r5 record: measured and reported, but kept OUT
     # of the headline total so `value` stays comparable round-over-round
@@ -452,10 +466,13 @@ def main():
         "q_ann_pq_topk",
         # r6 eighth session
         "q_html_extract_docs",
+        "q_html_main_extract_docs",
         "q_url_canonical_filter",
         "q_url_host_cap_dedup",
         "q_html_links_docs",
         "q_pagerank_hosts",
+        "q_harmonic_hosts_exact",
+        "q_hyperball_harmonic_hosts",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -1,0 +1,195 @@
+"""Graph centrality: exact harmonic centrality (bounded BFS closure)
+and HyperBall (Boldi & Vigna 2013) — the HLL-sketch approximation
+CommonCrawl itself uses to rank hosts, and the operator that ties this
+repo's mergeable-sketch family to the crawl-graph tier.
+
+Harmonic centrality of a node v on a directed graph is
+``H(v) = Σ_{u≠v, d(u,v)<∞} 1/d(u,v)`` with distances along edge
+direction. Exact computation materializes the pairwise-distance
+relation — O(n²) pairs — so :func:`harmonic_centrality_exact` is a
+guarded baseline (same contract as ``embedding_near_dup_exact``).
+
+HyperBall replaces each node's reachability ball with a HyperLogLog
+counter: ``c_v`` starts as {v}; round r merges every in-neighbor's
+counter into v's (register-max — exactly the library's
+``HyperLogLog.merge``), so after round r ``c_v`` sketches
+``{u : d(u,v) ≤ r}`` and the harmonic sum accumulates
+``(|c_v^r| − |c_v^{r−1}|)/r``. State per node is one m-byte register
+array (b=12 → 4 KB); per round the plan is one (node, state) shuffle
+onto the statically partitioned edge list and one grouped register-max
+merge — the same narrow-state discipline as the sketch UDAFs, which is
+what makes centrality feasible on a 100 TB crawl graph where the exact
+O(n²) relation is not. Rounds stop at the global fixpoint (no node's
+registers changed — monotone, so fixpoint = all balls saturated =
+diameter reached).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bloomine_spark.sketch.core import STATE_COL, estimates_df, merge_grouped
+from bloomine_spark.sketch.hll import HyperLogLog
+
+__all__ = ["harmonic_centrality_exact", "hyperball_harmonic"]
+
+_MASK = (1 << 64) - 1
+
+
+def _prep_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def harmonic_centrality_exact(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 64,
+    max_nodes: int = 200_000,
+) -> DataFrame:
+    """(node, harmonic) for every node, exact — layered BFS closure over
+    the pairwise relation. Each round expands the current frontier one
+    hop and anti-joins the known set, so a pair is materialized exactly
+    once at its true (minimal) distance. O(n²) worst-case pairs: the
+    node count is guarded at ``max_nodes`` — use
+    :func:`hyperball_harmonic` past that."""
+    e = _prep_edges(edges, src_col, dst_col).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n > max_nodes:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"{n} nodes > max_nodes={max_nodes}: the exact pairwise "
+            "relation is O(n^2); use hyperball_harmonic"
+        )
+    dist = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for r in range(2, max_iter + 1):
+        nxt = (
+            frontier.join(e, frontier["v"] == e["src"])
+            .select("u", e["dst"].alias("v"), F.lit(r).alias("d"))
+            .filter(F.col("u") != F.col("v"))
+            .join(dist.select("u", "v"), ["u", "v"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = nodes.join(
+        dist.groupBy(F.col("v").alias("node")).agg(
+            F.sum(F.lit(1.0) / F.col("d")).alias("harmonic")
+        ),
+        "node",
+        "left",
+    ).select("node", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    b: int = 12,
+    max_iter: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, harmonic_est) via HyperBall — HLL counters iterated along
+    edges. Relative error tracks the HLL's 1.04/√m (b=12 → ~1.6%; at
+    small graphs the linear-counting regime is effectively exact,
+    pinned in tests). ``b`` trades state bytes (2^b per node per round
+    of shuffle) against precision, exactly as in the sketch family."""
+    e = _prep_edges(edges, src_col, dst_col).repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    factory = lambda: HyperLogLog.empty(b, hashed_input=True)  # noqa: E731
+
+    @F.pandas_udf(T.BinaryType())
+    def init_state(h: pd.Series) -> pd.Series:
+        def one(x: int) -> bytes:
+            s = factory()
+            s.update_hashes(np.array([x & _MASK], dtype=np.uint64))
+            return s.to_bytes()
+
+        return h.apply(one)
+
+    # counter seeds use xxhash64(node) as the element hash directly
+    # (hashed_input=True), so re-inserting v during merges is idempotent
+    state = (
+        nodes.select("node", init_state(F.xxhash64("node")).alias(STATE_COL))
+        .localCheckpoint(eager=True)
+    )
+    est = estimates_df(state, factory, lambda s: s.estimate(), "est").select(
+        "node", STATE_COL, "est"
+    )
+    cur = est.withColumn("harmonic_est", F.lit(0.0)).localCheckpoint(eager=True)
+    rounds = 0
+    for r in range(1, max_iter + 1):
+        rounds = r
+        incoming = (
+            cur.select(F.col("node").alias("src"), STATE_COL)
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), STATE_COL)
+        )
+        merged = merge_grouped(
+            incoming.union(cur.select("node", STATE_COL)), ["node"], factory
+        )
+        new = (
+            estimates_df(merged, factory, lambda s: s.estimate(), "est_new")
+            .join(
+                cur.select(
+                    "node",
+                    F.col(STATE_COL).alias("_prev_state"),
+                    F.col("est").alias("_prev_est"),
+                    "harmonic_est",
+                ),
+                "node",
+            )
+            .select(
+                "node",
+                STATE_COL,
+                F.col("est_new").alias("est"),
+                (
+                    F.col("harmonic_est")
+                    + F.greatest(
+                        F.col("est_new") - F.col("_prev_est"), F.lit(0.0)
+                    )
+                    / F.lit(float(r))
+                ).alias("harmonic_est"),
+                (F.col(STATE_COL) != F.col("_prev_state")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.agg(
+            F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))
+        ).head()[0]
+        cur = new.drop("_changed")
+        if changed == 0:
+            break
+    e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    return cur.select("node", "harmonic_est")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "html_extract",
     "html_text_expr",
+    "html_extract_main",
     "canonical_url_expr",
     "canonicalize_url_df",
     "url_filter",
@@ -91,6 +92,82 @@ def html_extract(
         .otherwise(F.size(F.split(text, "\n")))
         .cast("long")
         .alias("n_lines"),
+    )
+
+
+# anchor ELEMENT (tag + inner text) — used for link-density scoring;
+# lazy inner match, same Java∩RE2 subset
+_A_INNER = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+_WS_RUN = r"[ \t\r\f]+"
+
+
+def html_extract_main(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """html_extract plus the link-density boilerplate tier (the
+    deterministic core of jusText/trafilatura block scoring): after
+    non-content subtrees are killed and block tags become newlines,
+    each block line whose visible text is mostly anchor text
+    (anchor-chars / text-chars > ``max_link_density``) is navigation
+    and is dropped before tag stripping. Output adds
+    ``n_boilerplate_lines``. Still one zero-exchange codegen map —
+    the per-line work is higher-order array expressions (transform/
+    filter) over the block split, never Python."""
+    t = F.regexp_replace(F.col(html_col), _KILL_BLOCKS, " ")
+    t = F.regexp_replace(t, _COMMENTS, " ")
+    t = F.regexp_replace(t, _BLOCK_TAGS, "\n")
+    lines = F.split(t, "\n")
+
+    def _vis_len(line: Column) -> Column:
+        # visible text length: tags → space, whitespace runs folded
+        return F.length(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(line, _ANY_TAG, " "), _WS_RUN, " "
+                )
+            )
+        )
+
+    def _anchor_len(line: Column) -> Column:
+        return F.length(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.array_join(
+                            F.regexp_extract_all(line, F.lit(_A_INNER), F.lit(1)),
+                            " ",
+                        ),
+                        _ANY_TAG,
+                        " ",
+                    ),
+                    _WS_RUN,
+                    " ",
+                )
+            )
+        )
+
+    def _is_boiler(line: Column) -> Column:
+        return (_vis_len(line) > 0) & (
+            _anchor_len(line) > F.lit(max_link_density) * _vis_len(line)
+        )
+
+    kept_html = F.array_join(
+        F.filter(lines, lambda l: ~_is_boiler(l)), "\n"
+    )
+    text = html_text_expr(kept_html)
+    return df.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.when(text == "", F.lit(0))
+        .otherwise(F.size(F.split(text, "\n")))
+        .cast("long")
+        .alias("n_lines"),
+        F.size(F.filter(lines, _is_boiler)).cast("long").alias(
+            "n_boilerplate_lines"
+        ),
     )
 
 

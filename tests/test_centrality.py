@@ -1,0 +1,102 @@
+"""Harmonic centrality: exact BFS closure and HyperBall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomine_spark.operators.centrality import (
+    harmonic_centrality_exact,
+    hyperball_harmonic,
+)
+
+
+def _ref_harmonic(edges):
+    """Floyd–Warshall reference."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    INF = float("inf")
+    d = np.full((n, n), INF)
+    np.fill_diagonal(d, 0.0)
+    for s, t in edges:
+        d[idx[s], idx[t]] = 1.0
+    for k in range(n):
+        d = np.minimum(d, d[:, [k]] + d[[k], :])
+    out = {}
+    for v in nodes:
+        col = d[:, idx[v]]
+        mask = np.isfinite(col) & (col > 0)
+        out[v] = float((1.0 / col[mask]).sum())
+    return out
+
+
+EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"),      # path: d gets 1 + 1/2 + 1/3
+    ("d", "a"),                               # close the cycle
+    ("e", "c"),                               # e: source-only (harmonic 0)
+    ("a", "c"),                               # shortcut — min-dist matters
+]
+
+
+def test_exact_matches_floyd_warshall(spark):
+    df = spark.createDataFrame(pd.DataFrame(EDGES, columns=["src", "dst"]))
+    got = {r["node"]: r["harmonic"] for r in harmonic_centrality_exact(df).collect()}
+    want = _ref_harmonic(EDGES)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert got["e"] == 0.0  # no in-paths
+
+
+def test_exact_node_guard(spark):
+    df = spark.createDataFrame(pd.DataFrame(EDGES, columns=["src", "dst"]))
+    with pytest.raises(ValueError, match="max_nodes"):
+        harmonic_centrality_exact(df, max_nodes=3)
+
+
+def test_hyperball_small_graph_near_exact(spark):
+    """At 5 nodes / b=12 the counters sit deep in the linear-counting
+    regime — estimates are within a fraction of a count, so harmonic
+    sums land within 2% of exact."""
+    df = spark.createDataFrame(pd.DataFrame(EDGES, columns=["src", "dst"]))
+    stats = {}
+    got = {
+        r["node"]: r["harmonic_est"]
+        for r in hyperball_harmonic(df, stats=stats).collect()
+    }
+    want = _ref_harmonic(EDGES)
+    for k, w in want.items():
+        assert got[k] == pytest.approx(w, rel=0.02, abs=0.02)
+    # fixpoint = diameter + 1 saturation round, well under max_iter
+    assert stats["rounds"] <= 6
+
+
+def test_hyperball_random_graph_error_bound(spark):
+    """200-node hash-random graph: per-node relative error within the
+    sketch regime (linear counting at this scale → a few %)."""
+    rng = np.random.default_rng(7)
+    n, m = 200, 1200
+    edges = [
+        (f"n{int(a)}", f"n{int(b)}")
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+        if a != b
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    exact = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality_exact(df).collect()
+    }
+    est = {
+        r["node"]: r["harmonic_est"] for r in hyperball_harmonic(df).collect()
+    }
+    assert set(est) == set(exact)
+    rel = [
+        abs(est[k] - exact[k]) / exact[k] for k in exact if exact[k] > 0
+    ]
+    assert np.mean(rel) < 0.03
+    assert np.max(rel) < 0.10
+    # ranking utility: top-10 exact hosts vs estimated top-10 overlap
+    top_exact = set(sorted(exact, key=exact.get, reverse=True)[:10])
+    top_est = set(sorted(est, key=est.get, reverse=True)[:10])
+    assert len(top_exact & top_est) >= 8

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from bloomine_spark.operators.webops import (
     canonicalize_url_df,
     html_extract,
+    html_extract_main,
     url_dedup_with_host_cap,
     url_filter,
 )
@@ -130,6 +131,51 @@ def test_url_dedup_and_host_cap(spark):
     assert len(b_kept) == 2
     # a.com: doc 2 and the url-dedup survivor 1 both kept (cap 2 holds)
     assert bool(by_id.loc[2, "keep"])
+
+
+def test_html_extract_main_drops_link_dense_lines(spark):
+    html = (
+        '<div><a href="/">Home</a> | <a href="/a">About</a> | '
+        '<a href="/c">Contact us</a></div>'
+        "<p>Real content with an inline <a href='/x'>link</a> that stays.</p>"
+        "<div>No anchors here at all.</div>"
+        '<div><a href="/next">Next page</a></div>'
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "html": [html]}))
+    r = html_extract_main(df).collect()[0]
+    assert r["text"].split("\n") == [
+        "Real content with an inline link that stays.",
+        "No anchors here at all.",
+    ]
+    assert r["n_boilerplate_lines"] == 2
+    assert r["n_lines"] == 2
+    # the plain extractor keeps everything — the tier is additive
+    plain = html_extract(df).collect()[0]
+    assert plain["n_lines"] == 4
+
+
+def test_html_extract_main_density_boundary(spark):
+    # tags become spaces, so visible text is "12345 6789" (10 chars) and
+    # anchor text "12345" (5) — EXACTLY half → not boilerplate (strict >)
+    html = "<p><a href='/x'>12345</a>6789</p>"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "html": [html]}))
+    r = html_extract_main(df, max_link_density=0.5).collect()[0]
+    assert r["text"] == "12345 6789"
+    assert r["n_boilerplate_lines"] == 0
+    # one char less of plain text tips it over the boundary → dropped
+    html2 = "<p><a href='/x'>12345</a>678</p>"
+    df2 = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "html": [html2]}))
+    r2 = html_extract_main(df2, max_link_density=0.5).collect()[0]
+    assert r2["text"] == "" and r2["n_boilerplate_lines"] == 1
+
+
+def test_html_extract_main_matches_plain_when_no_anchors(spark):
+    html = "<html><body><h1>T</h1><p>alpha beta</p><ul><li>g</li></ul></body></html>"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "html": [html]}))
+    a = html_extract_main(df).collect()[0]
+    b = html_extract(df).collect()[0]
+    assert a["text"] == b["text"] and a["n_lines"] == b["n_lines"]
+    assert a["n_boilerplate_lines"] == 0
 
 
 def test_host_cap_spent_on_survivors_not_duplicates(spark):
