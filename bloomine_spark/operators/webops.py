@@ -81,12 +81,17 @@ def html_text_expr(col: Column) -> Column:
 
 
 def html_extract(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, text, n_lines) from raw HTML. Zero-exchange codegen map."""
+    """(id, *keep, text, n_lines) from raw HTML. Zero-exchange codegen
+    map; ``keep`` columns ride along (no join needed downstream)."""
     text = html_text_expr(F.col(html_col))
     return df.select(
         F.col(id_col),
+        *keep,
         text.alias("text"),
         F.when(text == "", F.lit(0))
         .otherwise(F.size(F.split(text, "\n")))
@@ -106,6 +111,7 @@ def html_extract_main(
     html_col: str = "html",
     id_col: str = "doc_id",
     max_link_density: float = 0.5,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """html_extract plus the link-density boilerplate tier (the
     deterministic core of jusText/trafilatura block scoring): after
@@ -160,6 +166,7 @@ def html_extract_main(
     text = html_text_expr(kept_html)
     return df.select(
         F.col(id_col),
+        *keep,
         text.alias("text"),
         F.when(text == "", F.lit(0))
         .otherwise(F.size(F.split(text, "\n")))
