@@ -1389,6 +1389,31 @@ def _q_pagerank_hosts(spark, sf_dir):
     return pagerank(edges, iterations=8).orderBy("node")
 
 
+def _q_trustrank_hosts(spark, sf_dir):
+    """TrustRank (Gyöngyi 2004): personalized PageRank whose teleport
+    mass goes only to trusted seed hosts (h0–h9) — the spam-demotion
+    companion ranking. Same per-round plan as pagerank_hosts; the
+    reset distribution rides the (node, double) relation."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkgraph import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    seeds = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("node"),
+        F.lit(1.0).alias("weight"),
+    )
+    return pagerank(edges, iterations=8, reset=seeds).orderBy("node")
+
+
 def _q_harmonic_hosts_exact(spark, sf_dir):
     """Exact harmonic centrality over the planted host graph (the
     ranking CommonCrawl publishes for hosts): layered BFS closure —
@@ -2460,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
         "pagerank_hosts": _q_pagerank_hosts,
+        "trustrank_hosts": _q_trustrank_hosts,
         "harmonic_hosts_exact": _q_harmonic_hosts_exact,
         "hyperball_harmonic_hosts": _q_hyperball_harmonic_hosts,
         "ccnet_normalize": _q_ccnet_normalize,
@@ -5157,6 +5183,58 @@ def oracle_sql() -> dict[str, str]:
           FROM nodes
         ),{",".join(_pr_rounds)}
         SELECT node, pr FROM r8 ORDER BY node
+    """
+
+    # TrustRank: same unrolled rounds with a seed-only teleport vector;
+    # the reset weight w rides every round CTE (Spark computes the same
+    # (1−d)·w + d·(contrib + dangling·w) with lit scalars)
+    _seed_list = ", ".join(f"'h{i}.example.com'" for i in range(10))
+    _tr_rounds = []
+    for i in range(1, 9):
+        _tr_rounds.append(f"""
+        t{i} AS MATERIALIZED (
+          SELECT w.node,
+            (1 - 0.85) * w.w + 0.85 * (
+              COALESCE(c.contrib, 0)
+              + (SELECT COALESCE(SUM(r.pr), 0) FROM t{i-1} r
+                 LEFT JOIN o ON o.node = r.node
+                 WHERE o.node IS NULL) * w.w
+            ) AS pr
+          FROM w LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.pr / o.outdeg) AS contrib
+            FROM e JOIN t{i-1} r ON e.src = r.node
+            JOIN o ON o.node = e.src
+            GROUP BY e.dst
+          ) c ON c.node = w.node
+        )""")
+
+    sql["trustrank_hosts"] = f"""
+        WITH hp AS MATERIALIZED (
+          SELECT doc_id % 40 AS hs, (doc_id*7+3) % 40 AS d1,
+                 (doc_id*11+1) % 40 AS d2
+          FROM documents WHERE doc_id % 40 < 30
+        ), e AS MATERIALIZED (
+          SELECT DISTINCT 'h' || hs || '.example.com' AS src,
+                 'h' || d || '.example.com' AS dst
+          FROM (SELECT hs, d1 AS d FROM hp
+                UNION ALL SELECT hs, d2 FROM hp)
+          WHERE hs <> d
+        ), nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), o AS MATERIALIZED (
+          SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+          FROM e GROUP BY src
+        ), w AS MATERIALIZED (
+          SELECT node,
+            CASE WHEN node IN ({_seed_list})
+                 THEN CAST(1 AS DOUBLE) / 10 ELSE CAST(0 AS DOUBLE)
+            END AS w
+          FROM nodes
+        ), t0 AS MATERIALIZED (
+          SELECT node, w AS pr FROM w
+        ),{",".join(_tr_rounds)}
+        SELECT node, pr FROM t8 ORDER BY node
     """
 
     # exact harmonic centrality: recursive closure over distinct

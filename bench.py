@@ -379,6 +379,7 @@ def main():
         # (exact BFS closure and its HyperBall sketch twin)
         "html_links_docs",
         "pagerank_hosts",
+        "trustrank_hosts",
         "harmonic_hosts_exact",
         "hyperball_harmonic_hosts",
     ):
@@ -471,6 +472,7 @@ def main():
         "q_url_host_cap_dedup",
         "q_html_links_docs",
         "q_pagerank_hosts",
+        "q_trustrank_hosts",
         "q_harmonic_hosts_exact",
         "q_hyperball_harmonic_hosts",
     }

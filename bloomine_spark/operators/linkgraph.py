@@ -119,6 +119,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 20,
     tol: float | None = None,
+    reset: DataFrame | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list → (node, pr), ranks summing
@@ -130,6 +131,14 @@ def pagerank(
     once the L1 delta between rounds drops below it. Dangling nodes
     (no out-edges) spread their mass uniformly, so total mass is
     conserved every round (pinned in tests).
+
+    ``reset`` personalizes the teleport: a (node, weight) DataFrame —
+    weights are normalized to sum 1, listed-only nodes receive teleport
+    and dangling mass, and ranks start at the reset distribution. With
+    trusted seed hosts as the reset set this is TrustRank (Gyöngyi
+    2004), the spam-demotion ranking crawl pipelines run beside plain
+    PageRank; the per-round plan is unchanged (the weight column rides
+    the (node, double) relation).
 
     Scale shape: the edge list is hash-partitioned on ``src`` once and
     persisted; per round only (node, double) rows move — one exchange
@@ -158,7 +167,20 @@ def pagerank(
         F.count("*").alias("outdeg")
     ).persist()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    if reset is not None:
+        w_raw = reset.select("node", F.col("weight").cast("double"))
+        total_w = w_raw.agg(F.sum("weight")).head()[0]
+        if not total_w or total_w <= 0:
+            raise ValueError("reset weights must sum to a positive value")
+        weights = nodes.join(w_raw, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("weight"), F.lit(0.0)) / F.lit(float(total_w)))
+            .alias("w"),
+        ).persist()
+        ranks = weights.select("node", F.col("w").alias("pr"))
+    else:
+        weights = nodes.select("node", F.lit(1.0 / n).alias("w")).persist()
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     rounds = 0
     for _ in range(iterations):
         rounds += 1
@@ -175,12 +197,15 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
         )
-        new_ranks = nodes.join(contribs, "node", "left").select(
+        new_ranks = weights.join(contribs, "node", "left").select(
             "node",
             (
-                F.lit((1.0 - damping) / n)
+                F.lit(1.0 - damping) * F.col("w")
                 + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling) * F.col("w")
+                )
             ).alias("pr"),
         )
         if tol is not None:
@@ -197,6 +222,7 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     outdeg.unpersist()
+    weights.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     return ranks

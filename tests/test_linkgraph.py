@@ -114,6 +114,67 @@ def test_pagerank_tol_early_stop(spark):
     assert stats["rounds"] < 5
 
 
+def _ref_personalized(edges, weights, damping, iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    w = np.array([weights.get(v, 0.0) for v in nodes])
+    w = w / w.sum()
+    r = w.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        share = np.where(out > 0, r / np.maximum(out, 1), 0.0)
+        for s, d in edges:
+            contrib[idx[d]] += share[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) * w + damping * (contrib + dangling * w)
+    return dict(zip(nodes, r))
+
+
+def test_trustrank_personalized_reset(spark):
+    df = spark.createDataFrame(pd.DataFrame(EDGES, columns=["src", "dst"]))
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"node": ["a"], "weight": [1.0]})
+    )
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=12, reset=seeds).collect()
+    }
+    want = _ref_personalized(EDGES, {"a": 1.0}, 0.85, 12)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # trust flows from the seed: a outranks the structurally similar b
+    assert got["a"] > got["b"]
+    # e is reachable from the seed only via c — nonzero but small
+    assert 0 < got["e"] < got["c"]
+
+
+def test_uniform_reset_equals_default(spark):
+    df = spark.createDataFrame(pd.DataFrame(EDGES, columns=["src", "dst"]))
+    nodes = sorted({s for s, _ in EDGES} | {d for _, d in EDGES})
+    uni = spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "weight": [3.0] * len(nodes)})
+    )
+    a = {r["node"]: r["pr"] for r in pagerank(df, iterations=6).collect()}
+    b = {r["node"]: r["pr"]
+         for r in pagerank(df, iterations=6, reset=uni).collect()}
+    for k in a:
+        assert b[k] == pytest.approx(a[k], abs=1e-12)
+
+
+def test_reset_weight_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame(EDGES, columns=["src", "dst"]))
+    zero = spark.createDataFrame(
+        pd.DataFrame({"node": ["a"], "weight": [0.0]})
+    )
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(df, iterations=2, reset=zero)
+
+
 def test_pagerank_empty(spark):
     df = spark.createDataFrame(pd.DataFrame({"src": [], "dst": []}), "src string, dst string")
     assert pagerank(df, iterations=3).count() == 0
