@@ -1245,6 +1245,33 @@ def _q_html_main_extract_docs(spark, sf_dir):
     return html_extract_main(docs.withColumn("html", html))
 
 
+def _q_line_dedup_docs(spark, sf_dir):
+    """Corpus-level exact line dedup (RefinedWeb/FineWeb): shared
+    footer/cookie lines PLANTED on doc_id moduli repeat across docs —
+    only the globally-first occurrence (min (doc_id, line_no))
+    survives. Line text never rides the dedup shuffle: the occurrence
+    window runs over (md5, doc_id, pos) and joins back by position."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import line_dedup
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit("\nshared footer alpha")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 5 == 0, F.lit("\ncookie notice beta")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return line_dedup(planted)
+
+
 def _web_url_expr():
     """Deterministic URL planting shared with the oracle: uppercase
     scheme/host, www, default/explicit ports, path depth, non-document
@@ -2481,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_confusion": _q_nb_langid_confusion,
         "html_extract_docs": _q_html_extract_docs,
         "html_main_extract_docs": _q_html_main_extract_docs,
+        "line_dedup_docs": _q_line_dedup_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -4974,6 +5002,42 @@ def oracle_sql() -> dict[str, str]:
                END AS n_lines,
                CAST(n_boiler AS BIGINT) AS n_boilerplate_lines
         FROM x
+    """
+
+    sql["line_dedup_docs"] = """
+        WITH d AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'shared footer alpha' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'cookie notice beta' ELSE '' END AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id, u.i AS pos,
+                 string_split(t, chr(10))[u.i + 1] AS line
+          FROM d, unnest(range(0, len(string_split(t, chr(10))))) AS u(i)
+        ), m AS (
+          SELECT doc_id, pos, md5(line) AS dg FROM l WHERE line <> ''
+        ), o AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY dg
+                                    ORDER BY doc_id, pos) AS occ
+          FROM m
+        ), dr AS (
+          SELECT doc_id, pos FROM o WHERE occ > 1
+        ), k AS (
+          SELECT l.doc_id, l.pos, l.line,
+                 dr.doc_id IS NOT NULL AS dropped
+          FROM l LEFT JOIN dr
+            ON dr.doc_id = l.doc_id AND dr.pos = l.pos
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(COALESCE(SUM(CASE WHEN dropped THEN 1 END), 0)
+                    AS BIGINT) AS n_lines_removed
+        FROM k GROUP BY doc_id
     """
 
     _URL_BUILD = """

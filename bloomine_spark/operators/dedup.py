@@ -1638,3 +1638,69 @@ def semdedup(
     if keep != "min_id":
         raise ValueError(f"unknown keep policy {keep!r}")
     return dedup_groups(emb.select(id_col), pairs, id_col=id_col)
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "first",
+) -> DataFrame:
+    """Corpus-level exact LINE deduplication (the RefinedWeb/FineWeb
+    stage between line corrections and document dedup): a line that
+    occurs verbatim in more than one place — headers, cookie notices,
+    shared footers — is boilerplate by repetition, and every occurrence
+    past the canonical first is removed. ``keep="first"`` protects the
+    globally-first occurrence (min (id, line_no), the
+    ``trim_dup_spans`` convention); ``keep="none"`` removes every
+    occurrence of any repeated line. Empty lines are structural and
+    never dedup.
+
+    Plan shape: line text never rides the dedup shuffle — the
+    occurrence window runs over the narrow (digest, id, pos) relation,
+    the drop set joins back on (id, pos), and the rebuild is one
+    grouped sort-by-position fold. Three exchanges total, each
+    carrying O(lines) small rows; at corpus scale the digest exchange
+    is the same shape as exact_duplicates' fingerprint shuffle.
+
+    Returns (id, text, n_lines_removed), one row per input doc.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    marks = lines.filter(F.col("line") != "").select(
+        id_col, "pos", F.md5(F.col("line")).alias("digest")
+    )
+    w = Window.partitionBy("digest").orderBy(F.col(id_col), F.col("pos"))
+    occ = marks.withColumn("occ", F.row_number().over(w)).withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("digest"))
+    )
+    if keep == "first":
+        drops = occ.filter(F.col("occ") > 1).select(id_col, "pos")
+    else:
+        drops = occ.filter(F.col("n_occ") > 1).select(id_col, "pos")
+    kept = lines.join(drops.withColumn("_drop", F.lit(True)),
+                      [id_col, "pos"], "left")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_drop").isNull(),
+                               F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text"),
+        F.sum(F.col("_drop").cast("long")).alias("_removed"),
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("_removed", F.lit(0)).cast("long").alias("n_lines_removed"),
+    )

@@ -135,6 +135,11 @@ def main() -> None:
                     "window granularity; the globally-first occurrence "
                     "survives); docs falling under --min-tokens are then "
                     "dropped")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="corpus-level exact LINE dedup after document "
+                    "dedup (RefinedWeb/FineWeb): repeated verbatim lines "
+                    "keep only their globally-first occurrence; docs left "
+                    "empty are dropped")
     ap.add_argument("--input-format", choices=("parquet", "warc"),
                     default="parquet",
                     help="'warc' reads raw crawl segments (*.warc / "
@@ -188,6 +193,7 @@ def main() -> None:
         "trim_dup_spans": args.trim_dup_spans,
         "input_format": args.input_format,
         "html_max_link_density": args.html_max_link_density,
+        "line_dedup": bool(args.line_dedup),
     }
 
     if args.input_format == "warc":
@@ -401,6 +407,27 @@ def main() -> None:
 
         deduped = runner.stage("trimmed", _trim,
                                manifest=dict(manifest, stage="trimmed"))
+
+    if args.line_dedup:
+        from bloomine_spark.operators.dedup import line_dedup
+
+        def _line_dedup():
+            cur = deduped
+            ld = line_dedup(cur).select(
+                F.col("doc_id").alias("_lid"), F.col("text").alias("_ltext"),
+                "n_lines_removed",
+            )
+            return (
+                cur.drop("text")
+                .join(ld, cur["doc_id"].cast("string")
+                      == F.col("_lid").cast("string"))
+                .filter(F.col("_ltext") != "")
+                .drop("_lid")
+                .withColumnRenamed("_ltext", "text")
+            )
+
+        deduped = runner.stage("line_deduped", _line_dedup,
+                               manifest=dict(manifest, stage="line_deduped"))
 
     if args.split:
         from bloomine_spark.operators.packing import hash_split
