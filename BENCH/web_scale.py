@@ -34,6 +34,8 @@ JOBS = [
     "url_host_cap",
     "link_extract",
     "pagerank",
+    "hyperball",
+    "line_dedup",
 ]
 CONTROLS = {"jvm_control_explode_count"}
 
@@ -72,6 +74,8 @@ if not os.path.isdir(path):
 docs = spark.read.parquet(path)
 n_tokens = n_docs * 40
 
+from bloomine_spark.operators.centrality import hyperball_harmonic
+from bloomine_spark.operators.dedup import line_dedup
 from bloomine_spark.operators.linkgraph import (
     extract_links, host_edges, pagerank)
 from bloomine_spark.operators.webops import (
@@ -123,6 +127,17 @@ _edges = (spark.range(0, n_docs * 4, numPartitions=64).select(
      .alias("src"),
     F.concat(F.lit("h"), F.pmod(F.xxhash64("id", F.lit(1)), 200000)
      .cast("string")).alias("dst")))
+# line-dedup fixture: 5-line docs with a planted shared footer on 1/3 of
+# docs and a hash-random body (so the digest relation has real dup mass)
+_lined = docs.select(
+    "doc_id",
+    F.concat(
+        F.expr("concat_ws(chr(10), transform(sequence(1, 4),"
+               " j -> concat('line ', pmod(xxhash64(doc_id, j), 200000))))"),
+        F.when(d % 3 == 0, F.lit("\nshared footer line one of many"))
+         .otherwise(F.lit("")),
+    ).alias("text"),
+)
 
 FNS = {{
     "jvm_control_explode_count":
@@ -141,6 +156,10 @@ FNS = {{
         .agg(F.count("*"), F.sum(F.length("link"))).head(),
     "pagerank": lambda: pagerank(_edges, iterations=5)
         .agg(F.sum("pr"), F.count("*")).head(),
+    "hyperball": lambda: hyperball_harmonic(_edges, b=8, max_iter=5)
+        .agg(F.sum("harmonic_est"), F.count("*")).head(),
+    "line_dedup": lambda: line_dedup(_lined)
+        .agg(F.sum("n_lines_removed"), F.sum(F.length("text"))).head(),
 }}
 
 docs.select(F.count("*")).head()  # warmup: page cache + codegen hot

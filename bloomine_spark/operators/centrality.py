@@ -11,17 +11,21 @@ guarded baseline (same contract as ``embedding_near_dup_exact``).
 
 HyperBall replaces each node's reachability ball with a HyperLogLog
 counter: ``c_v`` starts as {v}; round r merges every in-neighbor's
-counter into v's (register-max — exactly the library's
-``HyperLogLog.merge``), so after round r ``c_v`` sketches
-``{u : d(u,v) ≤ r}`` and the harmonic sum accumulates
-``(|c_v^r| − |c_v^{r−1}|)/r``. State per node is one m-byte register
-array (b=12 → 4 KB); per round the plan is one (node, state) shuffle
-onto the statically partitioned edge list and one grouped register-max
-merge — the same narrow-state discipline as the sketch UDAFs, which is
-what makes centrality feasible on a 100 TB crawl graph where the exact
-O(n²) relation is not. Rounds stop at the global fixpoint (no node's
-registers changed — monotone, so fixpoint = all balls saturated =
-diameter reached).
+counter into v's (register-max — the library's ``HyperLogLog.merge``
+semantics), so after round r ``c_v`` sketches ``{u : d(u,v) ≤ r}`` and
+the harmonic sum accumulates ``(|c_v^r| − |c_v^{r−1}|)/r``. State per
+node is one m-byte register array (b=12 → 4 KB); per round the plan is
+one (node, state) shuffle onto the statically partitioned edge list
+and one grouped register-max fold — the same narrow-state discipline
+as the sketch UDAFs, which is what makes centrality feasible on a
+100 TB crawl graph where the exact O(n²) relation is not. The fold is
+fully vectorized (sketch-kernel discipline): states of one partition
+stack into an (rows, m) uint8 matrix, per-node runs collapse with one
+``np.maximum.reduceat``, and the whole batch estimates as matrix math
+— zero per-group Python (the generic ``merge_grouped`` path measured
+20× slower at 200k nodes). Rounds stop at the global fixpoint (no
+node's registers changed — monotone, so fixpoint = all balls saturated
+= diameter reached).
 """
 
 from __future__ import annotations
@@ -32,12 +36,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bloomine_spark.sketch.core import STATE_COL, estimates_df, merge_grouped
-from bloomine_spark.sketch.hll import HyperLogLog
+from bloomine_spark.sketch.core import STATE_COL
+from bloomine_spark.sketch.hll import HyperLogLog, _alpha
 
 __all__ = ["harmonic_centrality_exact", "hyperball_harmonic"]
 
 _MASK = (1 << 64) - 1
+_HDR = 6  # HLL state header: b"HLL1" + pack("<bb", b, hashed_input)
+
+
+def _init_registers(hashes: np.ndarray, b: int) -> np.ndarray:
+    """(n, m) uint8 register matrix with one element routed per row —
+    the vectorized batch twin of ``HyperLogLog._fold_chunk`` (same
+    sentinel-bit + cleared-low-bits float-exponent rank; byte-parity
+    with the scalar path is pinned in tests)."""
+    n = len(hashes)
+    m = 1 << b
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    idx = (h >> np.uint64(64 - b)).astype(np.int64)
+    rest = (h << np.uint64(b)) | (np.uint64(1) << np.uint64(b - 1))
+    if b >= 12:
+        cleared = rest & ~np.uint64(0x7FF)
+    else:
+        high = rest & ~np.uint64(0x7FF)
+        cleared = np.where(high == 0, rest, high)
+    xf = cleared.astype(np.float64)
+    e = xf.view(np.uint64) >> np.uint64(52)
+    rank = (np.uint64(1087) - e).astype(np.uint8)
+    regs = np.zeros((n, m), np.uint8)
+    regs[np.arange(n), idx] = rank
+    return regs
+
+
+def _estimate_matrix(regs: np.ndarray, m: int) -> np.ndarray:
+    """Row-wise HLL estimates — branch-for-branch the vectorized form
+    of ``HyperLogLog.estimate``."""
+    rf = regs.astype(np.float64)
+    raw = _alpha(m) * m * m / np.sum(np.exp2(-rf), axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    out = raw.copy()
+    small = (raw <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        out[small] = m * np.log(m / zeros[small])
+    large = (raw > (1 << 32) / 30.0) & ~small
+    if large.any():
+        out[large] = -(1 << 32) * np.log(1.0 - raw[large] / (1 << 32))
+    return out
 
 
 def _prep_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
@@ -124,28 +168,64 @@ def hyperball_harmonic(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-
-    factory = lambda: HyperLogLog.empty(b, hashed_input=True)  # noqa: E731
-
-    @F.pandas_udf(T.BinaryType())
-    def init_state(h: pd.Series) -> pd.Series:
-        def one(x: int) -> bytes:
-            s = factory()
-            s.update_hashes(np.array([x & _MASK], dtype=np.uint64))
-            return s.to_bytes()
-
-        return h.apply(one)
+    m = 1 << b
+    rec = _HDR + m
+    header = HyperLogLog.empty(b, hashed_input=True).to_bytes()[:_HDR]
 
     # counter seeds use xxhash64(node) as the element hash directly
-    # (hashed_input=True), so re-inserting v during merges is idempotent
-    state = (
-        nodes.select("node", init_state(F.xxhash64("node")).alias(STATE_COL))
+    # (hashed_input=True semantics), so re-inserting v during merges is
+    # idempotent; init is one vectorized register write per batch
+    @F.pandas_udf(T.BinaryType())
+    def init_state(h: pd.Series) -> pd.Series:
+        regs = _init_registers(
+            h.to_numpy(dtype=np.int64).view(np.uint64), b
+        )
+        return pd.Series([header + r.tobytes() for r in regs])
+
+    fold_schema = T.StructType(
+        [
+            T.StructField("node", T.StringType()),
+            T.StructField(STATE_COL, T.BinaryType()),
+            T.StructField("est", T.DoubleType()),
+        ]
+    )
+
+    def fold(pdfs) -> "pd.DataFrame":
+        # all copies of a node are co-located (repartition("node")
+        # upstream) but may SPLIT ACROSS ARROW BATCHES — concat the
+        # partition first (a partial fold would emit duplicate node
+        # rows whose join fan-out compounds per round). Then: sort,
+        # stack the register matrix, register-max per node run via
+        # reduceat, estimate the whole partition at once — zero
+        # per-group Python
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values("node", kind="stable")
+        mat = np.frombuffer(
+            b"".join(bytes(s) for s in pdf[STATE_COL]), np.uint8
+        ).reshape(len(pdf), rec)[:, _HDR:]
+        names = pdf["node"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, names[1:] != names[:-1]])
+        folded = np.maximum.reduceat(mat, starts, axis=0)
+        yield pd.DataFrame(
+            {
+                "node": names[starts],
+                STATE_COL: [header + row.tobytes() for row in folded],
+                "est": _estimate_matrix(folded, m),
+            }
+        )
+
+    state = nodes.select(
+        "node", init_state(F.xxhash64("node")).alias(STATE_COL)
+    )
+    cur = (
+        state.repartition("node")
+        .mapInPandas(fold, schema=fold_schema)  # est of the seed state
+        .withColumn("harmonic_est", F.lit(0.0))
         .localCheckpoint(eager=True)
     )
-    est = estimates_df(state, factory, lambda s: s.estimate(), "est").select(
-        "node", STATE_COL, "est"
-    )
-    cur = est.withColumn("harmonic_est", F.lit(0.0)).localCheckpoint(eager=True)
     rounds = 0
     for r in range(1, max_iter + 1):
         rounds = r
@@ -154,12 +234,13 @@ def hyperball_harmonic(
             .join(e, "src")
             .select(F.col("dst").alias("node"), STATE_COL)
         )
-        merged = merge_grouped(
-            incoming.union(cur.select("node", STATE_COL)), ["node"], factory
+        merged = (
+            incoming.union(cur.select("node", STATE_COL))
+            .repartition("node")
+            .mapInPandas(fold, schema=fold_schema)
         )
         new = (
-            estimates_df(merged, factory, lambda s: s.estimate(), "est_new")
-            .join(
+            merged.join(
                 cur.select(
                     "node",
                     F.col(STATE_COL).alias("_prev_state"),
@@ -171,11 +252,11 @@ def hyperball_harmonic(
             .select(
                 "node",
                 STATE_COL,
-                F.col("est_new").alias("est"),
+                "est",
                 (
                     F.col("harmonic_est")
                     + F.greatest(
-                        F.col("est_new") - F.col("_prev_est"), F.lit(0.0)
+                        F.col("est") - F.col("_prev_est"), F.lit(0.0)
                     )
                     / F.lit(float(r))
                 ).alias("harmonic_est"),

@@ -55,6 +55,27 @@ def test_exact_node_guard(spark):
         harmonic_centrality_exact(df, max_nodes=3)
 
 
+def test_vectorized_kernel_parity_with_scalar_hll():
+    """The batch init/fold/estimate kernels are byte- and float-exact
+    twins of the scalar HyperLogLog paths."""
+    from bloomine_spark.operators.centrality import (
+        _estimate_matrix,
+        _init_registers,
+    )
+    from bloomine_spark.sketch.hll import HyperLogLog
+
+    rng = np.random.default_rng(3)
+    for b in (8, 12):
+        hashes = rng.integers(0, 2**63, 200, dtype=np.int64).view(np.uint64)
+        regs = _init_registers(hashes, b)
+        folded = regs.max(axis=0)
+        s = HyperLogLog.empty(b, hashed_input=True)
+        s.update_hashes(hashes)
+        assert bytes(folded.tobytes()) == s.registers.tobytes()
+        est = _estimate_matrix(folded[None, :], 1 << b)[0]
+        assert est == pytest.approx(s.estimate(), rel=0, abs=0)
+
+
 def test_hyperball_small_graph_near_exact(spark):
     """At 5 nodes / b=12 the counters sit deep in the linear-counting
     regime — estimates are within a fraction of a count, so harmonic
@@ -70,6 +91,24 @@ def test_hyperball_small_graph_near_exact(spark):
         assert got[k] == pytest.approx(w, rel=0.02, abs=0.02)
     # fixpoint = diameter + 1 saturation round, well under max_iter
     assert stats["rounds"] <= 6
+
+
+def test_hyperball_fold_spans_arrow_batches(spark):
+    """One node's state copies can split across Arrow batches inside a
+    partition (default 10k rows/batch): the fold must emit exactly ONE
+    row per node — a per-batch fold leaks duplicates whose join
+    fan-out compounds every round. 15k spokes → one hub forces the
+    split."""
+    n = 15_000
+    df = spark.range(n).selectExpr(
+        "concat('s', id) AS src", "'hub' AS dst"
+    )
+    out = hyperball_harmonic(df.repartition(2), b=10, max_iter=3)
+    rows = out.collect()
+    assert len(rows) == n + 1                      # one row per node
+    hub = {r["node"]: r["harmonic_est"] for r in rows}["hub"]
+    # every spoke is at distance 1 → harmonic(hub) ≈ n within HLL error
+    assert hub == pytest.approx(n, rel=0.06)
 
 
 def test_hyperball_random_graph_error_bound(spark):
