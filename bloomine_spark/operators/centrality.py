@@ -41,7 +41,6 @@ from bloomine_spark.sketch.hll import HyperLogLog, _alpha
 
 __all__ = ["harmonic_centrality_exact", "hyperball_harmonic"]
 
-_MASK = (1 << 64) - 1
 _HDR = 6  # HLL state header: b"HLL1" + pack("<bb", b, hashed_input)
 
 

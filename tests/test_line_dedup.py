@@ -115,8 +115,4 @@ def test_line_dedup_plan_narrow(spark):
         .toString()
     ).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
-    import re
-
-    # find the Exchange on hashpartitioning(digest...) and check the
-    # window it feeds mentions no `line` column downstream of it
     assert "digest" in plan
