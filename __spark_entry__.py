@@ -1245,6 +1245,40 @@ def _q_html_main_extract_docs(spark, sf_dir):
     return html_extract_main(docs.withColumn("html", html))
 
 
+def _q_html_meta_docs(spark, sf_dir):
+    """Head-metadata extraction (title / meta description / canonical
+    link / og:title — the fields web corpora keep beside text): planted
+    heads on doc_id moduli with entities, both quote styles, and a
+    decoy second <title> (first match wins). Zero-exchange codegen."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.webops import html_meta
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    head = F.concat(
+        F.lit("<head><title>T &amp; "), (d % 9).cast("string"),
+        F.lit("</title>"),
+        F.when(d % 2 == 0,
+               F.concat(F.lit('<meta name="description" content="desc '),
+                        (d % 7).cast("string"), F.lit('">')))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<link rel='canonical' href='https://c"),
+                        (d % 5).cast("string"),
+                        F.lit(".example.com/p'>"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit('<meta property="og:title" content="og '),
+                        (d % 4).cast("string"), F.lit('">')))
+        .otherwise(F.lit("")),
+        F.lit("<title>decoy</title></head><body><p>"),
+    )
+    pages = docs.withColumn(
+        "html", F.concat(head, F.col("text"), F.lit("</p></body>"))
+    )
+    return html_meta(pages)
+
+
 def _q_line_dedup_docs(spark, sf_dir):
     """Corpus-level exact line dedup (RefinedWeb/FineWeb): shared
     footer/cookie lines PLANTED on doc_id moduli repeat across docs —
@@ -2508,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_confusion": _q_nb_langid_confusion,
         "html_extract_docs": _q_html_extract_docs,
         "html_main_extract_docs": _q_html_main_extract_docs,
+        "html_meta_docs": _q_html_meta_docs,
         "line_dedup_docs": _q_line_dedup_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
@@ -5002,6 +5037,56 @@ def oracle_sql() -> dict[str, str]:
                END AS n_lines,
                CAST(n_boiler AS BIGINT) AS n_boilerplate_lines
         FROM x
+    """
+
+    # head metadata: the SQL interpolates the SAME pattern constants
+    from bloomine_spark.operators.webops import (
+        _CANONICAL,
+        _META_NAME,
+        _META_PROP,
+        _TITLE,
+    )
+
+    def _q(p: str) -> str:  # SQL-escape single quotes in a regex literal
+        return p.replace("'", "''")
+
+    def _meta_clean_sql(expr: str) -> str:
+        s = expr
+        for ent, ch in (
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+        ):
+            s = f"replace({s}, '{ent}', '{ch}')"
+        return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
+
+    def _first_sql(pattern: str) -> str:
+        v = _meta_clean_sql(f"regexp_extract(html, '{_q(pattern)}', 1)")
+        return f"nullif({v}, '')"
+
+    sql["html_meta_docs"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+            '<head><title>T &amp; ' || (doc_id % 9) || '</title>'
+            || CASE WHEN doc_id % 2 = 0 THEN
+                 '<meta name="description" content="desc '
+                 || (doc_id % 7) || '">' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0 THEN
+                 '<link rel=''canonical'' href=''https://c'
+                 || (doc_id % 5) || '.example.com/p''>' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN
+                 '<meta property="og:title" content="og '
+                 || (doc_id % 4) || '">' ELSE '' END
+            || '<title>decoy</title></head><body><p>' || text
+            || '</p></body>' AS html
+          FROM documents
+        )
+        SELECT doc_id,
+               {_first_sql(_TITLE)} AS title,
+               {_first_sql(_META_NAME.format("description"))} AS description,
+               nullif(regexp_extract(html, '{_q(_CANONICAL)}', 1), '')
+                 AS canonical_url,
+               {_first_sql(_META_PROP.format("title"))} AS og_title
+        FROM h
     """
 
     sql["line_dedup_docs"] = """

@@ -372,6 +372,7 @@ def main():
         # extraction, URL canonicalize+filter, URL dedup with host cap
         "html_extract_docs",
         "html_main_extract_docs",
+        "html_meta_docs",
         "line_dedup_docs",
         "url_canonical_filter",
         "url_host_cap_dedup",
@@ -469,6 +470,7 @@ def main():
         # r6 eighth session
         "q_html_extract_docs",
         "q_html_main_extract_docs",
+        "q_html_meta_docs",
         "q_line_dedup_docs",
         "q_url_canonical_filter",
         "q_url_host_cap_dedup",

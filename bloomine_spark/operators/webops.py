@@ -28,6 +28,7 @@ __all__ = [
     "html_extract",
     "html_text_expr",
     "html_extract_main",
+    "html_meta",
     "canonical_url_expr",
     "canonicalize_url_df",
     "url_filter",
@@ -104,6 +105,64 @@ def html_extract(
 # lazy inner match, same Java∩RE2 subset
 _A_INNER = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
 _WS_RUN = r"[ \t\r\f]+"
+
+# head metadata patterns (first match wins, like real parsers reading a
+# streamed head); content/href values in either quote style
+_TITLE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+_META_NAME = (
+    r"""(?is)<meta\b[^>]*\bname\s*=\s*["']{0}["'][^>]*"""
+    r"""\bcontent\s*=\s*["']([^"'<>]*)["']"""
+)
+_META_PROP = (
+    r"""(?is)<meta\b[^>]*\bproperty\s*=\s*["']og:{0}["'][^>]*"""
+    r"""\bcontent\s*=\s*["']([^"'<>]*)["']"""
+)
+_CANONICAL = (
+    r"""(?is)<link\b[^>]*\brel\s*=\s*["']canonical["'][^>]*"""
+    r"""\bhref\s*=\s*["']([^"'<>]+)["']"""
+)
+
+
+def _meta_clean(col: Column) -> Column:
+    """Entity decode + whitespace fold for extracted metadata values."""
+    t = col
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_meta(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, title, description, canonical_url, og_title) — the head
+    metadata web corpora keep beside extracted text (titles ride into
+    training data; canonical URLs feed URL dedup; og: fields are the
+    de-facto social card schema). First match wins for each field,
+    exactly like a streaming head parser; empty → NULL. Zero-exchange
+    codegen map, same Java∩RE2 pattern subset as the rest of webops."""
+    html = F.col(html_col)
+
+    def first(pattern: str) -> Column:
+        v = _meta_clean(F.regexp_extract(html, pattern, 1))
+        return F.when(v != "", v)
+
+    return df.select(
+        F.col(id_col),
+        first(_TITLE).alias("title"),
+        first(_META_NAME.format("description")).alias("description"),
+        F.when(
+            F.regexp_extract(html, _CANONICAL, 1) != "",
+            F.regexp_extract(html, _CANONICAL, 1),
+        ).alias("canonical_url"),
+        first(_META_PROP.format("title")).alias("og_title"),
+    )
 
 
 def html_extract_main(

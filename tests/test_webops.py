@@ -9,6 +9,7 @@ from bloomine_spark.operators.webops import (
     canonicalize_url_df,
     html_extract,
     html_extract_main,
+    html_meta,
     url_dedup_with_host_cap,
     url_filter,
 )
@@ -176,6 +177,31 @@ def test_html_extract_main_matches_plain_when_no_anchors(spark):
     b = html_extract(df).collect()[0]
     assert a["text"] == b["text"] and a["n_lines"] == b["n_lines"]
     assert a["n_boilerplate_lines"] == 0
+
+
+def test_html_meta_fields(spark):
+    html = (
+        "<html><head><title> A &amp; B \n site </title>"
+        '<meta name="description" content="Best  docs &#39;here&#39;">'
+        "<link rel='canonical' href='https://a.com/real'>"
+        '<meta property="og:title" content="OG name">'
+        "<title>second ignored</title></head><body>x</body></html>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "html": [html]}))
+    r = html_meta(df).collect()[0]
+    assert r["title"] == "A & B site"         # entity + whitespace fold
+    assert r["description"] == "Best docs 'here'"
+    assert r["canonical_url"] == "https://a.com/real"
+    assert r["og_title"] == "OG name"
+
+
+def test_html_meta_missing_fields_null(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "html": ["<p>no head</p>"]})
+    )
+    r = html_meta(df).collect()[0]
+    assert r["title"] is None and r["description"] is None
+    assert r["canonical_url"] is None and r["og_title"] is None
 
 
 def test_host_cap_spent_on_survivors_not_duplicates(spark):
