@@ -1279,6 +1279,51 @@ def _q_html_meta_docs(spark, sf_dir):
     return html_meta(pages)
 
 
+def _q_robots_filter_docs(spark, sf_dir):
+    """robots.txt compliance (RFC 9309) end to end: planted robots
+    texts per host (hosts r<20 publish one; r%3==0 gives agent
+    'trainbot' its own group with a longer Allow overriding a Disallow
+    prefix, plus a catch-all '*' Disallow: / that the specific group
+    SHADOWS; other hosts Disallow: /p/2 for everyone) are PARSED by
+    robots_rules (gaps-and-islands grouping) and evaluated by
+    robots_allowed (longest match, allow tie-break). The oracle derives
+    the same rule relation from the planting formulas and replays the
+    argmax — so the parse and the evaluation must BOTH be right for the
+    hash to land."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.robots import robots_allowed, robots_rules
+    from bloomine_spark.sources.tables import load_table
+
+    r = F.col("id")
+    robots_txt = F.when(
+        r % 3 == 0,
+        F.concat(
+            F.lit("# policy\nUser-agent: trainbot\nDisallow: /p/1\n"
+                  "Allow: /p/1"),
+            (r % 10).cast("string"),
+            F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+        ),
+    ).otherwise(F.lit("User-agent: *\nDisallow: /p/2\n"))
+    hosts = spark.range(20).select(
+        F.concat(F.lit("h"), r.cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        robots_txt.alias("robots_txt"),
+    )
+    rules = robots_rules(hosts)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.withColumn(
+        "url_canon",
+        F.concat(
+            F.lit("https://h"), (d % 40).cast("string"),
+            F.lit(".example.com/p/"), (d % 100).cast("string"),
+        ),
+    )
+    return robots_allowed(urls, rules, "trainbot")
+
+
 def _q_line_dedup_docs(spark, sf_dir):
     """Corpus-level exact line dedup (RefinedWeb/FineWeb): shared
     footer/cookie lines PLANTED on doc_id moduli repeat across docs —
@@ -2543,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": _q_html_extract_docs,
         "html_main_extract_docs": _q_html_main_extract_docs,
         "html_meta_docs": _q_html_meta_docs,
+        "robots_filter_docs": _q_robots_filter_docs,
         "line_dedup_docs": _q_line_dedup_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
@@ -5087,6 +5133,60 @@ def oracle_sql() -> dict[str, str]:
                  AS canonical_url,
                {_first_sql(_META_PROP.format("title"))} AS og_title
         FROM h
+    """
+
+    # robots: the oracle rebuilds the rule relation from the planting
+    # formulas (the PARSE path is what the Spark side adds on top — a
+    # parse bug shifts the rule relation and the hash diverges) and
+    # replays the RFC argmax with the exact ordering the operator uses
+    sql["robots_filter_docs"] = """
+        WITH hs AS (
+          SELECT r FROM (SELECT unnest(range(0, 20)) AS r)
+        ), rules AS (
+          SELECT 'h' || r || '.example.com' AS host, 'trainbot' AS agent,
+                 FALSE AS allow, '/p/1' AS path
+          FROM hs WHERE r % 3 = 0
+          UNION ALL
+          SELECT 'h' || r || '.example.com', 'trainbot', TRUE,
+                 '/p/1' || (r % 10)
+          FROM hs WHERE r % 3 = 0
+          UNION ALL
+          SELECT 'h' || r || '.example.com', '*', FALSE, '/'
+          FROM hs WHERE r % 3 = 0
+          UNION ALL
+          SELECT 'h' || r || '.example.com', '*', FALSE, '/p/2'
+          FROM hs WHERE r % 3 <> 0
+        ), u AS (
+          SELECT doc_id,
+            'https://h' || (doc_id % 40) || '.example.com/p/'
+              || (doc_id % 100) AS url_canon,
+            'h' || (doc_id % 40) || '.example.com' AS host,
+            '/p/' || (doc_id % 100) AS path0
+          FROM documents
+        ), spec AS (
+          SELECT host, MAX(CASE WHEN agent = 'trainbot' THEN 1 ELSE 0 END)
+                 AS s
+          FROM rules GROUP BY host
+        ), eff AS (
+          SELECT r.host, r.allow, r.path
+          FROM rules r JOIN spec ON spec.host = r.host
+          WHERE r.agent = 'trainbot' OR (r.agent = '*' AND spec.s = 0)
+        ), j AS (
+          SELECT u.doc_id, u.url_canon, e.allow, e.path,
+                 (e.path IS NOT NULL
+                  AND u.path0 LIKE e.path || '%') AS matched
+          FROM u LEFT JOIN eff e ON e.host = u.host
+        ), rk AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY CASE WHEN matched THEN length(path) ELSE -1 END DESC,
+                     allow DESC NULLS LAST, path ASC NULLS LAST) AS rn
+          FROM j
+        )
+        SELECT doc_id, url_canon,
+               CASE WHEN matched THEN allow ELSE TRUE END AS robots_allowed,
+               CASE WHEN matched THEN path END AS robots_rule
+        FROM rk WHERE rn = 1
     """
 
     sql["line_dedup_docs"] = """

@@ -1,0 +1,153 @@
+"""robots.txt (RFC 9309) parsing and URL evaluation — the compliance
+stage of a crawl-derived corpus: given each host's robots.txt and a
+product token, which fetched URLs were actually allowed?
+
+Both halves are pure DataFrame ops:
+
+* :func:`robots_rules` parses the files relationally — lines explode
+  with positions, ``User-agent``/``Allow``/``Disallow`` directives are
+  regex-extracted, and RFC group structure (consecutive user-agent
+  lines share the following rule block) falls out of a gaps-and-islands
+  running sum, exactly the technique the dup-span/gopher operators use.
+* :func:`robots_allowed` evaluates URLs: the effective group per host is
+  the product token's own group when one exists, else ``*``; among
+  matching rules the LONGEST path value wins and an allow/disallow tie
+  at equal length resolves to allow (RFC 9309 §2.2.2). ``*`` wildcards
+  and the ``$`` end anchor are compiled to a per-rule regex inside the
+  rules relation (metacharacters escaped relationally — no Python).
+
+Scale shape: rules are one small relation per host (a crawl has ~one
+robots.txt per host) joined to the URL table on host — broadcast- or
+shuffle-equi-join, never a cartesian; the longest-match argmax is a
+per-URL window over the handful of matching rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["robots_rules", "robots_allowed"]
+
+
+def robots_rules(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agent, allow, path, match_regex) — one row per (group
+    member agent × rule). Comments strip at ``#``; empty rule values
+    match nothing and drop (an empty ``Disallow:`` means allow-all per
+    RFC); agents compare case-insensitively."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    )
+    nocomment = F.regexp_replace(F.col("line"), r"#.*$", "")
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.regexp_extract(nocomment, r"^\s*([A-Za-z-]+)\s*:", 1)
+        ).alias("directive"),
+        F.trim(F.regexp_extract(nocomment, r"^\s*[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    grouped = parsed.withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                (F.col("directive") == "user-agent")
+                & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    uas = grouped.filter(F.col("directive") == "user-agent").select(
+        "host", "gid", F.lower(F.col("value")).alias("agent")
+    )
+    rules = grouped.filter(
+        (F.col("directive") != "user-agent") & (F.col("value") != "")
+    ).select(
+        "host",
+        "gid",
+        (F.col("directive") == "allow").alias("allow"),
+        F.col("value").alias("path"),
+    )
+    # compile the RFC matcher per rule: strip a trailing $ into an end
+    # anchor, regex-escape the rest, '*' -> '.*'
+    anchored = F.col("path").endswith("$")
+    body = F.when(anchored, F.expr("substring(path, 1, length(path) - 1)")).otherwise(
+        F.col("path")
+    )
+    escaped = F.regexp_replace(body, r"([.^$+?()\[\]{}|\\])", r"\\$1")
+    regex = F.concat(
+        F.lit("^"),
+        F.regexp_replace(escaped, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return (
+        uas.join(rules, ["host", "gid"])
+        .select("host", "agent", "allow", "path", regex.alias("match_regex"))
+        .distinct()
+    )
+
+
+def _url_path(url: Column) -> Column:
+    p = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url_canon",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds (robots_allowed, robots_rule) per URL for one product token.
+    Effective group: the agent's own rules when the host defines any,
+    else the ``*`` group; no rules / no match → allowed (RFC default).
+    Longest path value wins; at equal length allow beats disallow."""
+    a = agent.lower()
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    u = urls.withColumn("_host", host).withColumn(
+        "_path", _url_path(F.col(url_col))
+    )
+    cand = rules.filter(F.col("agent").isin(a, "*"))
+    has_specific = cand.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("_spec")
+    )
+    effective = (
+        cand.join(has_specific, "host")
+        .filter(
+            (F.col("agent") == a)
+            | ((F.col("agent") == "*") & (F.col("_spec") == 0))
+        )
+        .select("host", "allow", "path", "match_regex")
+    )
+    joined = u.join(
+        effective.withColumnRenamed("host", "_host"), "_host", "left"
+    ).withColumn(
+        "_match",
+        F.col("path").isNotNull()
+        & F.expr("_path rlike match_regex"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.when(F.col("_match"), F.length("path")).otherwise(-1).desc(),
+        F.col("allow").desc_nulls_last(),
+        F.col("path").asc_nulls_last(),
+    )
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *[F.col(c) for c in urls.columns],
+            F.when(F.col("_match"), F.col("allow"))
+            .otherwise(F.lit(True))
+            .alias("robots_allowed"),
+            F.when(F.col("_match"), F.col("path")).alias("robots_rule"),
+        )
+    )
+    return best

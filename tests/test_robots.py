@@ -1,0 +1,127 @@
+"""robots.txt parsing + RFC 9309 evaluation."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomine_spark.operators.robots import robots_allowed, robots_rules
+
+ROBOTS_A = """# crawl policy
+User-agent: trainbot
+Disallow: /private/
+Allow: /private/ok/
+
+User-agent: *
+Disallow: /
+"""
+
+ROBOTS_B = """User-agent: alpha
+User-agent: beta
+Disallow: /shared/
+
+User-agent: *
+Disallow: /tmp/*.log
+Allow: /tmp/
+Disallow: /exact$
+Disallow:
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"host": ["a.com", "b.com"], "robots_txt": [ROBOTS_A, ROBOTS_B]}
+        )
+    )
+    return robots_rules(df)
+
+
+def test_parse_groups_and_multi_agent(spark):
+    r = _rules(spark).toPandas()
+    a = r[r.host == "a.com"]
+    assert set(map(tuple, a[["agent", "path", "allow"]].values)) == {
+        ("trainbot", "/private/", False),
+        ("trainbot", "/private/ok/", True),
+        ("*", "/", False),
+    }
+    # consecutive UA lines share the rule block; empty Disallow dropped
+    b = r[r.host == "b.com"]
+    assert ("alpha", "/shared/", False) in set(
+        map(tuple, b[["agent", "path", "allow"]].values)
+    )
+    assert ("beta", "/shared/", False) in set(
+        map(tuple, b[["agent", "path", "allow"]].values)
+    )
+    assert "" not in set(b["path"])
+
+
+def _eval(spark, urls, agent):
+    u = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(len(urls)), "url_canon": urls}
+        )
+    )
+    out = robots_allowed(u, _rules(spark), agent).toPandas()
+    return dict(zip(out["url_canon"], out["robots_allowed"]))
+
+
+def test_longest_match_and_allow_tiebreak(spark):
+    got = _eval(
+        spark,
+        [
+            "https://a.com/public/x",        # no trainbot rule matches → allowed
+            "https://a.com/private/x",       # Disallow /private/
+            "https://a.com/private/ok/x",    # longer Allow wins
+        ],
+        "TrainBot",                           # case-insensitive product token
+    )
+    assert got["https://a.com/public/x"] is True
+    assert got["https://a.com/private/x"] is False
+    assert got["https://a.com/private/ok/x"] is True
+
+
+def test_specific_group_shadows_star(spark):
+    # trainbot has its own group on a.com → the * group (Disallow /) is
+    # ignored entirely, even where the specific group has no match
+    got = _eval(spark, ["https://a.com/anything"], "trainbot")
+    assert got["https://a.com/anything"] is True
+    # an unknown agent falls back to * → everything disallowed
+    got = _eval(spark, ["https://a.com/anything"], "otherbot")
+    assert got["https://a.com/anything"] is False
+
+
+def test_wildcard_and_end_anchor(spark):
+    got = _eval(
+        spark,
+        [
+            "https://b.com/tmp/a.log",   # Disallow /tmp/*.log (len 10) beats Allow /tmp/ (5)
+            "https://b.com/tmp/a.txt",   # only Allow /tmp/ matches
+            "https://b.com/exact",       # $-anchored disallow
+            "https://b.com/exactly",     # anchor must NOT match a prefix
+        ],
+        "anybot",
+    )
+    assert got["https://b.com/tmp/a.log"] is False
+    assert got["https://b.com/tmp/a.txt"] is True
+    assert got["https://b.com/exact"] is False
+    assert got["https://b.com/exactly"] is True
+
+
+def test_host_without_robots_allowed(spark):
+    got = _eval(spark, ["https://nothing.com/x"], "trainbot")
+    assert got["https://nothing.com/x"] is True
+
+
+def test_query_string_participates_in_match(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"host": ["q.com"], "robots_txt": ["User-agent: *\nDisallow: /s?page="]})
+    )
+    u = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "url_canon": ["https://q.com/s?page=2", "https://q.com/s"]}
+        )
+    )
+    out = robots_allowed(u, robots_rules(df), "x").toPandas()
+    got = dict(zip(out["url_canon"], out["robots_allowed"]))
+    assert got["https://q.com/s?page=2"] is False
+    assert got["https://q.com/s"] is True
