@@ -373,6 +373,7 @@ def main():
         "html_extract_docs",
         "html_main_extract_docs",
         "html_meta_docs",
+        "robots_filter_docs",
         "line_dedup_docs",
         "url_canonical_filter",
         "url_host_cap_dedup",
@@ -471,6 +472,7 @@ def main():
         "q_html_extract_docs",
         "q_html_main_extract_docs",
         "q_html_meta_docs",
+        "q_robots_filter_docs",
         "q_line_dedup_docs",
         "q_url_canonical_filter",
         "q_url_host_cap_dedup",
