@@ -1324,6 +1324,38 @@ def _q_robots_filter_docs(spark, sf_dir):
     return robots_allowed(urls, rules, "trainbot")
 
 
+def _q_sitemap_entries_docs(spark, sf_dir):
+    """Sitemap parse (sitemaps.org): each doc plants a urlset of two
+    <url> blocks (second without lastmod) — or, on %7, a <sitemapindex>
+    whose loc is another sitemap. One regexp_extract_all + explode."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.webops import sitemap_entries
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    xml = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://h"),
+            (d % 40).cast("string"),
+            F.lit(".example.com/s"), (d % 3).cast("string"),
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset><url><loc> https://h"), (d % 40).cast("string"),
+            F.lit(".example.com/p/"), (d % 100).cast("string"),
+            F.lit(" </loc><lastmod>2024-01-"),
+            F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></url><url><loc>https://h"),
+            (d % 40).cast("string"),
+            F.lit(".example.com/q</loc></url></urlset>"),
+        )
+    )
+    return sitemap_entries(docs.withColumn("xml", xml))
+
+
 def _q_line_dedup_docs(spark, sf_dir):
     """Corpus-level exact line dedup (RefinedWeb/FineWeb): shared
     footer/cookie lines PLANTED on doc_id moduli repeat across docs —
@@ -2589,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_extract_docs": _q_html_main_extract_docs,
         "html_meta_docs": _q_html_meta_docs,
         "robots_filter_docs": _q_robots_filter_docs,
+        "sitemap_entries_docs": _q_sitemap_entries_docs,
         "line_dedup_docs": _q_line_dedup_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
@@ -5187,6 +5220,43 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN matched THEN allow ELSE TRUE END AS robots_allowed,
                CASE WHEN matched THEN path END AS robots_rule
         FROM rk WHERE rn = 1
+    """
+
+    from bloomine_spark.operators.webops import (
+        _SM_BLOCK,
+        _SM_LASTMOD,
+        _SM_LOC,
+    )
+
+    sql["sitemap_entries_docs"] = f"""
+        WITH x AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN
+              '<sitemapindex><sitemap><loc>https://h' || (doc_id % 40)
+              || '.example.com/s' || (doc_id % 3)
+              || '.xml</loc></sitemap></sitemapindex>'
+            ELSE
+              '<urlset><url><loc> https://h' || (doc_id % 40)
+              || '.example.com/p/' || (doc_id % 100)
+              || ' </loc><lastmod>2024-01-'
+              || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+              || '</lastmod></url><url><loc>https://h' || (doc_id % 40)
+              || '.example.com/q</loc></url></urlset>'
+            END AS xml
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+            regexp_matches(xml, '(?is)<\\s*sitemapindex\\b') AS is_index,
+            unnest(regexp_extract_all(xml, '{_SM_BLOCK}', 1)) AS blk
+          FROM x
+        )
+        SELECT doc_id,
+               regexp_extract(blk, '{_SM_LOC}', 1) AS loc,
+               nullif(regexp_extract(blk, '{_SM_LASTMOD}', 1), '')
+                 AS lastmod,
+               is_index
+        FROM b
+        WHERE regexp_extract(blk, '{_SM_LOC}', 1) <> ''
     """
 
     sql["line_dedup_docs"] = """

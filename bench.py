@@ -374,6 +374,7 @@ def main():
         "html_main_extract_docs",
         "html_meta_docs",
         "robots_filter_docs",
+        "sitemap_entries_docs",
         "line_dedup_docs",
         "url_canonical_filter",
         "url_host_cap_dedup",
@@ -473,6 +474,7 @@ def main():
         "q_html_main_extract_docs",
         "q_html_meta_docs",
         "q_robots_filter_docs",
+        "q_sitemap_entries_docs",
         "q_line_dedup_docs",
         "q_url_canonical_filter",
         "q_url_host_cap_dedup",

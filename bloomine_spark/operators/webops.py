@@ -29,6 +29,7 @@ __all__ = [
     "html_text_expr",
     "html_extract_main",
     "html_meta",
+    "sitemap_entries",
     "canonical_url_expr",
     "canonicalize_url_df",
     "url_filter",
@@ -234,6 +235,47 @@ def html_extract_main(
         F.size(F.filter(lines, _is_boiler)).cast("long").alias(
             "n_boilerplate_lines"
         ),
+    )
+
+
+# sitemap entry blocks (<url>…</url> in urlsets, <sitemap>…</sitemap>
+# in index files) and their children
+_SM_BLOCK = r"(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"
+_SM_LOC = r"(?is)<loc\s*>\s*([^<]*?)\s*</loc\s*>"
+_SM_LASTMOD = r"(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod\s*>"
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, loc, lastmod, is_index) — one row per ``<url>``/``<sitemap>``
+    block of a sitemap file (sitemaps.org protocol), the crawl-frontier
+    discovery complement to robots.txt. ``is_index`` marks entries of a
+    ``<sitemapindex>`` (their locs are MORE sitemaps to fetch, not
+    pages). lastmod stays a string: the protocol allows both dates and
+    full W3C datetimes — parsing is the caller's policy. Entries
+    without a ``<loc>`` drop. Zero-exchange codegen map (one
+    regexp_extract_all + explode, per-block extracts)."""
+    xml = F.col(xml_col)
+    is_index = xml.rlike(r"(?is)<\s*sitemapindex\b")
+    block = F.col("_block")
+    loc = F.regexp_extract(block, _SM_LOC, 1)
+    lastmod = F.regexp_extract(block, _SM_LASTMOD, 1)
+    return (
+        df.select(
+            F.col(id_col),
+            is_index.alias("is_index"),
+            F.explode(
+                F.regexp_extract_all(xml, F.lit(_SM_BLOCK), F.lit(1))
+            ).alias("_block"),
+        )
+        .select(
+            F.col(id_col),
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            "is_index",
+        )
+        .filter(F.col("loc") != "")
     )
 
 

@@ -220,6 +220,83 @@ def test_host_cap_spent_on_survivors_not_duplicates(spark):
     assert kept == {0, 100, 101}
 
 
+def test_sitemap_entries(spark):
+    from bloomine_spark.operators.webops import sitemap_entries
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9"><url><loc> https://a.com/1 </loc>'
+        "<lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>https://a.com/2</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url></urlset>"  # no loc → drop
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "xml": [urlset, index]})
+    )
+    out = sitemap_entries(df).toPandas().sort_values(["doc_id", "loc"])
+    got = list(map(tuple, out[["doc_id", "loc", "lastmod", "is_index"]].values))
+    assert got == [
+        (1, "https://a.com/1", "2024-01-02", False),
+        (1, "https://a.com/2", None, False),
+        (2, "https://a.com/s1.xml", None, True),
+    ]
+
+
+def test_url_frontier_stream(spark, tmp_path):
+    """Streaming frontier: canonical dedup suppresses re-discovered
+    URLs ACROSS triggers; filter-failing URLs never reach state."""
+    import datetime
+
+    from bloomine_spark.streaming.stream_ops import url_frontier_stream
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(8):
+        # four distinct pages, each discovered twice (tracking params /
+        # fragments vary so only CANONICAL equality can catch the dup),
+        # plus one .jpg that must die at the filter
+        rows.append(
+            {
+                "doc_id": i,
+                "url": f"https://WWW.Site.com/p{i % 4}"
+                + ("?utm_source=x" if i >= 4 else "#top"),
+                "ts": t0 + datetime.timedelta(seconds=i),
+            }
+        )
+    rows.append(
+        {"doc_id": 99, "url": "https://site.com/x.jpg",
+         "ts": t0 + datetime.timedelta(seconds=9)}
+    )
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        url_frontier_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("frontier_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("select * from frontier_out").toPandas()
+    assert sorted(out["url_canon"]) == [
+        f"https://site.com/p{i}" for i in range(4)
+    ]
+    assert 99 not in set(out["doc_id"])  # extension-filtered before state
+
+
 def test_webops_plans_are_codegen(spark):
     """Extraction and canonicalization are zero-exchange Python-free
     maps; dedup+cap is rank windows only."""
