@@ -688,3 +688,51 @@ def test_pq_ann_plans(spark):
     assert "CartesianProduct" not in ft.join_strategies, ft.text
     assert "BroadcastHashJoin" in ft.join_strategies, ft.text
     assert "SortMergeJoin" not in ft.join_strategies, ft.text
+
+
+@needs_data
+def test_web_extraction_plans(spark):
+    """The whole web front-end is zero-exchange pruned codegen: the
+    documents scan reads only what the planting uses, no Exchange, no
+    Python eval anywhere."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name, pruned in (
+        ("html_extract_docs", {"lang", "n_chars", "source"}),
+        ("html_main_extract_docs", {"lang", "n_chars", "source"}),
+        ("html_meta_docs", {"lang", "n_chars", "source"}),
+        ("url_canonical_filter", {"text", "lang", "n_chars"}),
+        ("sitemap_entries_docs", {"text", "lang", "n_chars"}),
+        ("html_links_docs", {"text", "lang", "n_chars"}),
+    ):
+        q = qs[name](spark, SF)
+        assert_columns_pruned(q, pruned)
+        assert_max_exchanges(q, 0)
+        facts = plan_facts(q)
+        assert not facts.has_python_eval, name
+
+
+@needs_data
+def test_url_host_cap_plan(spark):
+    """URL dedup + host cap: exactly the two rank-window exchanges
+    (url_canon, then host), both WindowGroupLimit-eligible; no
+    cartesian, no Python."""
+    import __spark_entry__ as em
+
+    q = em.queries()["url_host_cap_dedup"](spark, SF)
+    assert_no_cartesian(q)
+    assert_max_exchanges(q, 2)
+    assert not plan_facts(q).has_python_eval
+
+
+@needs_data
+def test_robots_filter_plan(spark):
+    """Robots evaluation: URL×rules joins on host (never cartesian);
+    the tiny rules relation broadcasts; text column pruned."""
+    import __spark_entry__ as em
+
+    q = em.queries()["robots_filter_docs"](spark, SF)
+    assert_no_cartesian(q)
+    assert_columns_pruned(q, {"text", "lang", "n_chars"})
+    assert "BroadcastHashJoin" in plan_facts(q).text
