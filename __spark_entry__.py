@@ -2568,6 +2568,100 @@ def _q_media_png_features(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+def _q_asof_click_attribution(spark, sf_dir):
+    """Backward as-of join (the attribution join): every purchase event
+    picks the user's LATEST click at-or-before it — pandas merge_asof /
+    DuckDB ASOF JOIN semantics, left-outer. The plan is the union+window
+    formulation: ONE hash exchange on user_id carries both sides, a
+    single ordered window forwards the click payload, and NO join node
+    exists — shuffle volume is |purchases|+|clicks| rows independent of
+    per-user match counts (the skew-proof form at 100 TB)."""
+    from bloomine_spark.operators.temporal import asof_join
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_right").alias("click_ts"),
+        "click_event_id",
+        "click_value",
+        F.expr("timestampdiff(MICROSECOND, ts_right, ts)").alias("gap_us"),
+    )
+
+
+def _q_funnel_signup_click_purchase(spark, sf_dir):
+    """Windowed funnel (ClickHouse windowFunnel semantics, greedy
+    earliest-completion): signup → click → purchase within 48 h of the
+    first signup; one row per user that signed up, with stage timestamps
+    and the stage count. k−1 bounded relational passes — plan size is
+    O(steps), never O(events)."""
+    from bloomine_spark.operators.temporal import window_funnel
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return window_funnel(
+        ev,
+        ["signup", "click", "purchase"],
+        window_us=48 * 3600 * 1_000_000,
+    )
+
+
+def _q_retention_weekly_cohorts(spark, sf_dir):
+    """First-touch weekly retention cohorts: cohort = 7-day bucket (from
+    2024-01-01) of the user's first event; (cohort_week, week_offset) →
+    distinct users + events. Pure integer week-index arithmetic — no
+    engine week-start convention in the result. Cohorted over the sparse
+    deterministic event subset event_id % 20 == 0 (~5%) so first-touch
+    genuinely spreads across weeks — on the full stream every user's
+    first event lands in week 0 and the matrix degenerates to one
+    cohort."""
+    from bloomine_spark.operators.temporal import retention_cohorts
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 20 == 0
+    )
+    return retention_cohorts(ev)
+
+
+def _q_events_rollup_day(spark, sf_dir):
+    """Multi-level ROLLUP aggregation (event_type, day) with subtotal and
+    grand-total rows — the OLAP cube face of the engine; sums are exact
+    decimal so every total is order-independent."""
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_path()
     return {
@@ -2681,6 +2775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_sources": _q_minhash_jaccard_sources,
         "curate_training_docs": _q_curate_training_docs,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "asof_click_attribution": _q_asof_click_attribution,
+        "funnel_signup_click_purchase": _q_funnel_signup_click_purchase,
+        "retention_weekly_cohorts": _q_retention_weekly_cohorts,
+        "events_rollup_day": _q_events_rollup_day,
     }
 
 
@@ -6031,6 +6129,87 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         WHERE c_nationkey = s_nationkey
         GROUP BY n_name
+    """
+
+    # --- temporal/event-sequence family --------------------------------
+    # as-of attribution: DuckDB's NATIVE ASOF JOIN is the oracle — an
+    # independent implementation of the same inclusive backward-match
+    # semantics the union+window plan computes
+    sql["asof_click_attribution"] = """
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.ts AS click_ts, c.event_id AS click_event_id,
+               c.value AS click_value,
+               CASE WHEN c.ts IS NOT NULL
+                    THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+    # funnel: greedy earliest-completion replay — each stage is the MIN
+    # candidate strictly after the previous stage within the 48 h window
+    # of stage 1 (172800000000 us)
+    sql["funnel_signup_click_purchase"] = """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT s1.user_id, MIN(e.ts) AS t2
+          FROM s1 JOIN events e ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+            AND epoch_us(e.ts) - epoch_us(s1.t1) <= 172800000000
+          GROUP BY s1.user_id
+        ), s3 AS (
+          SELECT s1.user_id, MIN(e.ts) AS t3
+          FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+          JOIN events e ON e.user_id = s1.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            AND epoch_us(e.ts) - epoch_us(s1.t1) <= 172800000000
+          GROUP BY s1.user_id
+        )
+        SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+               CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+                    AS INT) AS n_steps
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """
+
+    # retention cohorts: integer week indices from the fixed epoch — the
+    # identical floor(datediff/7) arithmetic on both engines
+    sql["retention_weekly_cohorts"] = """
+        WITH ev AS (
+          SELECT * FROM events WHERE event_id % 20 = 0
+        ), f AS (
+          SELECT user_id, MIN(ts) AS ft FROM ev GROUP BY user_id
+        ), wk AS (
+          SELECT e.user_id,
+            CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                 CAST(f.ft AS DATE)) / 7) AS INT)
+              AS cohort_week,
+            CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                 CAST(e.ts AS DATE)) / 7)
+               - FLOOR(date_diff('day', DATE '2024-01-01',
+                                 CAST(f.ft AS DATE)) / 7) AS INT)
+              AS week_offset
+          FROM ev e JOIN f ON f.user_id = e.user_id
+        )
+        SELECT cohort_week, week_offset,
+               COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM wk GROUP BY cohort_week, week_offset
+    """
+
+    sql["events_rollup_day"] = """
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+        )
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                 AS sum_value
+        FROM d GROUP BY ROLLUP(event_type, day)
     """
 
     return sql

@@ -386,6 +386,13 @@ def main():
         "trustrank_hosts",
         "harmonic_hosts_exact",
         "hyperball_harmonic_hosts",
+        # r6 ninth-session additions (excluded): temporal family — as-of
+        # attribution (union+window, no join node), windowed funnel,
+        # weekly retention cohorts, ROLLUP cube face
+        "asof_click_attribution",
+        "funnel_signup_click_purchase",
+        "retention_weekly_cohorts",
+        "events_rollup_day",
     ):
         if name in capture:
             def run(n=name):
@@ -483,6 +490,11 @@ def main():
         "q_trustrank_hosts",
         "q_harmonic_hosts_exact",
         "q_hyperball_harmonic_hosts",
+        # r6 ninth session
+        "q_asof_click_attribution",
+        "q_funnel_signup_click_purchase",
+        "q_retention_weekly_cohorts",
+        "q_events_rollup_day",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

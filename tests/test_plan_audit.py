@@ -736,3 +736,51 @@ def test_robots_filter_plan(spark):
     assert_no_cartesian(q)
     assert_columns_pruned(q, {"text", "lang", "n_chars"})
     assert "BroadcastHashJoin" in plan_facts(q).text
+
+
+@needs_data
+def test_asof_join_has_no_join_node(spark):
+    """The as-of join is the union+window plan: ONE hash exchange on the
+    key carries both sides and NO join node exists — shuffle volume is
+    |left|+|right| rows regardless of per-key match-count skew."""
+    import __spark_entry__ as em
+
+    q = em.queries()["asof_click_attribution"](spark, SF)
+    facts = plan_facts(q)
+    assert "Join" not in facts.text, facts.text
+    assert_max_exchanges(q, 1)
+    assert not facts.has_python_eval
+    assert_columns_pruned(q, {"props"})
+
+
+@needs_data
+def test_funnel_and_retention_plans(spark):
+    """Funnel: O(steps) filtered aggs + narrow key joins, no cartesian,
+    no Python; retention: two key aggs + one key join, props/event_type
+    never read."""
+    import __spark_entry__ as em
+
+    q = em.queries()["funnel_signup_click_purchase"](spark, SF)
+    assert_no_cartesian(q)
+    assert not plan_facts(q).has_python_eval
+    assert_columns_pruned(q, {"props", "value", "event_id"})
+
+    r = em.queries()["retention_weekly_cohorts"](spark, SF)
+    assert_no_cartesian(r)
+    assert not plan_facts(r).has_python_eval
+    assert_columns_pruned(r, {"props", "value", "event_type"})
+    assert_max_exchanges(r, 4)
+
+
+@needs_data
+def test_rollup_is_expand_plus_one_exchange(spark):
+    """ROLLUP compiles to Expand → partial agg → ONE exchange → final
+    agg: the subtotal levels ride the map side, never extra shuffles."""
+    import __spark_entry__ as em
+
+    q = em.queries()["events_rollup_day"](spark, SF)
+    facts = plan_facts(q)
+    assert "Expand" in facts.text
+    assert_max_exchanges(q, 1)
+    assert not facts.has_python_eval
+    assert_columns_pruned(q, {"props", "user_id", "event_id"})
