@@ -2568,6 +2568,80 @@ def _q_media_png_features(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# phrase-search driver constant — the oracle interpolates the SAME list
+PHRASE_QUERIES = [
+    "table hash",
+    "merge group",
+    "table window table",  # repeated word: 'table' at offsets 0 and 2
+    "key agg row",
+]
+
+
+def _q_pmi_collocations_topk(spark, sf_dir):
+    """Bigram collocations by Dunning G² log-likelihood ratio with PMI
+    alongside (Dunning 1993; Manning & Schütze §5.3.4) — the standard
+    corpus-linguistics association pair. Everything derives from the ONE
+    bigram-type relation (vocab²-bounded): margins are broadcast-sized
+    re-aggregations, N is a 1-row scalar, every ln stays in codegen; the
+    rank window sees only the ≥min_count collocation types."""
+    from bloomine_spark.operators.collocations import collocation_scores
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return collocation_scores(docs, min_count=5, top_k=50)
+
+
+def _q_phrase_search_docs(spark, sf_dir):
+    """Exact phrase search via positional-postings intersection (the
+    relational positional inverted index, Manning IR §2.4.2): postings
+    filtered to the phrase vocabulary IN-SCAN, broadcast phrase-word
+    relation, one groupBy on (phrase, doc, start) — a start holding all
+    k offsets is an occurrence; no per-word join chain."""
+    from bloomine_spark.operators.retrieval import phrase_search
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs, PHRASE_QUERIES)
+
+
+def _q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (window 2, undirected, built from
+    lead offsets — never a positional self-join), reusing the linkgraph
+    pagerank with its uniform-dangling fixed-round semantics; the oracle
+    unrolls the same 8 rounds over the identically-derived edge set."""
+    from bloomine_spark.operators.collocations import textrank_keywords
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textrank_keywords(docs, window=2, iterations=8, top_k=20)
+
+
+def _q_readability_per_source(spark, sf_dir):
+    """Flesch reading-ease + Flesch–Kincaid grade per source over a
+    deterministic vowel-group syllable heuristic; sentence terminators
+    are PLANTED on word-position moduli (the corpus has none) so the
+    sentence-count path is genuinely exercised. All inputs are exact
+    integer sums per source; the scores are one pinned double sequence."""
+    from bloomine_spark.operators.textops import readability_per_source
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", " "),
+                lambda w, i: F.when(i % 8 == 7, F.concat(w, F.lit(".")))
+                .when(i % 19 == 18, F.concat(w, F.lit("!")))
+                .otherwise(w),
+            ),
+        ),
+    )
+    return readability_per_source(planted)
+
+
 def _q_asof_click_attribution(spark, sf_dir):
     """Backward as-of join (the attribution join): every purchase event
     picks the user's LATEST click at-or-before it — pandas merge_asof /
@@ -2779,6 +2853,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_signup_click_purchase": _q_funnel_signup_click_purchase,
         "retention_weekly_cohorts": _q_retention_weekly_cohorts,
         "events_rollup_day": _q_events_rollup_day,
+        "pmi_collocations_topk": _q_pmi_collocations_topk,
+        "phrase_search_docs": _q_phrase_search_docs,
+        "textrank_keywords": _q_textrank_keywords,
+        "readability_per_source": _q_readability_per_source,
     }
 
 
@@ -6210,6 +6288,176 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
                  AS sum_value
         FROM d GROUP BY ROLLUP(event_type, day)
+    """
+
+    # --- corpus-analytics family ----------------------------------------
+    # PMI + Dunning G² from the one bigram-type relation; identical
+    # left-associated float sequences on both engines
+    sql["pmi_collocations_topk"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        big AS (
+          SELECT ws[i+1] AS w1, ws[i+2] AS w2, COUNT(*) AS c12
+          FROM t, unnest(range(0, len(ws) - 1)) AS u(i)
+          GROUP BY 1, 2
+        ),
+        m1 AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1),
+        m2 AS (SELECT w2, SUM(c12) AS c2 FROM big GROUP BY w2),
+        nn AS (SELECT CAST(SUM(c12) AS DOUBLE) AS N FROM big),
+        sc AS (
+          SELECT b.w1, b.w2, b.c12,
+                 CAST(m1.c1 AS BIGINT) AS c1, CAST(m2.c2 AS BIGINT) AS c2,
+            ln(b.c12 * N / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE)))
+              AS pmi,
+            2.0 * (
+              CASE WHEN b.c12 > 0 THEN b.c12 * ln(b.c12 * N
+                / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE)))
+                ELSE 0 END
+            + CASE WHEN m1.c1 - b.c12 > 0 THEN (m1.c1 - b.c12)
+                * ln((m1.c1 - b.c12) * N
+                     / (CAST(m1.c1 AS DOUBLE) * (N - m2.c2)))
+                ELSE 0 END
+            + CASE WHEN m2.c2 - b.c12 > 0 THEN (m2.c2 - b.c12)
+                * ln((m2.c2 - b.c12) * N
+                     / ((N - m1.c1) * CAST(m2.c2 AS DOUBLE)))
+                ELSE 0 END
+            + CASE WHEN N - m1.c1 - m2.c2 + b.c12 > 0
+                THEN (N - m1.c1 - m2.c2 + b.c12)
+                * ln((N - m1.c1 - m2.c2 + b.c12) * N
+                     / ((N - m1.c1) * (N - m2.c2)))
+                ELSE 0 END
+            ) AS llr
+          FROM big b JOIN m1 USING (w1) JOIN m2 USING (w2), nn
+          WHERE b.c12 >= 5
+        ),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                ORDER BY round(llr, 6) DESC, w1, w2) AS rank FROM sc)
+        SELECT w1, w2, c12, c1, c2, pmi, llr, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 50
+    """
+
+    # phrase search: the phrase-word relation is the SAME module constant
+    _ph_vals = ", ".join(
+        f"({pid}, '{ph}', {len(ph.split())}, {i}, '{w}')"
+        for pid, ph in enumerate(PHRASE_QUERIES)
+        for i, w in enumerate(ph.split())
+    )
+    sql["phrase_search_docs"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        w AS (SELECT doc_id, i AS pos, ws[i+1] AS w
+              FROM t, unnest(range(0, len(ws))) AS u(i)),
+        ph(phrase_id, phrase, k, i, pw) AS (VALUES {_ph_vals}),
+        cand AS (
+          SELECT p.phrase, p.k, w.doc_id, w.pos - p.i AS start
+          FROM w JOIN ph p ON p.pw = w.w
+          WHERE w.pos - p.i >= 0
+        ),
+        hit AS (
+          SELECT phrase, doc_id, start
+          FROM cand GROUP BY phrase, k, doc_id, start
+          HAVING COUNT(*) = k
+        )
+        SELECT phrase, doc_id, COUNT(*) AS n_occurrences,
+               MIN(start) AS first_pos
+        FROM hit GROUP BY phrase, doc_id
+    """
+
+    # TextRank: co-occurrence edges from the same lead offsets, then the
+    # pagerank round template (uniform dangling redistribution) unrolled
+    _tk_rounds = []
+    for i in range(1, 9):
+        _tk_rounds.append(f"""
+        r{i} AS MATERIALIZED (
+          SELECT nd.node,
+            (1 - 0.85) / (SELECT n FROM nn) + 0.85 * (
+              COALESCE(c.contrib, 0)
+              + (SELECT COALESCE(SUM(r.pr), 0) FROM r{i-1} r
+                 LEFT JOIN o ON o.node = r.node
+                 WHERE o.node IS NULL) / (SELECT n FROM nn)
+            ) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.pr / o.outdeg) AS contrib
+            FROM e JOIN r{i-1} r ON e.src = r.node
+            JOIN o ON o.node = e.src
+            GROUP BY e.dst
+          ) c ON c.node = nd.node
+        )""")
+    sql["textrank_keywords"] = f"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), p AS MATERIALIZED (
+          SELECT ws[i+1] AS a, ws[i+2] AS b
+          FROM t, unnest(range(0, len(ws) - 1)) AS u(i)
+          UNION ALL
+          SELECT ws[i+1], ws[i+3]
+          FROM t, unnest(range(0, len(ws) - 2)) AS u(i)
+        ), pe AS MATERIALIZED (
+          SELECT a, b FROM p WHERE a <> b
+        ), e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT a AS src, b AS dst FROM pe
+            UNION ALL SELECT b, a FROM pe)
+        ), nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), nn AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+        ), o AS MATERIALIZED (
+          SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+          FROM e GROUP BY src
+        ), r0 AS MATERIALIZED (
+          SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+          FROM nodes
+        ),{",".join(_tk_rounds)},
+        rk AS (
+          SELECT node, pr, ROW_NUMBER() OVER (
+                   ORDER BY round(pr, 6) DESC, node) AS rank
+          FROM r8
+        )
+        SELECT node, pr, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 20
+    """
+
+    # readability: the oracle replants the SAME position-moduli
+    # terminators, then identical integer sums + pinned double sequence
+    sql["readability_per_source"] = """
+        WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        w AS (
+          SELECT source, doc_id, i,
+            CASE WHEN i % 8 = 7 THEN ws[i+1] || '.'
+                 WHEN i % 19 = 18 THEN ws[i+1] || '!'
+                 ELSE ws[i+1] END AS w
+          FROM t, unnest(range(0, len(ws))) AS u(i)
+        ),
+        d AS (
+          SELECT source, doc_id, string_agg(w, ' ' ORDER BY i) AS text2
+          FROM w GROUP BY source, doc_id
+        ),
+        feats AS (
+          SELECT source,
+            len(string_split(text2, ' ')) AS nw,
+            GREATEST(1, len(regexp_extract_all(text2, '[.!?]+'))) AS ns,
+            len(regexp_extract_all(text2, '[aeiouy]+'))
+              + len(list_filter(string_split(text2, ' '),
+                                x -> NOT regexp_matches(x, '[aeiouy]')))
+              AS sy
+          FROM d
+        ),
+        agg AS (
+          SELECT source, CAST(SUM(nw) AS BIGINT) AS n_words,
+                 CAST(SUM(ns) AS BIGINT) AS n_sentences,
+                 CAST(SUM(sy) AS BIGINT) AS n_syllables
+          FROM feats GROUP BY source
+        )
+        SELECT source, n_words, n_sentences, n_syllables,
+          206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+            AS flesch_reading_ease,
+          0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+            + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
+            AS fk_grade
+        FROM agg
     """
 
     return sql

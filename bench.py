@@ -393,6 +393,12 @@ def main():
         "funnel_signup_click_purchase",
         "retention_weekly_cohorts",
         "events_rollup_day",
+        # r6 ninth-session additions (excluded): corpus analytics —
+        # PMI/LLR collocations, phrase search, TextRank, readability
+        "pmi_collocations_topk",
+        "phrase_search_docs",
+        "textrank_keywords",
+        "readability_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -495,6 +501,10 @@ def main():
         "q_funnel_signup_click_purchase",
         "q_retention_weekly_cohorts",
         "q_events_rollup_day",
+        "q_pmi_collocations_topk",
+        "q_phrase_search_docs",
+        "q_textrank_keywords",
+        "q_readability_per_source",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

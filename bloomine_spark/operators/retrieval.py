@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk_per_source", "ql_dirichlet_topk_per_source"]
+__all__ = [
+    "bm25_topk_per_source",
+    "ql_dirichlet_topk_per_source",
+    "phrase_search",
+]
 
 
 def bm25_topk_per_source(
@@ -220,4 +224,56 @@ def ql_dirichlet_topk_per_source(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via positional postings intersection — the
+    relational form of a positional inverted index's phrase query
+    (Manning IR §2.4.2): ``(phrase, doc_id, n_occurrences, first_pos)``
+    for every document containing each phrase as a contiguous word run.
+
+    Plan at 100 TB: the positional explode is filtered to the phrase
+    VOCABULARY before anything shuffles (docs sharing no phrase word
+    never enter the plan), the phrase-word relation is a broadcast
+    literal, and an occurrence is one groupBy on (phrase, doc, start):
+    posting ``(doc, pos, w)`` matched at offset ``i`` proposes start
+    ``pos − i``, and a start with all ``len(phrase)`` offsets present is
+    a match — no per-word self-join chain, ONE aggregation regardless of
+    phrase length. Repeated words inside a phrase are handled naturally
+    (each posting row proposes one start per offset the word occupies).
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    spark = docs.sparkSession
+    rows = []
+    for pid, ph in enumerate(phrases):
+        ws = ph.split(" ")
+        if not ws or any(not w for w in ws):
+            raise ValueError(f"bad phrase: {ph!r}")
+        rows.extend((pid, ph, len(ws), i, w) for i, w in enumerate(ws))
+    pw = spark.createDataFrame(rows, ["phrase_id", "phrase", "k", "i", "w"])
+    vocab = sorted({r[4] for r in rows})
+
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w").isin(vocab))
+    cand = postings.join(F.broadcast(pw), "w").select(
+        "phrase_id", "phrase", "k", "doc_id",
+        (F.col("pos") - F.col("i")).alias("start"),
+    )
+    hits = (
+        cand.filter(F.col("start") >= 0)
+        .groupBy("phrase_id", "phrase", "k", "doc_id", "start")
+        .agg(F.count("*").alias("n_off"))
+        .filter(F.col("n_off") == F.col("k"))
+    )
+    return hits.groupBy("phrase", "doc_id").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("start").alias("first_pos"),
     )

@@ -1467,3 +1467,57 @@ def gopher_repetition(
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+def readability_per_source(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease / Flesch–Kincaid grade per source (Kincaid
+    1975) — the classic readability pair, over a deterministic syllable
+    heuristic: syllables(word) = max(1, vowel groups ``[aeiouy]+``).
+
+    Engine-portable by construction: words, sentences, and syllables are
+    exact INTEGER corpus sums per source (sentence count = max(1 per
+    doc, terminator runs ``[.!?]+``); the zero-vowel correction counts
+    words with no vowel at all), and each score is one pinned sequence
+    of correctly-rounded double ops on those integers — no float ever
+    aggregates. Plan: zero-Python codegen map + one partial-agg shuffle.
+    """
+    t = F.col(text_col)
+    n_words = F.size(F.split(t, " ")).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)"))
+        .cast("long"),
+    )
+    vowel_groups = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[aeiouy]+', 0)")
+    ).cast("long")
+    no_vowel_words = F.size(
+        F.filter(
+            F.split(t, " "), lambda w: ~w.rlike("[aeiouy]")
+        )
+    ).cast("long")
+    per_doc = docs.select(
+        "source",
+        n_words.alias("w"),
+        n_sent.alias("s"),
+        (vowel_groups + no_vowel_words).alias("sy"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("w").alias("n_words"),
+        F.sum("s").alias("n_sentences"),
+        F.sum("sy").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return agg.select(
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch_reading_ease"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        .alias("fk_grade"),
+    )

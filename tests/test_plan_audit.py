@@ -784,3 +784,46 @@ def test_rollup_is_expand_plus_one_exchange(spark):
     assert_max_exchanges(q, 1)
     assert not facts.has_python_eval
     assert_columns_pruned(q, {"props", "user_id", "event_id"})
+
+
+@needs_data
+def test_collocation_and_phrase_search_plans(spark):
+    """PMI/LLR: the only non-equi join is the 1-row N-scalar BNLJ (the
+    vocab_coverage idiom); margins broadcast. Phrase search: postings are
+    vocabulary-filtered before the broadcast phrase join; no cartesian,
+    no Python anywhere."""
+    import __spark_entry__ as em
+
+    q = em.queries()["pmi_collocations_topk"](spark, SF)
+    facts = plan_facts(q)
+    assert "CartesianProduct" not in facts.text
+    assert facts.text.count("BroadcastNestedLoopJoin") <= 1
+    assert not facts.has_python_eval
+    assert_columns_pruned(q, {"source", "lang", "n_chars"})
+
+    p = em.queries()["phrase_search_docs"](spark, SF)
+    pf = plan_facts(p)
+    assert_no_cartesian(p)
+    assert "BroadcastHashJoin" in pf.text
+    assert not pf.has_python_eval
+    assert_columns_pruned(p, {"source", "lang", "n_chars"})
+
+
+@needs_data
+def test_textrank_and_readability_plans(spark):
+    """TextRank builds edges from lead offsets (no positional self-join
+    anywhere before pagerank); readability is a codegen map + ONE
+    partial-agg exchange."""
+    import __spark_entry__ as em
+
+    q = em.queries()["textrank_keywords"](spark, SF)
+    facts = plan_facts(q)
+    assert "CartesianProduct" not in facts.text
+    assert not facts.has_python_eval
+    assert_columns_pruned(q, {"source", "lang", "n_chars"})
+
+    r = em.queries()["readability_per_source"](spark, SF)
+    rf = plan_facts(r)
+    assert_max_exchanges(r, 1)
+    assert not rf.has_python_eval
+    assert_columns_pruned(r, {"doc_id", "lang", "n_chars"})
