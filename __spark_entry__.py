@@ -2642,6 +2642,76 @@ def _q_readability_per_source(spark, sf_dir):
     return readability_per_source(planted)
 
 
+def _q_triangle_clustering_hosts(spark, sf_dir):
+    """Triangle counting + local clustering coefficient on the host
+    graph via degree orientation (Suri & Vassilvitskii WWW'11): each
+    undirected edge points from its lower (degree, node) endpoint, the
+    oriented graph is acyclic, and every triangle appears exactly once
+    as a wedge at its lowest corner plus one closing-edge join — the
+    shape whose wedge fan-out stays O(√m) per node on a power-law
+    crawl graph. Oracle replays the identical orientation in SQL."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.graphmining import triangle_counts
+    from bloomine_spark.operators.linkgraph import extract_links, host_edges
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    return triangle_counts(edges).orderBy("node")
+
+
+def _q_lpa_communities_hosts(spark, sf_dir):
+    """Synchronous label-propagation communities (Raghavan 2007) on the
+    host graph: 6 fixed rounds, deterministic (count DESC, label ASC)
+    tie-break — the pure-function variant a SQL oracle unrolls round by
+    round. Per round only (node, label) rows move, the pagerank shuffle
+    envelope with a string payload."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.graphmining import lpa_communities
+    from bloomine_spark.operators.linkgraph import extract_links, host_edges
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    return lpa_communities(edges, rounds=6).orderBy("node")
+
+
+def _q_ngram_containment_pairs(spark, sf_dir):
+    """Exact 3-gram CONTAINMENT pairs (Broder 1997's asymmetric c(A,B)
+    = |A∩B|/|A|): the quote/boilerplate-embedding signal Jaccard
+    dilutes away when one document is much larger. Same capped
+    shared-shingle equi-join plan as ngram_jaccard_pairs; both
+    directions emitted per unordered pair."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import ngram_containment_pairs
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, n=3, min_containment=0.7, max_doc_freq=100
+    )
+
+
+def _q_distinctive_terms_per_source(spark, sf_dir):
+    """Monroe/Colaresi/Quinn 2008 "Fightin' Words" keyness: per-source
+    distinctive terms by log-odds z-score under a corpus-rate Dirichlet
+    prior — the audit statistic for "what vocabulary characterizes this
+    source against the rest". One corpus scan; margins broadcast; the
+    prior shrinks hapax log-odds toward zero."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.collocations import (
+        distinctive_terms_per_source,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return distinctive_terms_per_source(docs, prior_mass=10.0, top_k=10)
+
+
 def _q_asof_click_attribution(spark, sf_dir):
     """Backward as-of join (the attribution join): every purchase event
     picks the user's LATEST click at-or-before it — pandas merge_asof /
@@ -2857,6 +2927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_docs": _q_phrase_search_docs,
         "textrank_keywords": _q_textrank_keywords,
         "readability_per_source": _q_readability_per_source,
+        "triangle_clustering_hosts": _q_triangle_clustering_hosts,
+        "lpa_communities_hosts": _q_lpa_communities_hosts,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
+        "distinctive_terms_per_source": _q_distinctive_terms_per_source,
     }
 
 
@@ -6458,6 +6532,150 @@ def oracle_sql() -> dict[str, str]:
             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
             AS fk_grade
         FROM agg
+    """
+
+    # --- graph-mining family ---------------------------------------------
+    # triangle counting via the SAME degree orientation: edge u→v iff
+    # (deg(u), u) < (deg(v), v); every triangle is one wedge at its
+    # lowest corner + the closing edge
+    _host_edges_cte = """
+        hp AS MATERIALIZED (
+          SELECT doc_id % 40 AS hs, (doc_id*7+3) % 40 AS d1,
+                 (doc_id*11+1) % 40 AS d2
+          FROM documents WHERE doc_id % 40 < 30
+        ), e AS MATERIALIZED (
+          SELECT DISTINCT 'h' || hs || '.example.com' AS src,
+                 'h' || d || '.example.com' AS dst
+          FROM (SELECT hs, d1 AS d FROM hp
+                UNION ALL SELECT hs, d2 FROM hp)
+          WHERE hs <> d
+        )"""
+    sql["triangle_clustering_hosts"] = f"""
+        WITH {_host_edges_cte}, und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst
+        ), deg AS MATERIALIZED (
+          SELECT node, COUNT(*) AS degree FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node
+        ), orient AS MATERIALIZED (
+          SELECT
+            CASE WHEN da.degree < db.degree
+                   OR (da.degree = db.degree AND u.a < u.b)
+                 THEN u.a ELSE u.b END AS u,
+            CASE WHEN da.degree < db.degree
+                   OR (da.degree = db.degree AND u.a < u.b)
+                 THEN u.b ELSE u.a END AS v,
+            CASE WHEN da.degree < db.degree
+                   OR (da.degree = db.degree AND u.a < u.b)
+                 THEN db.degree ELSE da.degree END AS dv
+          FROM und u JOIN deg da ON da.node = u.a
+                     JOIN deg db ON db.node = u.b
+        ), tri AS (
+          SELECT w.u, w.v1, w.v2 FROM (
+            SELECT e1.u, e1.v AS v1, e2.v AS v2
+            FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+            WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+          ) w JOIN orient o ON o.u = w.v1 AND o.v = w.v2
+        ), corner AS (
+          SELECT node, COUNT(*) AS triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v1 FROM tri
+            UNION ALL SELECT v2 FROM tri)
+          GROUP BY node
+        )
+        SELECT d.node, d.degree, COALESCE(c.triangles, 0) AS triangles,
+          CASE WHEN d.degree >= 2
+            THEN 2.0 * COALESCE(c.triangles, 0)
+                 / (CAST(d.degree AS DOUBLE) * (d.degree - 1.0))
+            ELSE 0.0 END AS lcc
+        FROM deg d LEFT JOIN corner c ON c.node = d.node
+    """
+
+    # LPA: 6 unrolled synchronous rounds, argmax (count DESC, label ASC)
+    _lpa_rounds = []
+    for i in range(1, 7):
+        _lpa_rounds.append(f"""
+        l{i} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT nb.dst AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY nb.dst
+                     ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM nb JOIN l{i-1} l ON l.node = nb.src
+            GROUP BY nb.dst, l.label
+          ) WHERE rn = 1
+        )""")
+    sql["lpa_communities_hosts"] = f"""
+        WITH {_host_edges_cte}, und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst
+        ), nb AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL SELECT b, a FROM und
+        ), l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM nb
+        ),{",".join(_lpa_rounds)}
+        SELECT node, label AS community FROM l6
+    """
+
+    # containment: the jaccard oracle's skeleton, both directions kept
+    sql["ngram_containment_pairs"] = """
+        WITH d AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), s AS (
+          SELECT DISTINCT id, array_to_string(toks[i + 1 : i + 3], ' ') AS g
+          FROM d, unnest(range(0, len(toks) - 2)) AS u(i)
+        ), capped AS (
+          SELECT id, g FROM (
+            SELECT id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM s
+          ) WHERE df <= 100
+        ), sz AS (
+          SELECT id, COUNT(*) AS sz FROM capped GROUP BY id
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+          FROM capped a JOIN capped b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter, x.sz AS sz_a, y.sz AS sz_b,
+               ROUND(inter * 1.0 / x.sz, 6) AS c_a_in_b,
+               ROUND(inter * 1.0 / y.sz, 6) AS c_b_in_a
+        FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+        WHERE GREATEST(ROUND(inter * 1.0 / x.sz, 6),
+                       ROUND(inter * 1.0 / y.sz, 6)) >= 0.7
+    """
+
+    # Monroe log-odds keyness: identical pinned double sequence over the
+    # same integer count relations (aw = 10*cw/N inlined on both engines)
+    sql["distinctive_terms_per_source"] = """
+        WITH tok AS (
+          SELECT source AS grp, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), swc AS MATERIALIZED (
+          SELECT grp, word, COUNT(*) AS y1 FROM tok GROUP BY 1, 2
+        ), wc AS (
+          SELECT word, CAST(SUM(y1) AS BIGINT) AS cw FROM swc GROUP BY word
+        ), ng AS (
+          SELECT grp, CAST(SUM(y1) AS BIGINT) AS n1 FROM swc GROUP BY grp
+        ), nn AS (
+          SELECT CAST(SUM(y1) AS DOUBLE) AS N FROM swc
+        ), j AS (
+          SELECT s.grp, s.word, s.y1, w.cw, g.n1, N,
+                 10.0 * w.cw / N AS aw
+          FROM swc s JOIN wc w USING (word) JOIN ng g USING (grp), nn
+        ), sc AS (
+          SELECT grp AS source, word, y1 AS c_in, cw - y1 AS c_out,
+            (ln((y1 + aw) / (n1 + 10.0 - y1 - aw))
+             - ln(((cw - y1) + aw) / ((N - n1) + 10.0 - (cw - y1) - aw)))
+            / sqrt(1.0 / (y1 + aw) + 1.0 / ((cw - y1) + aw)) AS z
+          FROM j
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY round(z, 6) DESC, word) AS rank
+          FROM sc
+        )
+        SELECT source, word, c_in, c_out, z, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 10
     """
 
     return sql

@@ -399,6 +399,11 @@ def main():
         "phrase_search_docs",
         "textrank_keywords",
         "readability_per_source",
+        # graph-mining / keyness / containment additions (excluded)
+        "triangle_clustering_hosts",
+        "lpa_communities_hosts",
+        "ngram_containment_pairs",
+        "distinctive_terms_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -505,6 +510,10 @@ def main():
         "q_phrase_search_docs",
         "q_textrank_keywords",
         "q_readability_per_source",
+        "q_triangle_clustering_hosts",
+        "q_lpa_communities_hosts",
+        "q_ngram_containment_pairs",
+        "q_distinctive_terms_per_source",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

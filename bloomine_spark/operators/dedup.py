@@ -219,6 +219,75 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs — the asymmetric near-dup signal
+    (Broder 1997's containment c(A,B) = |A∩B| / |A|): a quote, a
+    boilerplate block, or a page embedded verbatim inside a larger page
+    scores ~1.0 in one direction while Jaccard — diluted by the larger
+    doc's size — stays low, so a Jaccard-threshold dedup never sees it.
+    Emits one row per unordered candidate pair with BOTH directions:
+    ``(id_a, id_b, inter, sz_a, sz_b, c_a_in_b, c_b_in_a)``, kept when
+    ``greatest(c_a_in_b, c_b_in_a) >= min_containment``.
+
+    Same plan skeleton as :func:`ngram_jaccard_pairs` (shared-shingle
+    self-equi-join, sizes riding the postings so the pair groupBy needs
+    no re-join), with the containment analogue of the size-ratio prune:
+    max direction = inter / min(sz) and inter <= min(sz)... which is
+    always 1-boundable, so the ONLY sound prune here is the df cap —
+    ``max_doc_freq`` has the identical capped-universe semantics as in
+    the Jaccard operator (containment recomputed over the capped
+    shingle universe on both sides).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(
+            _word_shingles_expr(text_col, n)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("g").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(freq, "g")
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("id", "g")
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    szd = sh.join(sizes, "id")
+    a, b = szd.alias("a"), szd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    c_ab = F.round(F.col("inter") / F.col("sz_a"), 6)
+    c_ba = F.round(F.col("inter") / F.col("sz_b"), 6)
+    return (
+        pairs.select(
+            "id_a", "id_b", "inter", "sz_a", "sz_b",
+            c_ab.alias("c_a_in_b"), c_ba.alias("c_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a"))
+            >= F.lit(float(min_containment))
+        )
+    )
+
+
 def _minhash_signatures_kernel(num_perm: int):
     """Arrow-native minhash: the shingle-hash list column is consumed
     through its contiguous values+offsets buffers (zero copy, no per-row

@@ -206,3 +206,153 @@ def test_readability_vowel_groups_not_letters(spark):
     # 'aeiou' one group; 'oasis' -> oa, i -> wait: o-a contiguous, s, i, s
     r2 = _read_one(spark, "oasis")
     assert r2["n_syllables"] == 2
+
+
+# --------------------------------------------------------------------------
+# containment pairs
+# --------------------------------------------------------------------------
+
+
+def test_containment_catches_what_jaccard_dilutes(spark):
+    from bloomine_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    big = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = _docs(spark, [quote, big])
+    # Jaccard at 0.8 misses the embedding; containment at 0.8 finds it
+    assert ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8).count() == 0
+    rows = ngram_containment_pairs(docs, n=3, min_containment=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["inter"] == r["sz_a"] == 4  # all 4 shingles of the quote
+    assert r["c_a_in_b"] == pytest.approx(1.0)
+    assert r["c_b_in_a"] < 0.1
+
+
+def test_containment_both_directions_and_threshold(spark):
+    from bloomine_spark.operators.dedup import ngram_containment_pairs
+
+    a = "p q r s t"
+    b = "p q r s t u"  # contains all of a's shingles plus one
+    docs = _docs(spark, [a, b])
+    r = ngram_containment_pairs(docs, n=3, min_containment=0.7).collect()[0]
+    assert r["sz_a"] == 3 and r["sz_b"] == 4 and r["inter"] == 3
+    assert r["c_a_in_b"] == pytest.approx(1.0)
+    assert r["c_b_in_a"] == pytest.approx(0.75)
+    # raising the threshold above max(c_ab, c_ba) drops the pair only
+    # when BOTH directions fail
+    from bloomine_spark.operators.dedup import ngram_containment_pairs as ncp
+
+    assert ncp(docs, n=3, min_containment=0.9).count() == 1   # 1.0 >= 0.9
+    docs2 = _docs(spark, ["p q r s", "p q r x s q r"])
+    out = ncp(docs2, n=3, min_containment=0.99).count()
+    assert out == 0
+
+
+def test_containment_doc_freq_cap_universe(spark):
+    from bloomine_spark.operators.dedup import ngram_containment_pairs
+
+    # a shingle present in ALL docs is dropped by the cap on BOTH sides
+    texts = ["z z z a b c", "z z z d e f", "z z z a b c x"]
+    uncapped = ngram_containment_pairs(
+        _docs(spark, texts), n=3, min_containment=0.5
+    ).count()
+    capped = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_containment_pairs(
+            _docs(spark, texts), n=3, min_containment=0.5, max_doc_freq=2
+        ).collect()
+    }
+    assert uncapped >= len(capped)
+    # with 'z z z' ('z z z'-anchored shingles shared by all 3 capped out),
+    # docs 0 and 2 still pair on their distinctive 'a b c' content
+    assert (0, 2) in capped
+
+
+# --------------------------------------------------------------------------
+# distinctive terms (Monroe log-odds keyness)
+# --------------------------------------------------------------------------
+
+
+def test_distinctive_terms_python_replay(spark):
+    import math as _m
+
+    from bloomine_spark.operators.collocations import (
+        distinctive_terms_per_source,
+    )
+
+    data = [
+        ("s1", "cat cat cat dog shared shared"),
+        ("s1", "cat shared"),
+        ("s2", "dog dog dog bird shared shared"),
+        ("s2", "bird shared cat"),
+    ]
+    docs = spark.createDataFrame(data, ["source", "text"])
+    out = {
+        (r["source"], r["word"]): r
+        for r in distinctive_terms_per_source(
+            docs, prior_mass=10.0, top_k=100
+        ).collect()
+    }
+    from collections import Counter
+
+    swc = Counter()
+    for s, t in data:
+        for w in t.split():
+            swc[(s, w)] += 1
+    wc = Counter()
+    ns = Counter()
+    for (s, w), c in swc.items():
+        wc[w] += c
+        ns[s] += c
+    N = sum(wc.values())
+    a0 = 10.0
+    for (s, w), y1 in swc.items():
+        aw = a0 * wc[w] / N
+        y2 = wc[w] - y1
+        n1, n2 = ns[s], N - ns[s]
+        delta = _m.log((y1 + aw) / (n1 + a0 - y1 - aw)) - _m.log(
+            (y2 + aw) / (n2 + a0 - y2 - aw)
+        )
+        z = delta / _m.sqrt(1.0 / (y1 + aw) + 1.0 / (y2 + aw))
+        r = out[(s, w)]
+        assert r["c_in"] == y1 and r["c_out"] == y2
+        assert r["z"] == pytest.approx(z, rel=1e-12)
+    # over-represented words rank first in their own source: 'cat' tops
+    # s1; in s2 exclusive 'bird' (y2=0) outranks frequent-but-shared
+    # 'dog' — exclusivity beats raw frequency under log-odds
+    def rank1(src):
+        return [k for k, v in out.items() if k[0] == src and v["rank"] == 1][0][1]
+
+    assert rank1("s1") == "cat"
+    assert rank1("s2") == "bird"
+    s2 = {k[1]: v["rank"] for k, v in out.items() if k[0] == "s2"}
+    assert s2["dog"] == 2
+
+
+def test_distinctive_terms_prior_shrinks_hapax(spark):
+    from bloomine_spark.operators.collocations import (
+        distinctive_terms_per_source,
+    )
+
+    # 'rare' appears once in s1; 'often' appears 12 times in s1 and also
+    # exists in s2 — with the Dirichlet prior the repeated word must
+    # outrank the hapax
+    docs = spark.createDataFrame(
+        [
+            ("s1", " ".join(["often"] * 12) + " rare filler filler"),
+            ("s2", "often filler filler filler filler filler"),
+        ],
+        ["source", "text"],
+    )
+    ranks = {
+        r["word"]: r["rank"]
+        for r in distinctive_terms_per_source(docs, top_k=50)
+        .filter(F.col("source") == "s1")
+        .collect()
+    }
+    assert ranks["often"] < ranks["rare"]

@@ -827,3 +827,43 @@ def test_textrank_and_readability_plans(spark):
     assert_max_exchanges(r, 1)
     assert not rf.has_python_eval
     assert_columns_pruned(r, {"doc_id", "lang", "n_chars"})
+
+
+@needs_data
+def test_graphmining_plans(spark):
+    """Triangle counting and LPA never go cartesian and never drop into
+    Python; the host-graph derivation keeps text columns pruned."""
+    import __spark_entry__ as em
+
+    t = em.queries()["triangle_clustering_hosts"](spark, SF)
+    tf = plan_facts(t)
+    assert_no_cartesian(t)
+    assert not tf.has_python_eval
+    assert_columns_pruned(t, {"text", "lang", "source", "n_chars"})
+
+    l = em.queries()["lpa_communities_hosts"](spark, SF)
+    lf = plan_facts(l)
+    assert_no_cartesian(l)
+    assert not lf.has_python_eval
+    assert_columns_pruned(l, {"text", "lang", "source", "n_chars"})
+
+
+@needs_data
+def test_containment_and_keyness_plans(spark):
+    """Containment rides the jaccard skeleton (equi-join on shingle, no
+    cartesian, sizes ride the postings). Keyness: the only non-equi join
+    is the 1-row N-scalar BNLJ; margins broadcast."""
+    import __spark_entry__ as em
+
+    c = em.queries()["ngram_containment_pairs"](spark, SF)
+    cf = plan_facts(c)
+    assert_no_cartesian(c)
+    assert not cf.has_python_eval
+    assert_columns_pruned(c, {"lang", "source", "n_chars"})
+
+    k = em.queries()["distinctive_terms_per_source"](spark, SF)
+    kf = plan_facts(k)
+    assert "CartesianProduct" not in kf.text
+    assert kf.text.count("BroadcastNestedLoopJoin") <= 1
+    assert not kf.has_python_eval
+    assert_columns_pruned(k, {"doc_id", "lang", "n_chars"})
