@@ -2806,6 +2806,171 @@ def _q_events_rollup_day(spark, sf_dir):
     )
 
 
+def _q_events_cube_day(spark, sf_dir):
+    """Full CUBE over (event_type, day) — all four grouping sets in one
+    pass, the GROUPING SETS sibling of `events_rollup_day`. Counts are
+    integer-exact; the value total is an exact decimal sum so every
+    subtotal is order-independent; distinct users per cell exercises the
+    expand+distinct path under grouping sets."""
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+def _linkage_base(spark, sf_dir):
+    """Documents + planted last-char typo variants (doc_id % 7, shifted
+    id space) — the record-linkage fixture: the typo edits the text tail
+    so the first-word blocking key survives, and lev(original, variant)
+    is exactly 1."""
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    typo = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("concat(substring(text, 1, length(text)-1), 'x')").alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(typo)
+
+
+def _q_fuzzy_edit_pairs_docs(spark, sf_dir):
+    """Record-linkage candidate pairs: first-word blocking + banded
+    Levenshtein verify (≤2) — the Fellegi-Sunter block-then-compare
+    pattern. Planted single-edit variants pair with their originals at
+    dist 1; the corpus's planted exact duplicates surface at dist 0.
+    Blocking bounds the pairwise stage to Σ|block|²; the verify runs
+    JVM-side with the O(len·k) banded levenshtein, never the full DP."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkage import blocked_edit_pairs
+
+    base = _linkage_base(spark, sf_dir)
+    return blocked_edit_pairs(
+        base,
+        block=F.element_at(F.split(F.col("text"), " "), 1),
+        max_dist=2,
+    ).withColumn("dist", F.col("dist").cast("long"))
+
+
+def _q_er_canonical_docs(spark, sf_dir):
+    """Entity resolution end-to-end: fuzzy pairs → connected components
+    (alternating large-star/small-star) → one canonical record per
+    entity cluster. The DuckDB oracle recomputes the identical pair
+    graph and closes it with a recursive CTE — group_id = component
+    minimum on both sides."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkage import (
+        blocked_edit_pairs,
+        resolve_entities,
+    )
+
+    base = _linkage_base(spark, sf_dir)
+    pairs = blocked_edit_pairs(
+        base,
+        block=F.element_at(F.split(F.col("text"), " "), 1),
+        max_dist=2,
+    )
+    return (
+        resolve_entities(base, pairs)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .withColumn("group_id", F.col("group_id").cast("string"))
+    )
+
+
+def _q_fingerprint_clusters_docs(spark, sf_dir):
+    """OpenRefine fingerprint clustering: lowercase → strip punctuation
+    → token-sort → token-dedup; records sharing the key cluster with no
+    pairwise stage at all (the O(n) linkage front door). Planted noise
+    variants (doc_id % 11: first two words swapped, one uppercased,
+    trailing period) collide with their originals by construction."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkage import fingerprint_clusters
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = F.split(F.col("text"), " ")
+    noisy = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.upper(F.element_at(s, 2)),
+            F.element_at(s, 1),
+            F.concat(
+                F.array_join(F.slice(s, 3, 1000000), " "), F.lit(".")
+            ),
+        ).alias("text"),
+    )
+    return (
+        fingerprint_clusters(docs.unionByName(noisy))
+        .withColumn("id", F.col("id").cast("string"))
+        .withColumn("canonical_id", F.col("canonical_id").cast("string"))
+    )
+
+
+def _q_mad_outlier_docs(spark, sf_dir):
+    """Robust per-source outlier flags on token counts: exact median +
+    MAD, modified z-score (Iglewicz-Hoaglin 0.6745·(x−med)/MAD, flag at
+    3.5) — the distribution-hygiene pass run before thresholding on any
+    per-document metric. MAD-degenerate groups yield NULL scores and no
+    flags by convention."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.robust import mad_outliers
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return mad_outliers(v, "n_tokens", "source", "doc_id")
+
+
+def _q_winsorize_stats_docs(spark, sf_dir):
+    """Per-source winsorization bounds (exact p01/p99, shared linear
+    interpolation) with below/above tail counts — the clip audit a
+    pipeline records when taming metric tails before mean-based
+    downstream stats."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.robust import winsorize
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = winsorize(v, "n_tokens", "source", 0.01, 0.99)
+    return w.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("p_lo"), 6).alias("p_lo"),
+        F.round(F.first("p_hi"), 6).alias("p_hi"),
+        F.sum(
+            (F.col("n_tokens").cast("double") < F.col("p_lo")).cast("long")
+        ).alias("n_below"),
+        F.sum(
+            (F.col("n_tokens").cast("double") > F.col("p_hi")).cast("long")
+        ).alias("n_above"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_path()
     return {
@@ -2931,6 +3096,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities_hosts": _q_lpa_communities_hosts,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "distinctive_terms_per_source": _q_distinctive_terms_per_source,
+        "events_cube_day": _q_events_cube_day,
+        "fuzzy_edit_pairs_docs": _q_fuzzy_edit_pairs_docs,
+        "er_canonical_docs": _q_er_canonical_docs,
+        "fingerprint_clusters_docs": _q_fingerprint_clusters_docs,
+        "mad_outlier_docs": _q_mad_outlier_docs,
+        "winsorize_stats_docs": _q_winsorize_stats_docs,
     }
 
 
@@ -6676,6 +6847,158 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, word, c_in, c_out, z, CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 10
+    """
+
+    # --- linkage / robust-stats / cube family ----------------------------
+    sql["events_cube_day"] = """
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, user_id, value
+          FROM events
+        )
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                 AS sum_value
+        FROM d GROUP BY CUBE(event_type, day)
+    """
+
+    # the linkage fixture: documents + last-char typo variants (%7);
+    # blocking key = first word (the typo edits the tail, so original
+    # and variant always share a block); banded levenshtein <= 2
+    _linkage_rel = """
+        base AS (
+          SELECT doc_id AS id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 substr(text, 1, length(text) - 1) || 'x'
+          FROM documents WHERE doc_id % 7 = 0
+        ), rel AS (
+          SELECT id, text AS txt, block_key FROM (
+            SELECT id, text, string_split(text, ' ')[1] AS block_key
+            FROM base
+          ) WHERE block_key IS NOT NULL AND block_key <> ''
+        )
+    """
+    # the abs(length diff) <= 2 prefilter mirrors the operator's SSJoin
+    # length filter — semantics-preserving (necessary condition for the
+    # threshold), and it keeps the oracle's FULL levenshtein off the
+    # overwhelming majority of block pairs
+    sql["fuzzy_edit_pairs_docs"] = f"""
+        WITH {_linkage_rel}
+        SELECT id_a, id_b, block_key, dist FROM (
+          SELECT a.id AS id_a, b.id AS id_b, a.block_key,
+                 levenshtein(a.txt, b.txt) AS dist
+          FROM rel a JOIN rel b
+            ON a.block_key = b.block_key AND a.id < b.id
+           AND abs(length(a.txt) - length(b.txt)) <= 2
+        ) WHERE dist <= 2
+    """
+
+    sql["er_canonical_docs"] = f"""
+        WITH RECURSIVE {_linkage_rel}, pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   levenshtein(a.txt, b.txt) AS dist
+            FROM rel a JOIN rel b
+              ON a.block_key = b.block_key AND a.id < b.id
+             AND abs(length(a.txt) - length(b.txt)) <= 2
+          ) WHERE dist <= 2
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), comp AS (
+          SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+        ), csize AS (
+          SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp
+        )
+        SELECT CAST(b.id AS VARCHAR) AS doc_id,
+               CAST(COALESCE(c.comp, b.id) AS VARCHAR) AS group_id,
+               CAST(COALESCE(cs.n, 1) AS BIGINT) AS group_size,
+               (c.comp IS NULL OR b.id = c.comp) AS keep
+        FROM base b
+        LEFT JOIN comp c ON b.id = c.id
+        LEFT JOIN csize cs ON c.comp = cs.comp
+    """
+
+    # OpenRefine fingerprint: lower -> punct to spaces (GLOBAL flag — the
+    # DuckDB default replaces only the first match) -> split -> drop
+    # empties -> sort -> dedup -> single-space join
+    sql["fingerprint_clusters_docs"] = """
+        WITH base AS (
+          SELECT doc_id AS id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string([upper(ws[2]), ws[1],
+                   COALESCE(array_to_string(ws[3:], ' '), '') || '.'], ' ')
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 11 = 0)
+        ), fp AS (
+          SELECT id,
+            array_to_string(list_sort(list_distinct(list_filter(
+              string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +'),
+              x -> x <> ''))), ' ') AS fingerprint
+          FROM base
+        )
+        SELECT CAST(id AS VARCHAR) AS id, fingerprint,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size,
+               CAST(MIN(id) OVER (PARTITION BY fingerprint) AS VARCHAR)
+                 AS canonical_id,
+               id = MIN(id) OVER (PARTITION BY fingerprint) AS keep
+        FROM fp
+    """
+
+    # robust stats: exact median/MAD + Iglewicz-Hoaglin modified z —
+    # identical pinned double sequence (0.6745*(x-med)/mad, round 6)
+    sql["mad_outlier_docs"] = """
+        WITH v AS (
+          SELECT source AS grp, doc_id AS id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS value
+          FROM documents
+        ), m AS (
+          SELECT grp, median(value) AS med FROM v GROUP BY grp
+        ), md AS (
+          SELECT v.grp, median(abs(v.value - m.med)) AS mad
+          FROM v JOIN m USING (grp) GROUP BY v.grp
+        ), scored AS (
+          SELECT v.grp, v.id, v.value, m.med, md.mad,
+                 CASE WHEN md.mad <> 0
+                   THEN 0.6745 * (v.value - m.med) / md.mad
+                 END AS mz
+          FROM v JOIN m USING (grp) JOIN md ON v.grp = md.grp
+        )
+        SELECT grp AS "group", id, value, med, mad, mz,
+               COALESCE(abs(mz) > 3.5, FALSE) AS is_outlier
+        FROM scored
+    """
+
+    # winsorization audit: quantile_cont shares Spark percentile()'s
+    # (n-1)*p linear interpolation; tail counts are integer-exact
+    sql["winsorize_stats_docs"] = """
+        WITH v AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS value
+          FROM documents
+        ), q AS (
+          SELECT source, quantile_cont(value, 0.01) AS p_lo,
+                 quantile_cont(value, 0.99) AS p_hi
+          FROM v GROUP BY source
+        )
+        SELECT v.source, COUNT(*) AS n,
+               round(ANY_VALUE(p_lo), 6) AS p_lo,
+               round(ANY_VALUE(p_hi), 6) AS p_hi,
+               CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above
+        FROM v JOIN q USING (source) GROUP BY v.source
     """
 
     return sql

@@ -404,6 +404,13 @@ def main():
         "lpa_communities_hosts",
         "ngram_containment_pairs",
         "distinctive_terms_per_source",
+        # linkage / robust-stats / cube additions (excluded)
+        "events_cube_day",
+        "fuzzy_edit_pairs_docs",
+        "er_canonical_docs",
+        "fingerprint_clusters_docs",
+        "mad_outlier_docs",
+        "winsorize_stats_docs",
     ):
         if name in capture:
             def run(n=name):
@@ -514,6 +521,13 @@ def main():
         "q_lpa_communities_hosts",
         "q_ngram_containment_pairs",
         "q_distinctive_terms_per_source",
+        # r6 tenth session
+        "q_events_cube_day",
+        "q_fuzzy_edit_pairs_docs",
+        "q_er_canonical_docs",
+        "q_fingerprint_clusters_docs",
+        "q_mad_outlier_docs",
+        "q_winsorize_stats_docs",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

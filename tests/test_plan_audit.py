@@ -867,3 +867,48 @@ def test_containment_and_keyness_plans(spark):
     assert kf.text.count("BroadcastNestedLoopJoin") <= 1
     assert not kf.has_python_eval
     assert_columns_pruned(k, {"doc_id", "lang", "n_chars"})
+
+
+@needs_data
+def test_linkage_plans(spark):
+    """Fuzzy pairs: equi-join on the blocking key — never cartesian, the
+    levenshtein verify stays JVM-side. Fingerprint clustering: ONE hash
+    exchange (the key), windows only. ER resolution reuses dedup_groups
+    (its CC rounds are audited in test_dedup_groups)."""
+    import __spark_entry__ as em
+
+    p = em.queries()["fuzzy_edit_pairs_docs"](spark, SF)
+    pf = plan_facts(p)
+    assert_no_cartesian(p)
+    assert not pf.has_python_eval
+    assert_columns_pruned(p, {"lang", "source", "n_chars"})
+
+    c = em.queries()["fingerprint_clusters_docs"](spark, SF)
+    cf = plan_facts(c)
+    assert not cf.has_python_eval
+    assert_max_exchanges(c, 1)
+    assert_columns_pruned(c, {"lang", "source", "n_chars"})
+
+
+@needs_data
+def test_robust_and_cube_plans(spark):
+    """MAD outliers: both median windows and the score share ONE hash
+    exchange on the group key; winsorize's windows + the per-source agg
+    likewise collapse to one. CUBE is Expand + the two grouping
+    exchanges (count-distinct adds the second)."""
+    import __spark_entry__ as em
+
+    m = em.queries()["mad_outlier_docs"](spark, SF)
+    mf = plan_facts(m)
+    assert not mf.has_python_eval
+    assert_max_exchanges(m, 1)
+
+    w = em.queries()["winsorize_stats_docs"](spark, SF)
+    assert_max_exchanges(w, 1)
+    assert_columns_pruned(w, {"doc_id", "lang", "n_chars"})
+
+    q = em.queries()["events_cube_day"](spark, SF)
+    qf = plan_facts(q)
+    assert "Expand" in qf.text
+    assert_max_exchanges(q, 2)
+    assert not qf.has_python_eval
