@@ -2971,6 +2971,69 @@ def _q_winsorize_stats_docs(spark, sf_dir):
     )
 
 
+def _q_rolling_user_value_7d(spark, sf_dir):
+    """Trailing 7-day per-user rolling aggregates over the event log —
+    the irregular-time-series feature primitive (RANGE frame over exact
+    integer microseconds, value-defined so peers are always whole; the
+    sum is an exact decimal, order-independent by construction)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.timeseries import rolling_stats
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_stats(ev, window_s=7 * 86400)
+
+
+def _q_ewma_user_value(spark, sf_dir):
+    """Finite-horizon EWMA smoothing per user (alpha 0.3, horizon 40):
+    the per-row value is a FIXED left-to-right 40-term sum — identical
+    FP sequence on any engine/partitioning, unlike a running-frame
+    double sum — normalized by the weights present so series heads are
+    exact smoothed means."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.timeseries import ewma
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return ewma(ev, alpha=0.3, horizon=40)
+
+
+def _q_scd2_user_state(spark, sf_dir):
+    """Change-event log → type-2 slowly-changing-dimension intervals
+    (the temporal-table primitive): per user, maximal validity intervals
+    of event_type with consecutive-equal collapse, valid_to = next
+    change, NULL while current."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.timeseries import scd2_intervals
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("event_type").alias("state")
+    )
+    return scd2_intervals(ev, value_col="state")
+
+
+def _q_kcore_hosts(spark, sf_dir):
+    """k-core decomposition (k=2) of the host graph by synchronous
+    peeling — the crawl/social-graph denoiser; 8 fixed rounds reach the
+    fixpoint on this graph (pytest-pinned), and the SQL oracle unrolls
+    the identical rounds."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.graphmining import k_core
+    from bloomine_spark.operators.linkgraph import extract_links, host_edges
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    return k_core(edges, k=2, rounds=8).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_path()
     return {
@@ -3102,6 +3165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_clusters_docs": _q_fingerprint_clusters_docs,
         "mad_outlier_docs": _q_mad_outlier_docs,
         "winsorize_stats_docs": _q_winsorize_stats_docs,
+        "rolling_user_value_7d": _q_rolling_user_value_7d,
+        "ewma_user_value": _q_ewma_user_value,
+        "scd2_user_state": _q_scd2_user_state,
+        "kcore_hosts": _q_kcore_hosts,
     }
 
 
@@ -6999,6 +7066,100 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_above
         FROM v JOIN q USING (source) GROUP BY v.source
+    """
+
+    # --- time-series / SCD2 / k-core family -------------------------------
+    # RANGE frame over exact integer microseconds (epoch_us mirrors
+    # Spark's unix_micros); the sum is an exact decimal
+    sql["rolling_user_value_7d"] = """
+        WITH e AS (
+          SELECT event_id, user_id, ts, value, epoch_us(ts) AS us
+          FROM events
+        )
+        SELECT event_id, user_id, ts, value,
+               COUNT(*) OVER w AS roll_n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4)
+                    AS DOUBLE) AS roll_sum,
+               MIN(value) OVER w AS roll_min,
+               MAX(value) OVER w AS roll_max
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """
+
+    # EWMA: the SAME fixed left-to-right 40-term double sequence the
+    # operator builds (j = 39 .. 0, freshest term adds last); weight
+    # literals via repr() round-trip to the identical doubles
+    _alpha = 0.3
+    _num = "0.0"
+    _den = "0.0"
+    for _j in range(39, -1, -1):
+        _w = repr(_alpha * (1.0 - _alpha) ** _j)
+        _num += (
+            f"\n            + COALESCE(lag(value, {_j}) OVER w * {_w}, 0.0)"
+        )
+        _den += (
+            f"\n            + CASE WHEN lag(value, {_j}) OVER w IS NOT NULL"
+            f" THEN {_w} ELSE 0.0 END"
+        )
+    sql["ewma_user_value"] = f"""
+        SELECT event_id, user_id, ts, value,
+               ({_num})
+               / ({_den}) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+    # SCD2: lag change-detect -> conditional cumsum islands -> interval
+    # fold -> lead(valid_from); value is constant within an island so
+    # MIN(value) == the operator's first(value)
+    sql["scd2_user_state"] = """
+        WITH c AS (
+          SELECT user_id AS key, ts, event_type AS value,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev
+          FROM events
+        ), f AS (
+          SELECT key, ts, value,
+                 SUM(CASE WHEN prev IS NULL OR value IS DISTINCT FROM prev
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY key ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS isl
+          FROM c
+        ), g AS (
+          SELECT key, isl, MIN(value) AS state, MIN(ts) AS valid_from
+          FROM f GROUP BY key, isl
+        )
+        SELECT key AS user_id, state AS value, valid_from,
+               lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+                 AS valid_to,
+               lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+                 IS NULL AS is_current
+        FROM g
+    """
+
+    # k-core: 8 unrolled synchronous peels, every round MATERIALIZED
+    # (each is referenced twice — the DuckDB CTE-inlining trap)
+    _kcore_rounds = []
+    for _i in range(1, 9):
+        _kcore_rounds.append(f"""
+        k{_i} AS MATERIALIZED (
+          SELECT u FROM (SELECT u, COUNT(*) AS d FROM e{_i-1} GROUP BY u)
+          WHERE d >= 2
+        ), e{_i} AS MATERIALIZED (
+          SELECT x.u, x.v FROM e{_i-1} x
+          JOIN k{_i} a ON x.u = a.u JOIN k{_i} b ON x.v = b.u
+        )""")
+    sql["kcore_hosts"] = f"""
+        WITH {_host_edges_cte}, und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst
+        ), e0 AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL SELECT b, a FROM und
+        ),{",".join(_kcore_rounds)}
+        SELECT u AS node, COUNT(*) AS degree FROM e8 GROUP BY u
     """
 
     return sql

@@ -411,6 +411,11 @@ def main():
         "fingerprint_clusters_docs",
         "mad_outlier_docs",
         "winsorize_stats_docs",
+        # time-series / SCD2 / k-core additions (excluded)
+        "rolling_user_value_7d",
+        "ewma_user_value",
+        "scd2_user_state",
+        "kcore_hosts",
     ):
         if name in capture:
             def run(n=name):
@@ -528,6 +533,10 @@ def main():
         "q_fingerprint_clusters_docs",
         "q_mad_outlier_docs",
         "q_winsorize_stats_docs",
+        "q_rolling_user_value_7d",
+        "q_ewma_user_value",
+        "q_scd2_user_state",
+        "q_kcore_hosts",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

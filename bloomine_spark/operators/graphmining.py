@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["undirected_edges", "triangle_counts", "lpa_communities"]
+__all__ = ["undirected_edges", "triangle_counts", "lpa_communities", "k_core"]
 
 
 def undirected_edges(
@@ -172,3 +172,67 @@ def lpa_communities(
         stats["rounds"] = int(rounds)
     nbrs.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: repeatedly drop
+    every node whose degree in the SURVIVING subgraph is < ``k``; what
+    remains after convergence is the k-core (Seidman 1983's "network
+    degeneracy" subgraph — the standard crawl/social-graph denoiser).
+    Returns ``(node, degree)`` for surviving nodes, degree measured in
+    the final subgraph.
+
+    Fixed ``rounds`` of SYNCHRONOUS peeling (round t+1 is a pure
+    function of round t), so a SQL oracle can unroll it and the result
+    is engine-portable; with enough rounds this IS the k-core fixpoint
+    (each round either removes a node or is the fixpoint, and
+    ``stats["converged_early"]`` reports whether the fixpoint was
+    reached — peeling converges in O(peel depth) rounds, typically far
+    below the worst case).
+
+    Scale shape: per round one degree aggregation (narrow (node, long)
+    rows) and two semi-join-shaped filters of the edge relation against
+    the survivor set; lineage truncated per round with
+    ``localCheckpoint`` (swap to ``checkpoint`` on a real cluster).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = undirected_edges(edges, src_col, dst_col)
+    live = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    prev_edges = None
+    for r in range(int(rounds)):
+        deg = live.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= int(k)).select("u")
+        nxt = (
+            live.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            n_now = nxt.count()
+            if prev_edges is not None and n_now == prev_edges:
+                stats["converged_early"] = True
+                stats["rounds_run"] = r + 1
+                live = nxt
+                break
+            prev_edges = n_now
+        live = nxt
+    if stats is not None:
+        stats.setdefault("converged_early", False)
+        stats.setdefault("rounds_run", int(rounds))
+    return live.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )

@@ -912,3 +912,18 @@ def test_robust_and_cube_plans(spark):
     assert "Expand" in qf.text
     assert_max_exchanges(q, 2)
     assert not qf.has_python_eval
+
+
+@needs_data
+def test_timeseries_plans(spark):
+    """Rolling / EWMA / SCD2 are each ONE hash exchange on the key plus
+    ordered windows — the sessionization envelope; the SCD2 island fold
+    and interval windows reuse the key partitioning."""
+    import __spark_entry__ as em
+
+    for name in ("rolling_user_value_7d", "ewma_user_value",
+                 "scd2_user_state"):
+        q = em.queries()[name](spark, SF)
+        qf = plan_facts(q)
+        assert not qf.has_python_eval, name
+        assert_max_exchanges(q, 1)
