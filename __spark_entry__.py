@@ -3034,6 +3034,28 @@ def _q_kcore_hosts(spark, sf_dir):
     return k_core(edges, k=2, rounds=8).orderBy("node")
 
 
+def _q_zorder_key_events(spark, sf_dir):
+    """Morton/Z-order interleave key over two event dimensions (user
+    grid x value grid, 10 bits each) — the lakehouse multi-dimensional
+    clustering key behind OPTIMIZE..ZORDER; pure integer codegen (32
+    shift/mask terms), bit-identical across engines by construction.
+    The layout rewrite + file-skipping evidence lives in
+    BENCH/zorder_probe.py."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.zorder import z_value
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    gx = F.pmod(F.col("user_id"), F.lit(1024))
+    gy = F.pmod(F.floor(F.col("value") * 10).cast("long"), F.lit(1024))
+    return ev.select(
+        "event_id",
+        gx.alias("gx"),
+        gy.alias("gy"),
+        z_value([gx, gy], bits=10).alias("z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_path()
     return {
@@ -3169,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": _q_ewma_user_value,
         "scd2_user_state": _q_scd2_user_state,
         "kcore_hosts": _q_kcore_hosts,
+        "zorder_key_events": _q_zorder_key_events,
     }
 
 
@@ -7160,6 +7183,21 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT b, a FROM und
         ),{",".join(_kcore_rounds)}
         SELECT u AS node, COUNT(*) AS degree FROM e8 GROUP BY u
+    """
+
+    # Morton interleave: identical 10-bit shift/mask fold on both engines
+    _zterms = " + ".join(
+        f"(((gx >> {b}) & 1) << {2 * b}) + (((gy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(10)
+    )
+    sql["zorder_key_events"] = f"""
+        WITH g AS (
+          SELECT event_id,
+                 user_id % 1024 AS gx,
+                 CAST(floor(value * 10) AS BIGINT) % 1024 AS gy
+          FROM events
+        )
+        SELECT event_id, gx, gy, {_zterms} AS z FROM g
     """
 
     return sql

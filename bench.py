@@ -416,6 +416,7 @@ def main():
         "ewma_user_value",
         "scd2_user_state",
         "kcore_hosts",
+        "zorder_key_events",
     ):
         if name in capture:
             def run(n=name):
@@ -537,6 +538,7 @@ def main():
         "q_ewma_user_value",
         "q_scd2_user_state",
         "q_kcore_hosts",
+        "q_zorder_key_events",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

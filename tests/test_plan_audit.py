@@ -927,3 +927,16 @@ def test_timeseries_plans(spark):
         qf = plan_facts(q)
         assert not qf.has_python_eval, name
         assert_max_exchanges(q, 1)
+
+
+@needs_data
+def test_zorder_key_is_zero_exchange_codegen(spark):
+    """The Morton key is a pure integer expression fold: no exchange,
+    no Python eval, unused event columns pruned at the scan."""
+    import __spark_entry__ as em
+
+    q = em.queries()["zorder_key_events"](spark, SF)
+    qf = plan_facts(q)
+    assert not qf.has_python_eval
+    assert_max_exchanges(q, 0)
+    assert_columns_pruned(q, {"props", "event_type", "ts"})
