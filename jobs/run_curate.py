@@ -140,7 +140,7 @@ def main() -> None:
                     "dedup (RefinedWeb/FineWeb): repeated verbatim lines "
                     "keep only their globally-first occurrence; docs left "
                     "empty are dropped")
-    ap.add_argument("--input-format", choices=("parquet", "warc"),
+    ap.add_argument("--input-format", choices=("parquet", "warc", "jsonl"),
                     default="parquet",
                     help="'warc' reads raw crawl segments (*.warc / "
                     "*.warc.gz incl. the CommonCrawl member-per-record "
@@ -224,6 +224,31 @@ def main() -> None:
             max_link_density=args.html_max_link_density,
             keep=("source", "url_canon"),
         ).filter(F.col("text") != "")
+    elif args.input_format == "jsonl":
+        # the lingua franca of shipped web corpora (one JSON object per
+        # line, .gz transparently decompressed by the line reader);
+        # requires a `text` field. Missing doc_id derives as
+        # xxhash64(text, source) — deterministic and engine-stable, with
+        # the documented consequence that byte-identical texts from one
+        # source collapse to one id (exact dedup would do that anyway).
+        # Missing source derives from the file stem (the FASTQ
+        # sample-naming convention).
+        docs = spark.read.json(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit("jsonl input needs a 'text' field")
+        if "source" not in docs.columns:
+            docs = docs.withColumn(
+                "source",
+                F.regexp_extract(
+                    F.input_file_name(), r"([^/]+?)(\.jsonl?)?(\.gz)?$", 1
+                ),
+            )
+        if "doc_id" not in docs.columns:
+            # the collapse must be REAL, not just an id collision:
+            # duplicate ids would fan out every downstream id-join
+            docs = docs.withColumn(
+                "doc_id", F.xxhash64("text", "source")
+            ).dropDuplicates(["doc_id"])
     else:
         docs = spark.read.parquet(args.input)
     if args.sample is not None:

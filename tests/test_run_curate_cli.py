@@ -451,3 +451,45 @@ def test_run_curate_cli_soft_dedup(spark, tmp_path):
                         text=True, env=env, timeout=600)
     assert r2.returncode != 0
     assert "mutually exclusive" in r2.stderr
+
+
+def test_run_curate_cli_from_jsonl(spark, tmp_path):
+    """JSONL corpus (gzipped, no doc_id/source fields) -> curated
+    parquet: ids derive as xxhash64(text, source), source from the file
+    stem, and byte-identical texts within a source collapse (documented
+    jsonl-ingest consequence, same outcome exact dedup produces)."""
+    import gzip
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    good = ("the quick brown fox jumps over a lazy dog and then the fox "
+            "runs far away of the meadow and keeps going past the old "
+            "barn until the night comes and a quiet wind settles")
+    lines = [
+        {"text": good},
+        {"text": good.replace("fox", "hare")},
+        {"text": good},            # exact duplicate -> one id, one row
+        {"text": "too short"},     # min-tokens filter drops it
+    ]
+    (tmp_path / "shard-a.jsonl.gz").write_bytes(
+        gzip.compress("\n".join(json.dumps(x) for x in lines).encode())
+    )
+    out = str(tmp_path / "cur")
+    argv = [
+        sys.executable, os.path.join(repo, "jobs", "run_curate.py"),
+        "--input", str(tmp_path / "*.jsonl.gz"), "--input-format", "jsonl",
+        "--output", out, "--run-id", "j0",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "5",
+    ]
+    env = dict(os.environ, PYTHONPATH=repo)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    cur = spark.read.parquet(f"{out}/j0/curated").toPandas()
+    assert sorted(cur["source"]) == ["shard-a", "shard-a"]
+    texts = set(cur["text"])
+    assert texts == {good, good.replace("fox", "hare")}
+    assert cur["doc_id"].nunique() == 2
