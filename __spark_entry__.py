@@ -3034,6 +3034,30 @@ def _q_kcore_hosts(spark, sf_dir):
     return k_core(edges, k=2, rounds=8).orderBy("node")
 
 
+def _q_media_dhash_dups(spark, sf_dir):
+    """Image near-dup via perceptual dHash: decode (stdlib codecs) →
+    64-bit difference hash → the SAME pigeonhole Hamming banding text
+    SimHash uses (`hamming_pairs`). The corpus is 200 PNG images plus
+    perturbed clones (saturated corner block, re-encoded — same image,
+    different bytes); on the driver fixture every planted clone pair is
+    found at hamming ≤ 3 with zero false pairs (pytest-gated). Binary
+    decode is not SQL-expressible → rows-only gate."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import hamming_pairs
+    from bloomine_spark.operators.multimodal import (
+        image_dhash,
+        perturbed_clones,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 200, codec="png")
+    corpus = media.unionByName(perturbed_clones(media, every=10))
+    return hamming_pairs(
+        image_dhash(corpus), id_col="media_id", sig_col="dhash",
+        max_hamming=3,
+    ).orderBy("id_a", "id_b")
+
+
 def _q_zorder_key_events(spark, sf_dir):
     """Morton/Z-order interleave key over two event dimensions (user
     grid x value grid, 10 bits each) — the lakehouse multi-dimensional
@@ -3192,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": _q_scd2_user_state,
         "kcore_hosts": _q_kcore_hosts,
         "zorder_key_events": _q_zorder_key_events,
+        "media_dhash_dups": _q_media_dhash_dups,
     }
 
 

@@ -417,6 +417,7 @@ def main():
         "scd2_user_state",
         "kcore_hosts",
         "zorder_key_events",
+        "media_dhash_dups",
     ):
         if name in capture:
             def run(n=name):
@@ -539,6 +540,7 @@ def main():
         "q_scd2_user_state",
         "q_kcore_hosts",
         "q_zorder_key_events",
+        "q_media_dhash_dups",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -632,30 +632,36 @@ def simhash_signatures(
     return pre.mapInArrow(kernel, schema=schema)
 
 
-def simhash_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
+def hamming_pairs(
+    sig: DataFrame,
     id_col: str = "doc_id",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ d via chunk banding.
+    """Pairs with hamming(64-bit signature) ≤ d over ANY signature
+    relation (SimHash text sketches, image dHash, ...) via chunk
+    banding — the signature-agnostic half of :func:`simhash_duplicates`.
 
     Pigeonhole: split 64 bits into d+1 chunks; any pair within hamming d
     shares ≥1 exact chunk → equi-join on (chunk_idx, chunk_value), then
-    verify the true hamming distance. No n² scan.
+    verify the true hamming distance JVM-side (``bit_count(xor)``).
+    No n² scan; the join carries only (id, signature).
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sig = simhash_signatures(df, text_col, id_col)
+    # chunk expressions reference the SOURCE column, never the same-select
+    # alias: a lateral alias inside Generate (explode) is an internal
+    # error in Spark's analyzer when sig_col != "simhash"
+    sc = F.col(sig_col)
     banded = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("doc_id"),
+        sc.alias("simhash"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        F.shiftrightunsigned(sc, i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
@@ -685,6 +691,23 @@ def simhash_duplicates(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ d: text SimHash
+    signatures fed through the signature-agnostic
+    :func:`hamming_pairs` banding."""
+    return hamming_pairs(
+        simhash_signatures(df, text_col, id_col),
+        id_col="doc_id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
     )
 
 

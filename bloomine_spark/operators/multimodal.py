@@ -542,3 +542,112 @@ def sample_video_frames(
     return media.filter(F.col("media_type") == "video").mapInPandas(
         kernel, schema=schema
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (image near-dup)
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _dhash_bits(img: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash: area-average the image onto a
+    (hash_size, hash_size+1) grid, emit bit 1 where a cell is brighter
+    than its right neighbor. LSB-first (row-major), returned as a
+    SIGNED 64-bit int (two's complement) so it rides a Spark long."""
+    h, w = img.shape
+    ys = np.linspace(0, h, hash_size + 1, dtype=int)
+    xs = np.linspace(0, w, hash_size + 2, dtype=int)
+    grid = np.array(
+        [
+            [img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+             for j in range(hash_size + 1)]
+            for i in range(hash_size)
+        ]
+    )
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    out = 0
+    for k in np.flatnonzero(bits):
+        out |= 1 << int(k)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_dhash(
+    media: DataFrame, decoder: str = "auto", hash_size: int = 8
+) -> DataFrame:
+    """64-bit perceptual dHash per image — the image analog of text
+    SimHash: byte-level re-encodes, format changes, and small pixel
+    edits keep the hash within a few bits, so image near-dup is
+    ``hamming_pairs`` over this relation (the pigeonhole banding used
+    for SimHash — no n² scan, no embedding model needed)."""
+    if hash_size * hash_size > 64 or hash_size < 2:
+        raise ValueError(
+            "hash_size^2 bits must fit 64 (the grid is hash_size x "
+            "hash_size+1, comparisons are hash_size per row)"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "dhash": [], "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _decode_image(bytes(payload), decoder)
+                h, w = img.shape
+                out["media_id"].append(mid)
+                out["dhash"].append(_dhash_bits(img, hash_size))
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        kernel, schema=DHASH_SCHEMA
+    )
+
+
+def perturbed_clones(
+    media: DataFrame, every: int = 10, box: int = 4, suffix: str = "c"
+) -> DataFrame:
+    """Near-duplicate clones for every ``every``-th image (by row
+    hash of media_id): decode, saturate a ``box``×``box`` corner block,
+    re-encode as PNG — the "same image, small edit, different bytes"
+    shape a perceptual-hash dedup must catch. Returns ONLY the clones
+    (union with the input to build the test corpus)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bloomine_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"],
+                pdf["meta"],
+            ):
+                if mtype != "image":
+                    continue
+                img = _decode_image(bytes(payload), "auto")
+                arr = np.clip(img, 0, 255).astype(np.uint8).copy()
+                arr[:box, :box] = 255
+                rows.append(
+                    {
+                        "media_id": f"{mid}{suffix}",
+                        "media_type": "image",
+                        "payload": codecs.encode_png(arr),
+                        "meta": dict(meta) | {"clone_of": mid},
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    picked = media.filter(
+        F.pmod(F.xxhash64("media_id"), F.lit(int(every))) == 0
+    )
+    return picked.mapInPandas(kernel, schema=MEDIA_SCHEMA)
