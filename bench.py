@@ -305,7 +305,8 @@ def main():
     collected: dict[str, list] = {}
     capture = {"minhash_lsh_dups", "ngram_jaccard_pairs", "ann_cosine_topk",
                "ann_ivf_topk", "embedding_near_dup_lsh", "ann_pq_topk",
-               "harmonic_hosts_exact", "hyperball_harmonic_hosts"}
+               "harmonic_hosts_exact", "hyperball_harmonic_hosts",
+               "media_dhash_dups"}
     for name in (
         "two_phase_screen",
         "minhash_lsh_dups",
@@ -457,6 +458,15 @@ def main():
     recall["embedding_lsh_planted_pair_recall"] = round(
         len(_pairs("embedding_near_dup_lsh") & planted) / len(planted), 4
     )
+    # dHash image near-dup: the only true pairs in the fixture are the
+    # planted clones (media_id + "c"); any other pair is a false positive
+    # among the noise images, so clone-share of found pairs = precision
+    # (recall 1.0 on this fixture is pytest-gated in test_zorder.py)
+    dh = _pairs("media_dhash_dups")
+    if dh:
+        clone = {p for p in dh if p[0] + "c" == p[1]}
+        recall["dhash_clone_pair_precision"] = round(len(clone) / len(dh), 4)
+
     # HyperBall vs exact harmonic centrality on the same host graph
     h_exact = {r["node"]: r["harmonic"] for r in collected["harmonic_hosts_exact"]}
     h_est = {r["node"]: r["harmonic_est"]
