@@ -1552,6 +1552,28 @@ def _q_trustrank_hosts(spark, sf_dir):
     return pagerank(edges, iterations=8, reset=seeds).orderBy("node")
 
 
+def _q_hits_hosts(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the planted host
+    graph — the mutual-reinforcement ranking beside PageRank: 8 fixed
+    rounds of auth ∝ Aᵀ·hub then hub ∝ A·auth, L2-normalized per
+    half-step. Hosts 30–39 publish no links so they are pure
+    authorities (hub 0). The oracle unrolls the same 8 rounds as
+    MATERIALIZED CTEs over the formula-derived edge set."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkgraph import (
+        extract_links,
+        hits,
+        host_edges,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url, html = _linked_page_exprs()
+    pages = docs.withColumn("url", url).withColumn("html", html)
+    edges = host_edges(extract_links(pages))
+    return hits(edges, iterations=8).orderBy("node")
+
+
 def _q_harmonic_hosts_exact(spark, sf_dir):
     """Exact harmonic centrality over the planted host graph (the
     ranking CommonCrawl publishes for hosts): layered BFS closure —
@@ -3140,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links_docs": _q_html_links_docs,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
+        "hits_hosts": _q_hits_hosts,
         "harmonic_hosts_exact": _q_harmonic_hosts_exact,
         "hyperball_harmonic_hosts": _q_hyperball_harmonic_hosts,
         "ccnet_normalize": _q_ccnet_normalize,
@@ -6090,6 +6113,57 @@ def oracle_sql() -> dict[str, str]:
           SELECT node, w AS pr FROM w
         ),{",".join(_tr_rounds)}
         SELECT node, pr FROM t8 ORDER BY node
+    """
+
+    # HITS: same formula-derived edge set, 8 unrolled mutual-
+    # reinforcement rounds — per round the raw sums materialize once
+    # (each is referenced twice: numerator + its own L2 norm scalar)
+    _hits_rounds = []
+    for i in range(1, 9):
+        _hits_rounds.append(f"""
+        ar{i} AS MATERIALIZED (
+          SELECT e.dst AS node, SUM(h.s) AS raw
+          FROM e JOIN h{i-1} h ON e.src = h.node GROUP BY e.dst
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT nd.node,
+                 COALESCE(r.raw, 0) / (SELECT sqrt(SUM(raw * raw))
+                                       FROM ar{i}) AS s
+          FROM nodes nd LEFT JOIN ar{i} r ON r.node = nd.node
+        ),
+        hr{i} AS MATERIALIZED (
+          SELECT e.src AS node, SUM(a.s) AS raw
+          FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+        ),
+        h{i} AS MATERIALIZED (
+          SELECT nd.node,
+                 COALESCE(r.raw, 0) / (SELECT sqrt(SUM(raw * raw))
+                                       FROM hr{i}) AS s
+          FROM nodes nd LEFT JOIN hr{i} r ON r.node = nd.node
+        )""")
+
+    sql["hits_hosts"] = f"""
+        WITH hp AS MATERIALIZED (
+          SELECT doc_id % 40 AS hs, (doc_id*7+3) % 40 AS d1,
+                 (doc_id*11+1) % 40 AS d2
+          FROM documents WHERE doc_id % 40 < 30
+        ), e AS MATERIALIZED (
+          SELECT DISTINCT 'h' || hs || '.example.com' AS src,
+                 'h' || d || '.example.com' AS dst
+          FROM (SELECT hs, d1 AS d FROM hp
+                UNION ALL SELECT hs, d2 FROM hp)
+          WHERE hs <> d
+        ), nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), nn AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+        ), h0 AS MATERIALIZED (
+          SELECT node, 1.0 / sqrt((SELECT n FROM nn)) AS s FROM nodes
+        ),{",".join(_hits_rounds)}
+        SELECT h.node, h.s AS hub, a.s AS auth
+        FROM h8 h JOIN a8 a ON a.node = h.node
+        ORDER BY h.node
     """
 
     # exact harmonic centrality: recursive closure over distinct

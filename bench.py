@@ -419,6 +419,8 @@ def main():
         "kcore_hosts",
         "zorder_key_events",
         "media_dhash_dups",
+        # r6 twelfth-session addition (excluded): HITS hubs/authorities
+        "hits_hosts",
     ):
         if name in capture:
             def run(n=name):
@@ -551,6 +553,8 @@ def main():
         "q_kcore_hosts",
         "q_zorder_key_events",
         "q_media_dhash_dups",
+        # r6 twelfth session
+        "q_hits_hosts",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -197,3 +197,61 @@ def test_linkgraph_plans(spark):
     ).split("== Initial Plan ==")[0]
     assert eplan.count("Exchange") <= 2  # partial+final hash agg of distinct
     assert "CartesianProduct" not in eplan
+
+
+def _ref_hits(edges, iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, d in edges:
+            a[idx[d]] += h[idx[s]]
+        a /= np.sqrt((a * a).sum())
+        h = np.zeros(n)
+        for s, d in edges:
+            h[idx[s]] += a[idx[d]]
+        h /= np.sqrt((h * h).sum())
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_power_iteration(spark):
+    from bloomine_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame(pd.DataFrame(EDGES, columns=["src", "dst"]))
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iterations=10).collect()}
+    want = _ref_hits(EDGES, 10)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-12)
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
+    # both vectors stay L2-normalized
+    assert sum(v[0] ** 2 for v in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(v[1] ** 2 for v in got.values()) == pytest.approx(1.0, abs=1e-12)
+    # e is dangling (pure authority): hub 0; d has no in-links: auth 0
+    assert got["e"][0] == 0.0
+    assert got["d"][1] == 0.0
+
+
+def test_hits_bipartite_roles(spark):
+    from bloomine_spark.operators.linkgraph import hits
+
+    # hubs h1,h2 point at authorities a1,a2 — roles must separate fully
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a2")]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iterations=5).collect()}
+    for n in ("h1", "h2"):
+        assert got[n][0] == pytest.approx(1 / np.sqrt(2), abs=1e-12)
+        assert got[n][1] == 0.0
+    for n in ("a1", "a2"):
+        assert got[n][0] == 0.0
+        assert got[n][1] == pytest.approx(1 / np.sqrt(2), abs=1e-12)
+
+
+def test_hits_empty(spark):
+    from bloomine_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame(pd.DataFrame(columns=["src", "dst"]), "src string, dst string")
+    assert hits(df).count() == 0
