@@ -1383,6 +1383,37 @@ def _q_line_dedup_docs(spark, sf_dir):
     return line_dedup(planted)
 
 
+def _q_boilerplate_line_df_docs(spark, sf_dir):
+    """Boilerplate-line removal by per-host document frequency (the
+    RefinedWeb per-domain rule, line_dedup's statistical cousin): docs
+    live on hosts h(doc_id%10); every doc carries its host's footer
+    (df = 100% of the host → dropped at max_doc_frac=1/3), doc_id%4
+    docs carry a promo line (~25% of a host → kept), and each doc a
+    unique note line (kept). ALL occurrences of a boilerplate line are
+    removed — template text has no canonical survivor."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import line_df_boilerplate
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 10).cast("string")).alias("host"),
+        F.concat(
+            F.col("text"),
+            F.lit("\nhost footer "), (d % 10).cast("string"),
+            F.when(d % 4 == 0, F.lit("\npromo line visit us")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\nnote "), d.cast("string"),
+        ).alias("text"),
+    )
+    return line_df_boilerplate(
+        planted, group_col="host", max_doc_frac=1 / 3
+    )
+
+
 def _web_url_expr():
     """Deterministic URL planting shared with the oracle: uppercase
     scheme/host, www, default/explicit ports, path depth, non-document
@@ -3157,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter_docs": _q_robots_filter_docs,
         "sitemap_entries_docs": _q_sitemap_entries_docs,
         "line_dedup_docs": _q_line_dedup_docs,
+        "boilerplate_line_df_docs": _q_boilerplate_line_df_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -5852,6 +5884,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(CASE WHEN dropped THEN 1 END), 0)
                     AS BIGINT) AS n_lines_removed
         FROM k GROUP BY doc_id
+    """
+
+    # boilerplate by per-host line document frequency: the threshold
+    # expression interpolates the SAME double literal the operator uses
+    # (df > frac * n_docs, one multiply), so boundary classes agree
+    _BP_FRAC = repr(1 / 3)
+    sql["boilerplate_line_df_docs"] = f"""
+        WITH d AS (
+          SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+            text
+            || chr(10) || 'host footer ' || CAST(doc_id % 10 AS VARCHAR)
+            || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'promo line visit us' ELSE '' END
+            || chr(10) || 'note ' || CAST(doc_id AS VARCHAR) AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id, host, u.i AS pos,
+                 string_split(t, chr(10))[u.i + 1] AS line
+          FROM d, unnest(range(0, len(string_split(t, chr(10))))) AS u(i)
+        ), m AS (
+          SELECT doc_id, host, pos, md5(line) AS dg FROM l WHERE line <> ''
+        ), dfq AS (
+          SELECT host, dg, COUNT(DISTINCT doc_id) AS df
+          FROM m GROUP BY host, dg
+        ), tot AS (
+          SELECT host, COUNT(DISTINCT doc_id) AS n_docs FROM d GROUP BY host
+        ), bad AS (
+          SELECT dfq.host, dfq.dg
+          FROM dfq JOIN tot ON tot.host = dfq.host
+          WHERE dfq.df > {_BP_FRAC} * tot.n_docs
+        ), dr AS (
+          SELECT m.doc_id, m.pos
+          FROM m JOIN bad ON bad.host = m.host AND bad.dg = m.dg
+        ), k AS (
+          SELECT l.doc_id, l.host, l.pos, l.line,
+                 dr.doc_id IS NOT NULL AS dropped
+          FROM l LEFT JOIN dr
+            ON dr.doc_id = l.doc_id AND dr.pos = l.pos
+        )
+        SELECT doc_id, host,
+               COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(COALESCE(SUM(CASE WHEN dropped THEN 1 END), 0)
+                    AS BIGINT) AS n_lines_removed
+        FROM k GROUP BY doc_id, host
     """
 
     _URL_BUILD = """

@@ -419,8 +419,10 @@ def main():
         "kcore_hosts",
         "zorder_key_events",
         "media_dhash_dups",
-        # r6 twelfth-session addition (excluded): HITS hubs/authorities
+        # r6 twelfth-session additions (excluded): HITS hubs/authorities,
+        # per-host line-document-frequency boilerplate removal
         "hits_hosts",
+        "boilerplate_line_df_docs",
     ):
         if name in capture:
             def run(n=name):
@@ -555,6 +557,7 @@ def main():
         "q_media_dhash_dups",
         # r6 twelfth session
         "q_hits_hosts",
+        "q_boilerplate_line_df_docs",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

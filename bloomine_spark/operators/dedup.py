@@ -1796,3 +1796,91 @@ def line_dedup(
         F.coalesce("text", F.lit("")).alias("text"),
         F.coalesce("_removed", F.lit(0)).cast("long").alias("n_lines_removed"),
     )
+
+
+def line_df_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    min_doc_freq: int | None = None,
+    max_doc_frac: float | None = None,
+) -> DataFrame:
+    """Boilerplate-line removal by DOCUMENT FREQUENCY (the RefinedWeb/
+    CCNet per-domain rule that :func:`line_dedup` is the exact-copy
+    cousin of): a line occurring in too many DISTINCT documents —
+    ``min_doc_freq`` absolute, and/or ``max_doc_frac`` as a fraction of
+    the corpus — is navigation/footer boilerplate, and EVERY occurrence
+    is removed (unlike line_dedup there is no canonical survivor: a
+    line that appears on a third of a host's pages is template, not
+    content). ``group_col`` scopes the frequencies (RefinedWeb counts
+    per domain — a disclaimer ubiquitous on one host is boilerplate
+    there even if globally rare). A line repeated inside ONE doc counts
+    that doc once. Empty lines are structural and never counted.
+
+    Plan shape: line text never rides a shuffle — per-doc distinct
+    (scope, digest, id) rows feed one COUNT aggregate, doc totals per
+    scope come from a broadcast-sized relation, and the drop set joins
+    back on (id, pos). The digest exchange is the same shape as
+    line_dedup's occurrence window at corpus scale.
+
+    Returns (id[, group], text, n_lines_removed), one row per doc.
+    """
+    if min_doc_freq is None and max_doc_frac is None:
+        raise ValueError("set min_doc_freq and/or max_doc_frac")
+    gcols = [group_col] if group_col else []
+    lines = docs.select(
+        F.col(id_col), *gcols,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    marks = lines.filter(F.col("line") != "").select(
+        id_col, *gcols, "pos", F.md5(F.col("line")).alias("digest")
+    )
+    # df = distinct docs containing the digest, within scope
+    df_rel = (
+        marks.select(id_col, *gcols, "digest")
+        .distinct()
+        .groupBy(*gcols, "digest")
+        .agg(F.count("*").alias("df"))
+    )
+    totals = docs.groupBy(*gcols).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    if gcols:
+        joined = df_rel.join(F.broadcast(totals), gcols)
+    else:
+        joined = df_rel.crossJoin(F.broadcast(totals))
+    cond = F.lit(False)
+    if min_doc_freq is not None:
+        cond = cond | (F.col("df") >= int(min_doc_freq))
+    if max_doc_frac is not None:
+        # df / n_docs > frac as df > frac * n_docs — ONE double multiply,
+        # the exact expression the oracles interpolate (repr(frac)), so
+        # boundary classes land identically on both engines
+        cond = cond | (
+            F.col("df") > F.lit(float(max_doc_frac)) * F.col("n_docs")
+        )
+    bad = joined.filter(cond).select(*gcols, "digest")
+    drops = marks.join(bad, [*gcols, "digest"]).select(id_col, "pos")
+    kept = lines.join(drops.withColumn("_drop", F.lit(True)),
+                      [id_col, "pos"], "left")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_drop").isNull(),
+                               F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text"),
+        F.sum(F.col("_drop").cast("long")).alias("_removed"),
+    )
+    return docs.select(id_col, *gcols).join(rebuilt, id_col, "left").select(
+        id_col, *gcols,
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("_removed", F.lit(0)).cast("long").alias("n_lines_removed"),
+    )

@@ -140,6 +140,13 @@ def main() -> None:
                     "dedup (RefinedWeb/FineWeb): repeated verbatim lines "
                     "keep only their globally-first occurrence; docs left "
                     "empty are dropped")
+    ap.add_argument("--boilerplate-frac", type=float, default=None,
+                    metavar="FRAC",
+                    help="drop EVERY occurrence of a line present in more "
+                    "than FRAC of a source's docs (the RefinedWeb "
+                    "per-domain document-frequency rule — template text "
+                    "has no canonical survivor, unlike --line-dedup); "
+                    "runs before --line-dedup; docs left empty drop")
     ap.add_argument("--input-format", choices=("parquet", "warc", "jsonl"),
                     default="parquet",
                     help="'warc' reads raw crawl segments (*.warc / "
@@ -194,6 +201,7 @@ def main() -> None:
         "input_format": args.input_format,
         "html_max_link_density": args.html_max_link_density,
         "line_dedup": bool(args.line_dedup),
+        "boilerplate_frac": args.boilerplate_frac,
     }
 
     if args.input_format == "warc":
@@ -432,6 +440,31 @@ def main() -> None:
 
         deduped = runner.stage("trimmed", _trim,
                                manifest=dict(manifest, stage="trimmed"))
+
+    if args.boilerplate_frac is not None:
+        from bloomine_spark.operators.dedup import line_df_boilerplate
+
+        def _boilerplate():
+            cur = deduped
+            bp = line_df_boilerplate(
+                cur.select("doc_id", "source", "text"),
+                group_col="source",
+                max_doc_frac=args.boilerplate_frac,
+            ).select(
+                F.col("doc_id").alias("_bid"), F.col("text").alias("_btext"),
+            )
+            return (
+                cur.drop("text")
+                .join(bp, cur["doc_id"].cast("string")
+                      == F.col("_bid").cast("string"))
+                .filter(F.col("_btext") != "")
+                .drop("_bid")
+                .withColumnRenamed("_btext", "text")
+            )
+
+        deduped = runner.stage("boilerplate_cut", _boilerplate,
+                               manifest=dict(manifest,
+                                             stage="boilerplate_cut"))
 
     if args.line_dedup:
         from bloomine_spark.operators.dedup import line_dedup

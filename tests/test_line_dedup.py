@@ -116,3 +116,65 @@ def test_line_dedup_plan_narrow(spark):
     ).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "digest" in plan
+
+
+def test_line_df_boilerplate_per_group(spark):
+    from bloomine_spark.operators.dedup import line_df_boilerplate
+
+    rows = [
+        # host A: 4 docs, footer on all (df 4/4 > 1/2 -> dropped
+        # EVERYWHERE, no survivor), promo on 1 (1/4 <= 1/2 -> kept)
+        {"doc_id": 1, "host": "a", "text": "footer A\nbody one\npromo"},
+        {"doc_id": 2, "host": "a", "text": "body two\nfooter A"},
+        {"doc_id": 3, "host": "a", "text": "footer A\nfooter A\nbody three"},
+        {"doc_id": 4, "host": "a", "text": "footer A"},
+        # host B: 'footer A' appears in 1/2 of B's docs (not > 1/2) —
+        # per-group scoping keeps it here even though host A drops it
+        {"doc_id": 5, "host": "b", "text": "footer A\nbody five"},
+        {"doc_id": 6, "host": "b", "text": "body six"},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_df_boilerplate(
+            spark.createDataFrame(pd.DataFrame(rows)),
+            group_col="host",
+            max_doc_frac=0.5,
+        ).collect()
+    }
+    assert out[1]["text"] == "body one\npromo"
+    # in-doc repeats count the doc ONCE for df, but every copy drops
+    assert out[3]["text"] == "body three"
+    assert out[3]["n_lines_removed"] == 2
+    assert out[4]["text"] == "" and out[4]["n_lines_removed"] == 1
+    assert out[5]["text"] == "footer A\nbody five"  # group scoping
+    assert out[5]["n_lines_removed"] == 0
+    assert {r for r in (out[d]["host"] for d in out)} == {"a", "b"}
+
+
+def test_line_df_boilerplate_min_doc_freq_global(spark):
+    from bloomine_spark.operators.dedup import line_df_boilerplate
+
+    rows = [
+        {"doc_id": 1, "text": "nav\nalpha"},
+        {"doc_id": 2, "text": "nav\nbeta"},
+        {"doc_id": 3, "text": "nav\ngamma"},
+        {"doc_id": 4, "text": "delta\n\nepsilon"},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_df_boilerplate(
+            spark.createDataFrame(pd.DataFrame(rows)), min_doc_freq=3
+        ).collect()
+    }
+    assert out[1]["text"] == "alpha"
+    assert out[2]["text"] == "beta"
+    # empty lines are structural: never counted, never removed
+    assert out[4]["text"] == "delta\n\nepsilon"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_line_df_boilerplate_validates(spark):
+    from bloomine_spark.operators.dedup import line_df_boilerplate
+
+    with pytest.raises(ValueError, match="min_doc_freq"):
+        line_df_boilerplate(_docs(spark))

@@ -493,3 +493,45 @@ def test_run_curate_cli_from_jsonl(spark, tmp_path):
     texts = set(cur["text"])
     assert texts == {good, good.replace("fox", "hare")}
     assert cur["doc_id"].nunique() == 2
+
+def test_run_curate_cli_boilerplate_frac(spark, tmp_path):
+    # s0: all three docs share a footer line (df 3/3 > 0.5 -> removed
+    # everywhere); the SAME line appears on 1 of 3 s1 docs (kept there —
+    # the rule is per-source). Distinct bodies so exact dedup is a no-op.
+    rows = []
+    for i, word in enumerate(["fox", "hare", "wolf"]):
+        rows.append({
+            "doc_id": 10 + i, "source": "s0", "lang": "en",
+            "text": GOOD.replace("fox", word) + "\ncopyright footer line",
+        })
+    rows.append({
+        "doc_id": 20, "source": "s1", "lang": "en",
+        "text": GOOD.replace("fox", "lynx") + "\ncopyright footer line",
+    })
+    for i, word in enumerate(["otter", "stoat"]):
+        rows.append({
+            "doc_id": 21 + i, "source": "s1", "lang": "en",
+            "text": GOOD.replace("fox", word),
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["text"].str.len()
+    inp = str(tmp_path / "docs_bp")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    out = str(tmp_path / "cur_bp")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "bp0",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "5",
+        "--boilerplate-frac", "0.5",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "'boilerplate_cut'" in r.stdout
+    cur = spark.read.parquet(f"{out}/bp0/curated").toPandas()
+    assert set(cur["doc_id"]) == {10, 11, 12, 20, 21, 22}
+    by_id = {r["doc_id"]: r["text"] for _, r in cur.iterrows()}
+    for d in (10, 11, 12):
+        assert "copyright footer line" not in by_id[d]
+    assert "copyright footer line" in by_id[20]  # per-source scoping
