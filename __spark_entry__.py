@@ -1414,6 +1414,54 @@ def _q_boilerplate_line_df_docs(spark, sf_dir):
     )
 
 
+def _q_k_anonymity_audit_customers(spark, sf_dir):
+    """k-anonymity + l-diversity audit (Sweeney 2002, Machanavajjhala
+    2007) — the structured-side release gate beside scrub_pii: one row
+    per (nation, segment) equivalence class with class_size,
+    k_violation (< 10 members re-identifiable), distinct account-
+    balance bands as the sensitive attribute, and l_violation (< 3
+    bands: the class leaks balances even when k holds)."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.privacy import k_anonymity_audit
+    from bloomine_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_audit(
+        cust, ["nation", "segment"], k=10, sensitive_col="bal_band", l=3
+    )
+
+
+def _q_generalize_k_customers(spark, sf_dir):
+    """Local-recoding generalization to k=8 over customers: each row
+    publishes at the finest ladder level whose class (computed over
+    the rows still unpublished at that level) reaches k — balance band
+    4000s → 8000s → dropped → segment dropped; rows failing every
+    level are suppressed (gen_level -1, all quasi NULL). The oracle
+    replays the ladder as chained remainder CTEs."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.privacy import generalize_to_k
+    from bloomine_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.col("c_nationkey").cast("string")
+    seg = F.col("c_mktsegment")
+    levels = [
+        {"nation": nation, "segment": seg,
+         "bal_band": F.floor(F.col("c_acctbal") / 4000).cast("string")},
+        {"nation": nation, "segment": seg,
+         "bal_band": F.floor(F.col("c_acctbal") / 8000).cast("string")},
+        {"nation": nation, "segment": seg,
+         "bal_band": F.lit(None).cast("string")},
+        {"nation": nation, "segment": F.lit(None).cast("string"),
+         "bal_band": F.lit(None).cast("string")},
+    ]
+    return generalize_to_k(cust, "c_custkey", levels, k=8)
+
+
 def _web_url_expr():
     """Deterministic URL planting shared with the oracle: uppercase
     scheme/host, www, default/explicit ports, path depth, non-document
@@ -3189,6 +3237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries_docs": _q_sitemap_entries_docs,
         "line_dedup_docs": _q_line_dedup_docs,
         "boilerplate_line_df_docs": _q_boilerplate_line_df_docs,
+        "k_anonymity_audit_customers": _q_k_anonymity_audit_customers,
+        "generalize_k_customers": _q_generalize_k_customers,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -5929,6 +5979,77 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(CASE WHEN dropped THEN 1 END), 0)
                     AS BIGINT) AS n_lines_removed
         FROM k GROUP BY doc_id, host
+    """
+
+    sql["k_anonymity_audit_customers"] = """
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+                    AS BIGINT) AS n_sensitive,
+               COUNT(*) < 10 AS k_violation,
+               COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) < 3
+                 AS l_violation
+        FROM customer GROUP BY 1, 2
+    """
+
+    # local-recoding ladder replay: per level a count window over the
+    # REMAINDER of the previous levels, published rows peel off, the
+    # suppressed tail gets gen_level -1 / all-NULL quasi
+    sql["generalize_k_customers"] = """
+        WITH z0 AS MATERIALIZED (
+          SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+                 CAST(c_nationkey AS VARCHAR) AS nation,
+                 c_mktsegment AS segment,
+                 CAST(CAST(floor(c_acctbal / 4000) AS BIGINT) AS VARCHAR)
+                   AS bal_band,
+                 COUNT(*) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment,
+                                CAST(floor(c_acctbal / 4000) AS BIGINT)
+                 ) AS cs
+          FROM customer
+        ), z1 AS MATERIALIZED (
+          SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+                 CAST(c_nationkey AS VARCHAR) AS nation,
+                 c_mktsegment AS segment,
+                 CAST(CAST(floor(c_acctbal / 8000) AS BIGINT) AS VARCHAR)
+                   AS bal_band,
+                 COUNT(*) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment,
+                                CAST(floor(c_acctbal / 8000) AS BIGINT)
+                 ) AS cs
+          FROM z0 WHERE cs < 8
+        ), z2 AS MATERIALIZED (
+          SELECT c_custkey, c_nationkey, c_mktsegment,
+                 CAST(c_nationkey AS VARCHAR) AS nation,
+                 c_mktsegment AS segment,
+                 CAST(NULL AS VARCHAR) AS bal_band,
+                 COUNT(*) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+                 ) AS cs
+          FROM z1 WHERE cs < 8
+        ), z3 AS MATERIALIZED (
+          SELECT c_custkey,
+                 CAST(c_nationkey AS VARCHAR) AS nation,
+                 CAST(NULL AS VARCHAR) AS segment,
+                 CAST(NULL AS VARCHAR) AS bal_band,
+                 COUNT(*) OVER (PARTITION BY c_nationkey) AS cs
+          FROM z2 WHERE cs < 8
+        )
+        SELECT c_custkey, 0 AS gen_level, nation, segment, bal_band
+        FROM z0 WHERE cs >= 8
+        UNION ALL
+        SELECT c_custkey, 1, nation, segment, bal_band
+        FROM z1 WHERE cs >= 8
+        UNION ALL
+        SELECT c_custkey, 2, nation, segment, bal_band
+        FROM z2 WHERE cs >= 8
+        UNION ALL
+        SELECT c_custkey, 3, nation, segment, bal_band
+        FROM z3 WHERE cs >= 8
+        UNION ALL
+        SELECT c_custkey, -1, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR)
+        FROM z3 WHERE cs < 8
     """
 
     _URL_BUILD = """

@@ -423,6 +423,10 @@ def main():
         # per-host line-document-frequency boilerplate removal
         "hits_hosts",
         "boilerplate_line_df_docs",
+        # r6 twelfth-session additions (excluded): privacy release gate —
+        # k-anonymity/l-diversity audit + generalization-to-k ladder
+        "k_anonymity_audit_customers",
+        "generalize_k_customers",
     ):
         if name in capture:
             def run(n=name):
@@ -558,6 +562,8 @@ def main():
         # r6 twelfth session
         "q_hits_hosts",
         "q_boilerplate_line_df_docs",
+        "q_k_anonymity_audit_customers",
+        "q_generalize_k_customers",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3
