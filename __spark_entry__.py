@@ -1462,6 +1462,57 @@ def _q_generalize_k_customers(spark, sf_dir):
     return generalize_to_k(cust, "c_custkey", levels, k=8)
 
 
+_JW_BASES = [
+    "margaret johnson", "jonathan smithers", "alexandra petrov",
+    "christopher wainwright", "elizabeth harmon", "maximilian brandt",
+    "sebastian kruger", "anastasia volkov",
+]
+
+# variant ladder shared verbatim by the Spark query (F.expr) and the
+# DuckDB oracle — every function used means the same thing in both
+# engines (regexp_replace would NOT: Spark replaces all matches,
+# DuckDB only the first)
+_JW_NAME_CASE = """CASE nid % 5
+      WHEN 0 THEN b
+      WHEN 1 THEN substring(b, 1, length(b) - 1)
+      WHEN 2 THEN concat(substring(b, 1, 2), substring(b, 4, 1),
+                         substring(b, 3, 1), substring(b, 5, 100))
+      WHEN 3 THEN replace(b, 'an', 'on')
+      ELSE concat(b, 'x')
+    END"""
+
+
+def _q_jw_pairs_names(spark, sf_dir):
+    """Blocked Jaro–Winkler linkage (Winkler 1990) over a planted
+    name relation: 200 ids carry one of 8 base names under a 5-step
+    typo ladder (truncate / transpose / substitute / append); pairs
+    block on the first letter and verify at jw >= 0.88. The Python
+    kernel was fuzz-locked against DuckDB's jaro_winkler_similarity
+    (3000 pairs, 0 diffs), so the oracle calls the builtin verbatim —
+    two independent implementations must agree pair-for-pair AND
+    similarity-for-similarity for the hash to land."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkage import blocked_jw_pairs
+    from bloomine_spark.sources.tables import load_table
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 200).alias("nid"))
+        .distinct()
+    )
+    base = F.element_at(
+        F.array([F.lit(x) for x in _JW_BASES]),
+        (F.col("nid") % 8).cast("int") + 1,
+    )
+    rel = ids.select("nid", base.alias("b")).select(
+        "nid", F.expr(_JW_NAME_CASE).alias("name")
+    )
+    return blocked_jw_pairs(
+        rel, id_col="nid", text_col="name",
+        block=F.substring("name", 1, 1), min_sim=0.88,
+    )
+
+
 def _web_url_expr():
     """Deterministic URL planting shared with the oracle: uppercase
     scheme/host, www, default/explicit ports, path depth, non-document
@@ -3239,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_df_docs": _q_boilerplate_line_df_docs,
         "k_anonymity_audit_customers": _q_k_anonymity_audit_customers,
         "generalize_k_customers": _q_generalize_k_customers,
+        "jw_pairs_names": _q_jw_pairs_names,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -6050,6 +6102,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, -1, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                CAST(NULL AS VARCHAR)
         FROM z3 WHERE cs < 8
+    """
+
+    _jw_bases_sql = ", ".join(f"'{x}'" for x in _JW_BASES)
+    sql["jw_pairs_names"] = f"""
+        WITH ids AS (SELECT DISTINCT doc_id % 200 AS nid FROM documents),
+        nm AS (
+          SELECT nid, {_JW_NAME_CASE} AS name
+          FROM (SELECT nid,
+                       ([{_jw_bases_sql}])[CAST(nid % 8 AS INT) + 1] AS b
+                FROM ids)
+        ), r AS (
+          SELECT nid, name, substring(name, 1, 1) AS block_key FROM nm
+          WHERE substring(name, 1, 1) IS NOT NULL
+            AND substring(name, 1, 1) <> ''
+        )
+        SELECT a.nid AS id_a, b.nid AS id_b, a.block_key,
+               jaro_winkler_similarity(a.name, b.name) AS jw
+        FROM r a JOIN r b
+          ON a.block_key = b.block_key AND a.nid < b.nid
+        WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
     """
 
     _URL_BUILD = """

@@ -427,6 +427,8 @@ def main():
         # k-anonymity/l-diversity audit + generalization-to-k ladder
         "k_anonymity_audit_customers",
         "generalize_k_customers",
+        # r6 twelfth-session addition (excluded): blocked Jaro-Winkler
+        "jw_pairs_names",
     ):
         if name in capture:
             def run(n=name):
@@ -564,6 +566,7 @@ def main():
         "q_boilerplate_line_df_docs",
         "q_k_anonymity_audit_customers",
         "q_generalize_k_customers",
+        "q_jw_pairs_names",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -34,6 +34,7 @@ training-data/analytics tier the brief asks for beyond the reference.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,8 +42,67 @@ __all__ = [
     "fingerprint_key",
     "fingerprint_clusters",
     "blocked_edit_pairs",
+    "blocked_jw_pairs",
+    "jaro_winkler",
     "resolve_entities",
 ]
+
+
+def jaro_winkler(a: str, b: str) -> float:
+    """Jaro–Winkler similarity (Winkler 1990), the record-linkage
+    standard for short name fields: Jaro = mean of (m/|a|, m/|b|,
+    (m−t)/m) with greedy window matching (window = ⌊max/2⌋−1, first
+    unmatched occurrence wins) and t = half the out-of-order matches;
+    Winkler boosts by prefix·0.1·(1−jaro) — common prefix capped at 4 —
+    only when jaro exceeds the classic 0.7 threshold. Either side
+    empty → 0.0.
+
+    The exact variant DuckDB's ``jaro_winkler_similarity`` implements
+    (probed: boost threshold 0.7, cap 4, p=0.1), which is what lets
+    the driver oracle call the builtin verbatim — the similarity is
+    computed by two independent engines and hash-compared.
+    """
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    b_hit = [False] * lb
+    a_hit = [False] * la
+    m = 0
+    for i in range(la):
+        ca = a[i]
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        for j in range(lo, hi):
+            if not b_hit[j] and b[j] == ca:
+                b_hit[j] = True
+                a_hit[i] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    b_seq = [b[j] for j in range(lb) if b_hit[j]]
+    t = 0
+    k = 0
+    for i in range(la):
+        if a_hit[i]:
+            if a[i] != b_seq[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / la + m / lb + (m - t) / m) / 3.0
+    if j > 0.7:
+        p = 0
+        for x, y in zip(a, b):
+            if x != y or p >= 4:
+                break
+            p += 1
+        j += p * 0.1 * (1.0 - j)
+    return j
 
 
 def fingerprint_key(col: Column | str) -> Column:
@@ -149,6 +209,84 @@ def blocked_edit_pairs(
         )
         .filter(F.col("dist") >= 0)  # banded levenshtein: -1 = above band
     )
+
+
+def blocked_jw_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: Column | str | None = None,
+    min_sim: float = 0.9,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Candidate fuzzy-match pairs by Jaro–Winkler ≥ ``min_sim`` inside
+    blocks → ``(id_a, id_b, block_key, jw)`` with ``id_a < id_b`` — the
+    similarity-threshold sibling of :func:`blocked_edit_pairs` for name
+    fields, where a fixed edit budget misreads long-vs-short names but
+    a relative similarity does not.
+
+    Same blocking skeleton (default: first fingerprint token;
+    ``max_block`` fails fast on degenerate keys). Before any Python
+    runs, a codegen length-ratio prefilter prunes pairs that cannot
+    reach ``min_sim``: jaro ≤ (r+2)/3 for r = min_len/max_len, and the
+    Winkler boost maps jw ≥ s back to jaro ≥ (s−0.4)/0.6, so
+    r ≥ 5s−4 is necessary — at s=0.9 that halves the survivor set
+    before the kernel sees it. The JW verify itself is an Arrow-batched
+    pandas UDF over the post-block post-prefilter pairs only (the slow
+    path never touches the full cross-block relation).
+    """
+    if not 0.0 < min_sim <= 1.0:
+        raise ValueError("min_sim must be in (0, 1]")
+    bcol = (
+        F.element_at(F.split(fingerprint_key(text_col), " "), 1)
+        if block is None
+        else (F.col(block) if isinstance(block, str) else block)
+    )
+    rel = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        bcol.alias("block_key"),
+    ).filter(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+
+    from pyspark.sql import Window
+
+    sized = rel.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("block_key"))
+    )
+    bad = sized.filter(F.col("_bn") > max_block).select("block_key").first()
+    if bad is not None:
+        raise ValueError(
+            f"block {bad[0]!r} exceeds max_block={max_block}; pick a more "
+            "selective blocking key or raise max_block"
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(xa, xb)], dtype="float64"
+        )
+
+    a, b = sized.alias("a"), sized.alias("b")
+    ratio_floor = 5.0 * float(min_sim) - 4.0
+    cand = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            # length-ratio necessity: min_len >= (5s-4) * max_len
+            F.least(F.length("a.txt"), F.length("b.txt"))
+            >= F.lit(ratio_floor)
+            * F.greatest(F.length("a.txt"), F.length("b.txt"))
+        ),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.block_key").alias("block_key"),
+        _jw(F.col("a.txt"), F.col("b.txt")).alias("jw"),
+    )
+    return cand.filter(F.col("jw") >= F.lit(float(min_sim)))
 
 
 def resolve_entities(

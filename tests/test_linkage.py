@@ -1,6 +1,7 @@
 """Entity-resolution / record-linkage operators: fingerprint keys,
 blocked edit-distance pairs, pair→cluster→canonical resolution."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -123,3 +124,107 @@ def test_resolve_entities_quality_survivor(spark):
         for r in resolve_entities(df, pairs, quality_col="q").collect()
     }
     assert out == {1: False, 2: True, 3: False}
+
+
+def test_jaro_winkler_kernel_vs_duckdb_fuzz():
+    """The kernel contract: byte-identical semantics to DuckDB's
+    jaro_winkler_similarity (greedy window matching, t = half the
+    out-of-order matches, boost only above jaro 0.7, prefix cap 4) —
+    this equality is what lets the driver oracle call the builtin."""
+    import random
+
+    import duckdb
+
+    from bloomine_spark.operators.linkage import jaro_winkler
+
+    con = duckdb.connect()
+    rng = random.Random(123)
+    alpha = "abcdefg "
+    for _ in range(1500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))).strip()
+        if rng.random() < 0.5 and a:
+            b = list(a)
+            for _ in range(rng.randint(1, 3)):
+                op = rng.randint(0, 2)
+                if op == 0 and b:
+                    b[rng.randrange(len(b))] = rng.choice(alpha)
+                elif op == 1:
+                    b.insert(rng.randint(0, len(b)), rng.choice(alpha))
+                elif op == 2 and len(b) > 1:
+                    i = rng.randrange(len(b) - 1)
+                    b[i], b[i + 1] = b[i + 1], b[i]
+            b = "".join(b).strip()
+        else:
+            b = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(0, 12))
+            ).strip()
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == pytest.approx(want, abs=1e-12), (a, b)
+
+
+def test_jaro_winkler_known_values():
+    from bloomine_spark.operators.linkage import jaro_winkler
+
+    # Winkler's own canonical pairs
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133333333333332)
+    assert jaro_winkler("duane", "dwayne") == pytest.approx(0.84)
+    # boost threshold: jaro 0.5 with prefix 2 stays unboosted
+    assert jaro_winkler("abcdefgh", "abzzzzzz") == pytest.approx(0.5)
+    assert jaro_winkler("", "abc") == 0.0
+    assert jaro_winkler("", "") == 0.0
+    assert jaro_winkler("ab", "ba") == 0.0  # window 0: no cross matches
+
+
+def test_blocked_jw_pairs_threshold_and_blocking(spark):
+    from bloomine_spark.operators.linkage import blocked_jw_pairs
+
+    rows = [
+        {"doc_id": 1, "text": "margaret johnson"},
+        {"doc_id": 2, "text": "margaret jonson"},    # close: jw high
+        {"doc_id": 3, "text": "marmalade jar"},      # same block, far
+        {"doc_id": 4, "text": "margaret johnsen"},   # close: jw high
+        {"doc_id": 5, "text": "zebra"},              # other block
+    ]
+    # first-letter blocking: the default (first fingerprint token) would
+    # split johnson/jonson since the fingerprint token-sorts
+    out = blocked_jw_pairs(
+        spark.createDataFrame(pd.DataFrame(rows)),
+        block=F.substring("text", 1, 1), min_sim=0.9,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jw"] for r in out}
+    assert (1, 2) in got and got[(1, 2)] > 0.95
+    assert (1, 4) in got and got[(1, 4)] > 0.95
+    assert all(3 not in p for p in got)
+
+
+def test_blocked_jw_pairs_length_prefilter_no_loss(spark):
+    # the 5s-4 length-ratio prune is a NECESSARY condition: running with
+    # and without blocking-compatible lengths must agree with brute force
+    from bloomine_spark.operators.linkage import blocked_jw_pairs, jaro_winkler
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["alpha beta", "alpha betaz", "alpha", "alphabet soup kitchen",
+         "alpha bets", "alpha beta "]
+    )]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_jw_pairs(df, min_sim=0.9).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if jaro_winkler(rows[i]["text"], rows[j]["text"]) >= 0.9:
+                want.add((i, j))
+    assert got == want
+
+
+def test_blocked_jw_pairs_validation(spark):
+    from bloomine_spark.operators.linkage import blocked_jw_pairs
+
+    df = spark.createDataFrame(pd.DataFrame([{"doc_id": 1, "text": "x"}]))
+    with pytest.raises(ValueError, match="min_sim"):
+        blocked_jw_pairs(df, min_sim=0.0)
