@@ -1513,6 +1513,43 @@ def _q_jw_pairs_names(spark, sf_dir):
     )
 
 
+def _q_profile_lineitem(spark, sf_dir):
+    """Dataset profiling — the 'look before you train' pass a curation
+    run records beside its outputs: one row per (column, metric) with
+    non-null count, null fraction, exact distinct count, and numeric
+    min/max/mean. ALL statistics ride ONE aggregate over one scan
+    (then unpivot via stack); nothing is per-column-scanned."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.profiling import profile_table
+    from bloomine_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    )
+
+
+def _q_binned_price_orders(spark, sf_dir):
+    """Equal-frequency discretization of o_totalprice into 4 bins:
+    cut points are EXACT rank statistics (values at ranks
+    ceil(i·n/4), computed via range-partitioned sort + zipWithIndex —
+    never a single-partition global window), assignment is a codegen
+    CASE chain over the three edge literals. The oracle recomputes
+    the same ranks with a window and the same CASE."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.profiling import (
+        assign_bins,
+        equal_freq_bins,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = equal_freq_bins(orders, "o_totalprice", 4)
+    return assign_bins(
+        orders.select("o_orderkey", "o_totalprice"), "o_totalprice", edges
+    )
+
+
 def _web_url_expr():
     """Deterministic URL planting shared with the oracle: uppercase
     scheme/host, www, default/explicit ports, path depth, non-document
@@ -3291,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit_customers": _q_k_anonymity_audit_customers,
         "generalize_k_customers": _q_generalize_k_customers,
         "jw_pairs_names": _q_jw_pairs_names,
+        "profile_lineitem": _q_profile_lineitem,
+        "binned_price_orders": _q_binned_price_orders,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -6122,6 +6161,50 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b
           ON a.block_key = b.block_key AND a.nid < b.nid
         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
+    """
+
+    _prof_num = """
+        SELECT '{c}' AS column_name, 'n' AS metric,
+               CAST(COUNT({c}) AS DOUBLE) AS value FROM lineitem
+        UNION ALL SELECT '{c}', 'null_frac',
+               CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*) FROM lineitem
+        UNION ALL SELECT '{c}', 'n_distinct',
+               CAST(COUNT(DISTINCT {c}) AS DOUBLE) FROM lineitem
+    """
+    _prof_extra = """
+        UNION ALL SELECT '{c}', 'min', CAST(MIN({c}) AS DOUBLE) FROM lineitem
+        UNION ALL SELECT '{c}', 'max', CAST(MAX({c}) AS DOUBLE) FROM lineitem
+        UNION ALL SELECT '{c}', 'mean', AVG({c}) FROM lineitem
+    """
+    sql["profile_lineitem"] = " UNION ALL ".join(
+        (_prof_num + _prof_extra).format(c=c)
+        if c != "l_returnflag"
+        else _prof_num.format(c=c)
+        for c in ("l_orderkey", "l_quantity", "l_extendedprice",
+                  "l_returnflag")
+    )
+
+    sql["binned_price_orders"] = """
+        WITH v AS (
+          SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL
+        ), nn AS (SELECT COUNT(*) AS c FROM v),
+        r AS (
+          SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v
+        ), e AS MATERIALIZED (
+          SELECT i, r.v
+          FROM (VALUES (1), (2), (3)) AS t(i)
+          JOIN nn ON TRUE
+          JOIN r ON r.rn = (i * nn.c + 3) // 4
+        )
+        SELECT o_orderkey, o_totalprice,
+          CASE
+            WHEN o_totalprice IS NULL THEN -1
+            WHEN o_totalprice <= (SELECT v FROM e WHERE i = 1) THEN 0
+            WHEN o_totalprice <= (SELECT v FROM e WHERE i = 2) THEN 1
+            WHEN o_totalprice <= (SELECT v FROM e WHERE i = 3) THEN 2
+            ELSE 3
+          END AS bin
+        FROM orders
     """
 
     _URL_BUILD = """

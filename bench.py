@@ -429,6 +429,10 @@ def main():
         "generalize_k_customers",
         # r6 twelfth-session addition (excluded): blocked Jaro-Winkler
         "jw_pairs_names",
+        # r6 twelfth-session additions (excluded): one-pass profiling,
+        # exact equal-frequency binning
+        "profile_lineitem",
+        "binned_price_orders",
     ):
         if name in capture:
             def run(n=name):
@@ -567,6 +571,8 @@ def main():
         "q_k_anonymity_audit_customers",
         "q_generalize_k_customers",
         "q_jw_pairs_names",
+        "q_profile_lineitem",
+        "q_binned_price_orders",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -1,0 +1,143 @@
+"""Dataset profiling and feature discretization — the "look before you
+train" tier of a data pipeline: per-column statistics a curation run
+records beside its outputs (null rates, cardinalities, ranges,
+moments), and equal-frequency binning for feature columns.
+
+Profiling is ONE aggregate over the table — every per-column statistic
+rides the same groupBy-less pass (count/sum/min/max/approx or exact
+distinct), then unpivots to the long (column, metric) shape reports
+want. At 100 TB the plan is a single scan with partial aggregation;
+nothing is per-column-scanned.
+
+Binning follows the classic quantile discretization: cut points are
+exact rank statistics (deterministic — ``percentile_approx`` would not
+replay across engines), assignment is a broadcast range join
+expressed as a ``CASE`` over the bin edges so the assignment pass is
+pure codegen over one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table", "equal_freq_bins", "assign_bins"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-format profile: one row per (column, metric) with a DOUBLE
+    value — ``n`` (non-null count), ``null_frac``, ``n_distinct``,
+    and for numeric columns ``min`` / ``max`` / ``mean``. String/other
+    columns profile count/nulls/cardinality only (their min/max rows
+    are absent, keeping the value column uniformly numeric).
+
+    One scan: all statistics are columns of a single aggregate row,
+    unpivoted via ``stack``. ``exact_distinct=False`` swaps in
+    ``approx_count_distinct`` (the HLL path) for web-scale tables
+    where exact cardinality is itself a shuffle.
+    """
+    cols = columns or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in cols:
+        nn = F.count(F.col(c))
+        nd = (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            nn.cast("double").alias(f"{c}__n"),
+            ((total - nn) / total).cast("double").alias(f"{c}__null_frac"),
+            nd.cast("double").alias(f"{c}__n_distinct"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+                F.avg(F.col(c)).cast("double").alias(f"{c}__mean"),
+            ]
+    row = df.agg(*aggs)
+    pieces = []
+    for field in row.columns:
+        col_name, metric = field.rsplit("__", 1)
+        pieces.append(
+            f"'{col_name}', '{metric}', `{field}`"
+        )
+    n_triples = len(pieces)
+    return row.select(
+        F.expr(
+            f"stack({n_triples}, {', '.join(pieces)}) "
+            "AS (column_name, metric, value)"
+        )
+    )
+
+
+def equal_freq_bins(
+    df: DataFrame, value_col: str, n_bins: int
+) -> list[float]:
+    """Exact equal-frequency cut points: the ``n_bins - 1`` interior
+    boundaries are the values at ranks ``ceil(i * n / n_bins)``
+    (1-indexed), i.e. the largest value of each bin prefix — exact
+    rank statistics, not interpolated quantiles, so the edges are
+    values that EXIST in the data and replay identically in any
+    engine. One sort-free pass: a count + a window-free
+    ``TakeOrderedAndProject``-able rank filter (the rank relation is
+    (value, rank) — n rows, but only n_bins-1 survive the filter
+    before collect).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v")
+    )
+    n = vals.count()
+    if n == 0:
+        return []
+    targets = sorted(
+        {
+            -(-i * n // n_bins)  # ceil(i*n/n_bins), integer-exact
+            for i in range(1, n_bins)
+        }
+    )
+    # exact global rank WITHOUT a single-partition window: range-
+    # partitioned sort + zipWithIndex (the 2-pass partition-offset
+    # rank) — the one legitimate RDD drop-down, since a global
+    # Window.orderBy collapses to one task at scale
+    tset = {int(t) - 1 for t in targets}  # 0-indexed
+    hit = (
+        vals.sort("v")
+        .rdd.zipWithIndex()
+        .filter(lambda p: p[1] in tset)
+        .map(lambda p: (p[1], p[0]["v"]))
+        .collect()
+    )
+    return [float(v) for _, v in sorted(hit)]
+
+
+def assign_bins(
+    df: DataFrame, value_col: str, edges: list[float], out_col: str = "bin"
+) -> DataFrame:
+    """Assign each row its equal-frequency bin: bin i covers values
+    ≤ edges[i] (last bin unbounded), NULLs get bin -1. The edges are a
+    handful of literals, so the assignment compiles to one codegen
+    CASE chain — zero exchange, broadcast-free."""
+    expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        expr = F.when(
+            F.col(value_col) <= F.lit(float(edges[i])), F.lit(i)
+        ).otherwise(expr)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(expr),
+    )
