@@ -1513,6 +1513,40 @@ def _q_jw_pairs_names(spark, sf_dir):
     )
 
 
+def _q_phonetic_jw_pairs_names(spark, sf_dir):
+    """Phonetic blocking + Jaro-Winkler verify — the classic linkage
+    recipe (block on Soundex so spelling variants land together, then
+    score with JW): same planted 8-base/5-variant name relation as
+    jw_pairs_names, blocked on the NARA Soundex of the full name. The
+    oracle rebuilds the soundex chain from the operator's OWN letter
+    map constants (translate → sentinel drop → per-digit run collapse,
+    no backrefs — DuckDB's RE2 has none) and calls
+    jaro_winkler_similarity, so blocking AND scoring must both agree."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.linkage import (
+        blocked_jw_pairs,
+        soundex_key,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 200).alias("nid"))
+        .distinct()
+    )
+    base = F.element_at(
+        F.array([F.lit(x) for x in _JW_BASES]),
+        (F.col("nid") % 8).cast("int") + 1,
+    )
+    rel = ids.select("nid", base.alias("b")).select(
+        "nid", F.expr(_JW_NAME_CASE).alias("name")
+    )
+    return blocked_jw_pairs(
+        rel, id_col="nid", text_col="name",
+        block=soundex_key("name"), min_sim=0.88,
+    )
+
+
 def _q_profile_lineitem(spark, sf_dir):
     """Dataset profiling — the 'look before you train' pass a curation
     run records beside its outputs: one row per (column, metric) with
@@ -3330,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_pairs_names": _q_jw_pairs_names,
         "profile_lineitem": _q_profile_lineitem,
         "binned_price_orders": _q_binned_price_orders,
+        "phonetic_jw_pairs_names": _q_phonetic_jw_pairs_names,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -6144,6 +6179,47 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _jw_bases_sql = ", ".join(f"'{x}'" for x in _JW_BASES)
+
+    # DuckDB twin of linkage.soundex_key, composed from the SAME letter
+    # map constants; RE2 needs the explicit 'g' flag where Spark's
+    # regexp_replace is global by default
+    from bloomine_spark.operators.linkage import _SX_FROM, _SX_TO
+
+    def _sx_sql(col: str) -> str:
+        s1 = f"regexp_replace(upper({col}), '[^A-Z]', '', 'g')"
+        t = f"translate({s1}, '{_SX_FROM}', '{_SX_TO}')"
+        t = f"regexp_replace({t}, '7', '', 'g')"
+        for d in "0123456":
+            t = f"regexp_replace({t}, '{d}+', '{d}', 'g')"
+        tail = (
+            f"CASE WHEN substring({s1}, 1, 1) IN ('H', 'W') THEN {t} "
+            f"ELSE substring({t}, 2, 1000000) END"
+        )
+        digits = f"regexp_replace({tail}, '0', '', 'g')"
+        return (
+            f"CASE WHEN length({s1}) = 0 THEN NULL "
+            f"ELSE substring({s1}, 1, 1) || "
+            f"rpad(substring({digits}, 1, 3), 3, '0') END"
+        )
+
+    sql["phonetic_jw_pairs_names"] = f"""
+        WITH ids AS (SELECT DISTINCT doc_id % 200 AS nid FROM documents),
+        nm AS (
+          SELECT nid, {_JW_NAME_CASE} AS name
+          FROM (SELECT nid,
+                       ([{_jw_bases_sql}])[CAST(nid % 8 AS INT) + 1] AS b
+                FROM ids)
+        ), r AS MATERIALIZED (
+          SELECT nid, name, {_sx_sql('name')} AS block_key FROM nm
+          WHERE {_sx_sql('name')} IS NOT NULL
+            AND {_sx_sql('name')} <> ''
+        )
+        SELECT a.nid AS id_a, b.nid AS id_b, a.block_key,
+               jaro_winkler_similarity(a.name, b.name) AS jw
+        FROM r a JOIN r b
+          ON a.block_key = b.block_key AND a.nid < b.nid
+        WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
+    """
     sql["jw_pairs_names"] = f"""
         WITH ids AS (SELECT DISTINCT doc_id % 200 AS nid FROM documents),
         nm AS (

@@ -433,6 +433,8 @@ def main():
         # exact equal-frequency binning
         "profile_lineitem",
         "binned_price_orders",
+        # r6 twelfth-session addition (excluded): Soundex-blocked JW
+        "phonetic_jw_pairs_names",
     ):
         if name in capture:
             def run(n=name):
@@ -573,6 +575,7 @@ def main():
         "q_jw_pairs_names",
         "q_profile_lineitem",
         "q_binned_price_orders",
+        "q_phonetic_jw_pairs_names",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

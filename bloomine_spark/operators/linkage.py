@@ -44,6 +44,7 @@ __all__ = [
     "blocked_edit_pairs",
     "blocked_jw_pairs",
     "jaro_winkler",
+    "soundex_key",
     "resolve_entities",
 ]
 
@@ -208,6 +209,41 @@ def blocked_edit_pairs(
             dist.alias("dist"),
         )
         .filter(F.col("dist") >= 0)  # banded levenshtein: -1 = above band
+    )
+
+
+# American Soundex letter→code map (NARA): H/W get sentinel 7 so the
+# "same code separated by H or W collapses" rule falls out of removing
+# 7s BEFORE the run-collapse; vowels map to 0 (separators, removed last)
+_SX_FROM = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+_SX_TO = "11112222222233455600000077"
+
+
+def soundex_key(col: Column | str) -> Column:
+    """American Soundex (NARA variant, H/W-transparent) as a pure
+    codegen expression chain — shared formula with the DuckDB oracles:
+    translate to digit codes, drop the H/W sentinel, collapse digit
+    runs with per-digit ``d+`` replaces (NO backreferences — DuckDB's
+    RE2 has none, and keeping the patterns engine-portable is the
+    contract), drop the first letter's own code unless the name starts
+    with H/W (whose sentinel already vanished), strip vowel separators,
+    pad to letter+3. Non-letters are stripped first; an empty result →
+    NULL. Canonical vector (Robert R163, Ashcraft A261 — the H/W rule —
+    Tymczak T522, Pfister P236, Washington W252, Hubert H163) is
+    pytest-pinned."""
+    c = F.col(col) if isinstance(col, str) else col
+    s1 = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    t = F.translate(s1, _SX_FROM, _SX_TO)
+    t = F.regexp_replace(t, "7", "")
+    for d in "0123456":
+        t = F.regexp_replace(t, d + "+", d)
+    first = F.substring(s1, 1, 1)
+    tail = F.when(
+        first.isin("H", "W"), t
+    ).otherwise(F.substring(t, 2, 1_000_000))
+    digits = F.regexp_replace(tail, "0", "")
+    return F.when(F.length(s1) == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0"))
     )
 
 

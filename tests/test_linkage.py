@@ -228,3 +228,81 @@ def test_blocked_jw_pairs_validation(spark):
     df = spark.createDataFrame(pd.DataFrame([{"doc_id": 1, "text": "x"}]))
     with pytest.raises(ValueError, match="min_sim"):
         blocked_jw_pairs(df, min_sim=0.0)
+
+
+def _ref_soundex(name):
+    codes = {}
+    for grp, d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                   ("L", "4"), ("MN", "5"), ("R", "6"),
+                   ("AEIOUY", "0"), ("HW", "7")):
+        for ch in grp:
+            codes[ch] = d
+    s = [ch for ch in name.upper() if "A" <= ch <= "Z"]
+    if not s:
+        return None
+    digits = [codes[ch] for ch in s]
+    d2 = [d for d in digits if d != "7"]          # H/W transparent
+    collapsed = []
+    for d in d2:
+        if not collapsed or collapsed[-1] != d:
+            collapsed.append(d)
+    tail = collapsed if s[0] in "HW" else collapsed[1:]
+    tail = [d for d in tail if d != "0"]
+    return s[0] + "".join(tail[:3]).ljust(3, "0")
+
+
+def test_soundex_canonical_vector(spark):
+    from bloomine_spark.operators.linkage import soundex_key
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163",
+        "Ashcraft": "A261",     # the H/W-transparency rule (else A226)
+        "Ashcroft": "A261",
+        "Tymczak": "T522", "Pfister": "P236", "Jackson": "J250",
+        "Washington": "W252", "Hubert": "H163",
+        "margaret johnson": "M626",
+        "": None, "123": None,
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"name": list(cases)})
+    ).select("name", soundex_key("name").alias("sx"))
+    got = {r["name"]: r["sx"] for r in df.collect()}
+    for name, want in cases.items():
+        assert got[name] == want, name
+        if want is not None:
+            assert _ref_soundex(name) == want, name  # reference agrees
+
+
+def test_soundex_fuzz_vs_reference(spark):
+    import random
+
+    from bloomine_spark.operators.linkage import soundex_key
+
+    rng = random.Random(99)
+    alpha = "abcdefghijklmnopqrstuvwxyz '-"
+    names = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 15)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"name": names})).select(
+        "name", soundex_key("name").alias("sx")
+    )
+    for r in df.collect():
+        assert r["sx"] == _ref_soundex(r["name"]), repr(r["name"])
+
+
+def test_phonetic_blocking_catches_spelling_variants(spark):
+    from bloomine_spark.operators.linkage import blocked_jw_pairs, soundex_key
+
+    rows = [
+        {"doc_id": 1, "text": "jonathan smithers"},
+        {"doc_id": 2, "text": "jonathon smythers"},  # vowel respellings
+        {"doc_id": 3, "text": "bartholomew quist"},
+    ]
+    out = blocked_jw_pairs(
+        spark.createDataFrame(pd.DataFrame(rows)),
+        block=soundex_key("text"), min_sim=0.85,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got   # same soundex block despite 3 letter edits
+    assert all(3 not in p for p in got)
