@@ -720,3 +720,75 @@ def priority_sample_by_key_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    click_ts: str = "ts",
+    purchase_ts: str = "ts",
+    horizon: str = "2 days",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    the batch as-of attribution (``asof_click_attribution``): every
+    purchase pairs with the same user's clicks inside the attribution
+    horizon (``click_ts <= purchase_ts <= click_ts + horizon``,
+    inclusive both ends like the batch as-of's ``<=``).
+
+    Emits CANDIDATE pairs, not the per-purchase argmax: a second
+    stateful argmax after a stream-stream join is where streaming
+    semantics get murky (the winning click is only knowable once the
+    join watermark closes the purchase's window), so the operator
+    keeps the join's append-mode contract and leaves last-touch
+    selection to the consumer — one ordinary batch window over the
+    sink, or the batch asof operator on the joined table. The
+    stream==batch equality test pins the candidate-pair contract.
+
+    State is bounded by design: both sides carry event-time watermarks
+    and the join condition is a closed time range, so Spark evicts
+    click state older than ``watermark + horizon`` and purchase state
+    older than ``watermark`` — the crawl-scale posture (state ∝ traffic
+    inside one horizon, not history).
+
+    Output: (key, purchase_ts, purchase_value, click_ts) — inner join
+    (purchases with no horizon click produce nothing; count them by
+    anti-joining the sink against the purchase log in batch).
+    """
+    if isinstance(clicks.schema[click_ts].dataType, T.TimestampNTZType):
+        clicks = clicks.withColumn(click_ts, F.col(click_ts).cast("timestamp"))
+    if isinstance(
+        purchases.schema[purchase_ts].dataType, T.TimestampNTZType
+    ):
+        purchases = purchases.withColumn(
+            purchase_ts, F.col(purchase_ts).cast("timestamp")
+        )
+    c = (
+        clicks.withWatermark(click_ts, watermark)
+        .select(
+            F.col(key_col).alias("c_key"),
+            F.col(click_ts).alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark(purchase_ts, watermark)
+        .select(
+            F.col(key_col).alias(key_col),
+            F.col(purchase_ts).alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col(key_col) == F.col("c_key"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    )
+    return joined.select(
+        key_col, "purchase_ts", "purchase_value", "click_ts"
+    )

@@ -1072,3 +1072,70 @@ def test_streaming_priority_sample_matches_batch(spark, tmp_path):
         assert got["est_weight"].tolist() == pytest.approx(
             w["est_weight"].tolist()
         )
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join: the candidate
+    (purchase, click) pair set over the whole stream must EQUAL the
+    batch interval join on the same logs — including pairs whose click
+    and purchase arrive in DIFFERENT triggers (join state carries the
+    click across microbatches until watermark + horizon)."""
+    import datetime as dt
+
+    from bloomine_spark.streaming.stream_ops import attribution_stream
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = [
+        {"user_id": "u1", "ts": ts(0), "value": 0.0},
+        {"user_id": "u1", "ts": ts(50), "value": 0.0},
+        {"user_id": "u2", "ts": ts(10), "value": 0.0},
+        {"user_id": "u3", "ts": ts(500), "value": 0.0},  # after u3's buy
+    ]
+    purchases = [
+        {"user_id": "u1", "ts": ts(60), "value": 9.5},   # both u1 clicks
+        {"user_id": "u2", "ts": ts(300), "value": 3.25}, # u2 click in horizon
+        {"user_id": "u3", "ts": ts(30), "value": 7.0},   # no prior click
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(pd.DataFrame(clicks)).repartition(3).write.parquet(cdir)
+    spark.createDataFrame(pd.DataFrame(purchases)).repartition(3).write.parquet(pdir)
+
+    cb, pb = spark.read.parquet(cdir), spark.read.parquet(pdir)
+    want = {
+        (r["user_id"], r["purchase_ts"], r["click_ts"])
+        for r in attribution_stream(cb, pb, horizon="6 hours").collect()
+    }
+    # batch sanity: u1 pairs with both clicks, u2 with one, u3 with none
+    assert len([p for p in want if p[0] == "u1"]) == 2
+    assert len([p for p in want if p[0] == "u2"]) == 1
+    assert not [p for p in want if p[0] == "u3"]
+
+    cs = (
+        spark.readStream.schema(cb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(cdir)
+    )
+    ps = (
+        spark.readStream.schema(pb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(pdir)
+    )
+    out = attribution_stream(cs, ps, horizon="6 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attrck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT DISTINCT user_id, purchase_ts, click_ts FROM attrib_pairs"
+    ).collect()
+    got_pairs = {(r["user_id"], r["purchase_ts"], r["click_ts"]) for r in got}
+    assert got_pairs == want
