@@ -147,7 +147,14 @@ def main() -> None:
                     "per-domain document-frequency rule — template text "
                     "has no canonical survivor, unlike --line-dedup); "
                     "runs before --line-dedup; docs left empty drop")
-    ap.add_argument("--input-format", choices=("parquet", "warc", "jsonl"),
+    ap.add_argument("--output-format", choices=("parquet", "orc"),
+                    default="parquet",
+                    help="storage format of the curated table (ORC is "
+                    "the other columnar lakehouse format Spark writes "
+                    "natively — same partitionBy(source) layout); "
+                    "intermediate stage tables stay parquet")
+    ap.add_argument("--input-format",
+                    choices=("parquet", "orc", "warc", "jsonl"),
                     default="parquet",
                     help="'warc' reads raw crawl segments (*.warc / "
                     "*.warc.gz incl. the CommonCrawl member-per-record "
@@ -202,6 +209,7 @@ def main() -> None:
         "html_max_link_density": args.html_max_link_density,
         "line_dedup": bool(args.line_dedup),
         "boilerplate_frac": args.boilerplate_frac,
+        "output_format": args.output_format,
     }
 
     if args.input_format == "warc":
@@ -257,6 +265,8 @@ def main() -> None:
             docs = docs.withColumn(
                 "doc_id", F.xxhash64("text", "source")
             ).dropDuplicates(["doc_id"])
+    elif args.input_format == "orc":
+        docs = spark.read.orc(args.input)
     else:
         docs = spark.read.parquet(args.input)
     if args.sample is not None:
@@ -492,10 +502,17 @@ def main() -> None:
 
         deduped = hash_split(deduped, "doc_id")
 
-    deduped.write.mode("overwrite").partitionBy("source").parquet(
-        f"{run_dir}/curated"
+    (
+        deduped.write.mode("overwrite")
+        .partitionBy("source")
+        .format(args.output_format)
+        .save(f"{run_dir}/curated")
     )
-    n = spark.read.parquet(f"{run_dir}/curated").count()
+    n = (
+        spark.read.format(args.output_format)
+        .load(f"{run_dir}/curated")
+        .count()
+    )
     print(f"curated docs: {n}")
 
     if args.pack is not None:
@@ -511,7 +528,9 @@ def main() -> None:
         from bloomine_spark.operators.packing import pack_context_windows
 
         def _batches():
-            d = spark.read.parquet(f"{run_dir}/curated")
+            d = spark.read.format(args.output_format).load(
+                f"{run_dir}/curated"
+            )
             if args.split:
                 d = d.filter(F.col("split") == "train")
             d = d.select(

@@ -535,3 +535,31 @@ def test_run_curate_cli_boilerplate_frac(spark, tmp_path):
     for d in (10, 11, 12):
         assert "copyright footer line" not in by_id[d]
     assert "copyright footer line" in by_id[20]  # per-source scoping
+
+def test_run_curate_cli_orc_roundtrip(spark, tmp_path):
+    # ORC in -> curate -> ORC out: format coverage for the other native
+    # columnar lakehouse format; content must match the parquet run
+    rows = [
+        {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s0"},
+        {"doc_id": 2, "text": GOOD.replace("fox", "hare"),
+         "lang": "en", "source": "s0"},
+        {"doc_id": 3, "text": GOOD, "lang": "en", "source": "s1"},  # dup
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["text"].str.len()
+    inp = str(tmp_path / "docs_orc")
+    spark.createDataFrame(pdf).write.orc(inp)
+    out = str(tmp_path / "cur_orc")
+    argv = [
+        sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+        "--input", inp, "--output", out, "--run-id", "o0",
+        "--quality-min", "0.2", "--top2-max", "0.4", "--min-tokens", "5",
+        "--input-format", "orc", "--output-format", "orc",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(argv, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    cur = spark.read.orc(f"{out}/o0/curated").toPandas()
+    assert set(cur["doc_id"]) == {1, 2}   # dup 3 dropped, both goods kept
+    assert set(cur["source"]) == {"s0"}   # partition column survives
