@@ -1547,6 +1547,28 @@ def _q_phonetic_jw_pairs_names(spark, sf_dir):
     )
 
 
+def _q_tfidf_cosine_topk_per_source(spark, sf_dir):
+    """SMART lnc.ltc TF-IDF cosine retrieval (Salton & Buckley 1988) —
+    the vector-space ranker completing the lexical trio beside BM25 and
+    Dirichlet QL, same query {fast, table, scan}: doc vectors log-tf
+    cosine-normalized over their FULL vocabulary (the one corpus-wide
+    (doc,term) aggregate cosine genuinely needs, collapsed to a per-doc
+    scalar), query vector log-tf·ln(N/df) normalized once."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.retrieval import (
+        tfidf_cosine_topk_per_source,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    out = tfidf_cosine_topk_per_source(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY, k=5
+    )
+    return out.select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        "score", "rank",
+    )
+
+
 def _q_profile_lineitem(spark, sf_dir):
     """Dataset profiling — the 'look before you train' pass a curation
     run records beside its outputs: one row per (column, metric) with
@@ -3365,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": _q_profile_lineitem,
         "binned_price_orders": _q_binned_price_orders,
         "phonetic_jw_pairs_names": _q_phonetic_jw_pairs_names,
+        "tfidf_cosine_topk_per_source": _q_tfidf_cosine_topk_per_source,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -4637,6 +4660,52 @@ def oracle_sql() -> dict[str, str]:
                         + 0.75 * dl / (sum_dl / n_docs)))
                  ), 6) AS score
           FROM tf JOIN dft USING (t) CROSS JOIN st
+          GROUP BY 1, 2
+        ), rk AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rank
+          FROM sc
+        )
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id, score,
+               CAST(rank AS BIGINT) AS rank
+        FROM rk WHERE rank <= 5
+    """
+
+    # lnc.ltc cosine: same relations in the same expression order —
+    # full-vocab per-doc norms, query-term tf joined to norms, idf and
+    # query norm as scalar subqueries, round(.,6) before the rank
+    sql["tfidf_cosine_topk_per_source"] = f"""
+        WITH b2 AS (
+          SELECT source, doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), tfa AS MATERIALIZED (
+          SELECT source, doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT source, doc_id, unnest(w) AS t FROM b2)
+          GROUP BY 1, 2, 3
+        ), nrm AS (
+          SELECT source, doc_id,
+                 sqrt(SUM((1.0 + ln(tf)) * (1.0 + ln(tf)))) AS dnorm
+          FROM tfa GROUP BY 1, 2
+        ), st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM b2
+        ), tfq AS (
+          SELECT * FROM tfa WHERE t IN ({_bm25_terms})
+        ), idf AS MATERIALIZED (
+          SELECT t, ln(CAST((SELECT n_docs FROM st) AS DOUBLE) / df) AS idf
+          FROM (SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tfq GROUP BY t)
+        ), qn AS (
+          SELECT sqrt(SUM(idf * idf)) AS qnorm FROM idf
+        ), sc AS (
+          SELECT tfq.source, tfq.doc_id,
+                 ROUND(SUM(
+                   (1.0 + ln(tfq.tf)) / nrm.dnorm
+                   * idf.idf / (SELECT qnorm FROM qn)
+                 ), 6) AS score
+          FROM tfq JOIN idf USING (t)
+          JOIN nrm ON nrm.source = tfq.source AND nrm.doc_id = tfq.doc_id
           GROUP BY 1, 2
         ), rk AS (
           SELECT *, ROW_NUMBER() OVER (

@@ -435,6 +435,8 @@ def main():
         "binned_price_orders",
         # r6 twelfth-session addition (excluded): Soundex-blocked JW
         "phonetic_jw_pairs_names",
+        # r6 twelfth-session addition (excluded): lnc.ltc TF-IDF cosine
+        "tfidf_cosine_topk_per_source",
     ):
         if name in capture:
             def run(n=name):
@@ -576,6 +578,7 @@ def main():
         "q_profile_lineitem",
         "q_binned_price_orders",
         "q_phonetic_jw_pairs_names",
+        "q_tfidf_cosine_topk_per_source",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bm25_topk_per_source",
+    "tfidf_cosine_topk_per_source",
     "ql_dirichlet_topk_per_source",
     "phrase_search",
 ]
@@ -276,4 +277,85 @@ def phrase_search(
     return hits.groupBy("phrase", "doc_id").agg(
         F.count("*").alias("n_occurrences"),
         F.min("start").alias("first_pos"),
+    )
+
+
+def tfidf_cosine_topk_per_source(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Top-``k`` SMART lnc.ltc TF-IDF cosine hits per source (Salton &
+    Buckley 1988; the vector-space ranker beside BM25 and Dirichlet QL):
+    document vectors are log-tf with NO idf, cosine-normalized over the
+    document's FULL vocabulary; the query vector is log-tf·idf with
+    ``idf = ln(N/df)``, normalized once. Query terms absent from the
+    corpus drop out of the query vector (df=0 has no idf), the standard
+    convention.
+
+    ``score(d,q) = Σ_{t∈q∩d} (1+ln tf_{t,d})/‖d‖ · idf_t/‖q‖``
+
+    Honest cost note vs BM25: cosine needs ``‖d‖`` over every term of
+    every doc, so ONE corpus-wide (doc, term) count aggregate is
+    unavoidable — but it collapses immediately to a per-doc scalar
+    (narrow (doc, double) relation), and everything query-dependent
+    stays |terms|-bounded: matched tf joins the norm relation on the
+    doc key, df/N/query-norm are broadcast scalars. Ranking orders by
+    ``round(score, 6)`` with doc_id tie-break (the dsir.py portability
+    convention).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct (qtf folds in)")
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        words.alias("_w"),
+    )
+    tf_all = (
+        base.select("source", "doc_id", F.explode("_w").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "doc_id", "t")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    wgt = F.lit(1.0) + F.log("tf")
+    norms = tf_all.groupBy("source", "doc_id").agg(
+        F.sqrt(F.sum(wgt * wgt)).alias("dnorm")
+    )
+    stats = base.agg(F.count("*").cast("long").alias("n_docs"))
+    tf_q = tf_all.filter(F.col("t").isin(*query_terms))
+    df_t = tf_q.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "t", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    qnorm = idf.agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("qnorm")
+    )
+    scored = (
+        tf_q.join(F.broadcast(idf), "t")
+        .join(norms, ["source", "doc_id"])
+        .crossJoin(F.broadcast(qnorm))
+        .groupBy("source", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.lit(1.0) + F.log("tf")) / F.col("dnorm")
+                    * F.col("idf") / F.col("qnorm")
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.col("doc_id").cast("string")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
     )

@@ -92,3 +92,84 @@ def test_rarer_term_scores_higher(spark):
 def test_empty_query_rejected(spark):
     with pytest.raises(ValueError):
         bm25_topk_per_source(_df(spark, [("a", "s", "x")]), [])
+
+
+def _ref_tfidf(rows, terms):
+    """Independent lnc.ltc reference."""
+    docs = {d: [x for x in t.split(" ") if x] for d, _, t in rows}
+    n = len(docs)
+    df = Counter()
+    for w in docs.values():
+        for t in set(w) & set(terms):
+            df[t] += 1
+    idf = {t: math.log(n / df[t]) for t in terms if df[t] > 0}
+    qnorm = math.sqrt(sum(v * v for v in idf.values()))
+    out = {}
+    for d, w in docs.items():
+        tf = Counter(w)
+        dnorm = math.sqrt(
+            sum((1 + math.log(f)) ** 2 for f in tf.values())
+        )
+        s = sum(
+            (1 + math.log(tf[t])) / dnorm * idf[t] / qnorm
+            for t in idf
+            if tf[t] > 0
+        )
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_tfidf_cosine_matches_reference(spark):
+    from bloomine_spark.operators.retrieval import (
+        tfidf_cosine_topk_per_source,
+    )
+
+    rng = random.Random(5)
+    vocab = ["fast", "table", "scan", "slow", "index", "row", "page"]
+    rows = [
+        (
+            str(i),
+            f"s{i % 2}",
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))),
+        )
+        for i in range(40)
+    ]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in tfidf_cosine_topk_per_source(
+            _df(spark, rows), ["fast", "table", "scan"], k=40
+        ).collect()
+    }
+    want = _ref_tfidf(rows, ["fast", "table", "scan"])
+    top = dict(
+        sorted(want.items(), key=lambda kv: -kv[1])
+    )
+    for d, s in got.items():
+        assert s == pytest.approx(top[d], abs=1e-6), d
+
+
+def test_tfidf_cosine_properties(spark):
+    from bloomine_spark.operators.retrieval import (
+        tfidf_cosine_topk_per_source,
+    )
+
+    rows = [
+        # doc 1 is ONLY query terms -> cosine 1-ish territory (max norm
+        # alignment); doc 2 buries one query term in off-terms -> lower
+        ("1", "s", "fast table scan"),
+        ("2", "s", "fast row row row row row row row row"),
+        ("3", "s", "row page index"),
+        # absent query term must drop out, not error
+    ]
+    out = tfidf_cosine_topk_per_source(
+        _df(spark, rows), ["fast", "table", "scan", "zzznone"], k=5
+    ).collect()
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in out}
+    assert set(got) == {"1", "2"}        # doc 3 shares no term
+    assert got["1"][0] > got["2"][0]
+    assert got["1"][1] == 1
+    with pytest.raises(ValueError, match="distinct"):
+        tfidf_cosine_topk_per_source(_df(spark, rows), ["a", "a"])
+    with pytest.raises(ValueError, match="non-empty"):
+        tfidf_cosine_topk_per_source(_df(spark, rows), [])
