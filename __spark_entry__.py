@@ -1569,6 +1569,44 @@ def _q_tfidf_cosine_topk_per_source(spark, sf_dir):
     )
 
 
+def _q_incremental_screen_docs(spark, sf_dir):
+    """Incremental dedup — the continuously-updated-corpus posture: a
+    curated corpus (doc_id%3 != 0, formula texts with planted repeat
+    groups) is indexed ONCE (exact fingerprints + MinHash bands +
+    signatures persisted), then a new batch (doc_id%3 == 0) screens
+    against the index without re-reading corpus text. Exact-only mode
+    here so the whole screen is oracle-replayable (the near path is
+    estimator-based and pytest-gated); matched_id is the corpus
+    fingerprint group's canonical min id."""
+    _ship_pkg(spark)
+    import hashlib
+    import tempfile
+
+    from bloomine_spark.operators.dedup import (
+        build_dedup_index,
+        screen_against_index,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    corpus = docs.filter(d % 3 != 0).select(
+        "doc_id",
+        F.concat(F.lit("content "), (d % 50).cast("string")).alias("text"),
+    )
+    batch = docs.filter(d % 3 == 0).select(
+        "doc_id",
+        F.concat(F.lit("content "), (d % 75).cast("string")).alias("text"),
+    )
+    idx = (
+        tempfile.gettempdir()
+        + "/bloomine_dedup_idx_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    build_dedup_index(corpus, idx)
+    return screen_against_index(batch, idx, threshold=None)
+
+
 def _q_profile_lineitem(spark, sf_dir):
     """Dataset profiling — the 'look before you train' pass a curation
     run records beside its outputs: one row per (column, metric) with
@@ -3388,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_price_orders": _q_binned_price_orders,
         "phonetic_jw_pairs_names": _q_phonetic_jw_pairs_names,
         "tfidf_cosine_topk_per_source": _q_tfidf_cosine_topk_per_source,
+        "incremental_screen_docs": _q_incremental_screen_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -6306,6 +6345,25 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b
           ON a.block_key = b.block_key AND a.nid < b.nid
         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
+    """
+
+    sql["incremental_screen_docs"] = """
+        WITH corpus AS (
+          SELECT doc_id, 'content ' || CAST(doc_id % 50 AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 3 <> 0
+        ), grp AS (
+          SELECT text, MIN(doc_id) AS canonical_id FROM corpus GROUP BY text
+        ), batch AS (
+          SELECT doc_id, 'content ' || CAST(doc_id % 75 AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT b.doc_id,
+               g.canonical_id IS NULL AS keep,
+               CASE WHEN g.canonical_id IS NOT NULL THEN 'exact' END
+                 AS reason,
+               g.canonical_id AS matched_id,
+               CAST(NULL AS DOUBLE) AS est_jaccard
+        FROM batch b LEFT JOIN grp g ON g.text = b.text
     """
 
     _prof_num = """

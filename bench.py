@@ -437,6 +437,9 @@ def main():
         "phonetic_jw_pairs_names",
         # r6 twelfth-session addition (excluded): lnc.ltc TF-IDF cosine
         "tfidf_cosine_topk_per_source",
+        # r6 twelfth-session addition (excluded): incremental dedup
+        # screen against a persisted corpus index
+        "incremental_screen_docs",
     ):
         if name in capture:
             def run(n=name):
@@ -579,6 +582,7 @@ def main():
         "q_binned_price_orders",
         "q_phonetic_jw_pairs_names",
         "q_tfidf_cosine_topk_per_source",
+        "q_incremental_screen_docs",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -1884,3 +1884,238 @@ def line_df_boilerplate(
         F.coalesce("text", F.lit("")).alias("text"),
         F.coalesce("_removed", F.lit(0)).cast("long").alias("n_lines_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: screen a new batch against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+def _dedup_index_manifest_sibling(path: str) -> str:
+    """HDFS/S3 location of the manifest for an index at ``path``."""
+    return path.rstrip("/") + ".DEDUP_INDEX.d"
+
+
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> dict:
+    """Persist the dedup state of a curated corpus so FUTURE batches can
+    be screened against it without re-reading the corpus text — the
+    incremental posture of a continuously-updated training set (a 100 TB
+    corpus is deduped once; every ingest after that is a small batch vs
+    this index):
+
+    - ``fingerprints/``: one (fingerprint, canonical_id) row per
+      distinct md5(text) — exact-dup membership, corpus-dedup-sized.
+    - ``bands/``: (doc_id, band, bucket) MinHash band buckets — the
+      narrow relation new batches equi-join.
+    - ``signatures/``: (doc_id, signature) for estimator verification
+      of band candidates.
+    - ``_DEDUP_INDEX.json``: the shingle/permutation/banding parameters
+      (a screen MUST replay them exactly; mismatch fails fast). Local
+      write with the Hadoop-FS sibling fallback (the IVF centroids
+      pattern — rebuilds at remote paths delete-then-write).
+
+    Returns the manifest dict.
+    """
+    import json as _json
+    import posixpath
+
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"),
+                  F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"))
+        .write.mode("overwrite").parquet(path.rstrip("/") + "/fingerprints")
+    )
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    sig.write.mode("overwrite").parquet(path.rstrip("/") + "/signatures")
+    spark = df.sparkSession
+    banded = spark.read.parquet(path.rstrip("/") + "/signatures").select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    banded.write.mode("overwrite").parquet(path.rstrip("/") + "/bands")
+    manifest = {
+        "n": int(n), "num_perm": int(num_perm), "bands": int(bands),
+        "version": 1,
+    }
+    mpath = posixpath.join(path, "_DEDUP_INDEX.json")
+    sc = spark.sparkContext
+    try:
+        with open(mpath, "w") as fh:
+            _json.dump(manifest, fh)
+    except OSError:
+        sibling = _dedup_index_manifest_sibling(path)
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(sibling)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        sc.parallelize([_json.dumps(manifest)], 1).saveAsTextFile(sibling)
+    return manifest
+
+
+def _read_dedup_manifest(spark, path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "_DEDUP_INDEX.json")) as fh:
+            return _json.loads(fh.read())
+    except OSError:
+        return _json.loads(
+            "".join(
+                spark.sparkContext.textFile(
+                    _dedup_index_manifest_sibling(path)
+                ).collect()
+            )
+        )
+
+
+def screen_against_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = 0.7,
+) -> DataFrame:
+    """Screen a NEW batch against a :func:`build_dedup_index` corpus:
+    one row per input doc — ``keep`` (no corpus match), ``reason``
+    (``'exact'`` md5 identity beats ``'near'`` MinHash-estimate ≥
+    ``threshold``; NULL when kept), ``matched_id`` (the corpus
+    canonical for exact; the best-estimate/min-id corpus doc for near),
+    ``est_jaccard`` (near only). ``threshold=None`` disables the near
+    path (exact-only screen).
+
+    Batch-internal duplicates are out of scope by design — dedup the
+    batch with the existing operators first; this operator answers
+    "is it already in the corpus".
+
+    Plan shape: the exact probe is one narrow (fingerprint, id)
+    broadcast-or-shuffle join; the near probe explodes the BATCH into
+    (id, band, bucket) and equi-joins the index's band relation (the
+    corpus-scale side is never re-shingled, never re-read as text),
+    candidates dedup as bare id pairs before the signature arrays
+    attach. Docs shorter than the shingle width have no signature and
+    cannot near-match (kernel drops them) — exact still applies.
+    """
+    spark = df.sparkSession
+    manifest = _read_dedup_manifest(spark, path)
+    n, num_perm, bands = (
+        manifest["n"], manifest["num_perm"], manifest["bands"]
+    )
+    r = num_perm // bands
+    base = path.rstrip("/")
+    fps = spark.read.parquet(base + "/fingerprints")
+    exact = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.md5(F.col(text_col)).alias("fingerprint"))
+        .join(fps, "fingerprint")
+        .select("doc_id", F.col("canonical_id").alias("_ex_match"))
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(
+        exact, "doc_id", "left"
+    )
+    if threshold is None:
+        return out.select(
+            "doc_id",
+            F.col("_ex_match").isNull().alias("keep"),
+            F.when(F.col("_ex_match").isNotNull(), F.lit("exact"))
+            .alias("reason"),
+            F.col("_ex_match").alias("matched_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+    sig_new = minhash_signatures(df, text_col, id_col, n, num_perm).cache()
+    banded_new = sig_new.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    idx_bands = spark.read.parquet(base + "/bands")
+    cand = (
+        banded_new.alias("a")
+        .join(
+            idx_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    idx_sig = spark.read.parquet(base + "/signatures")
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+    near = (
+        cand.join(
+            sig_new.select(F.col("doc_id").alias("new_id"),
+                           F.col("signature").alias("sig_a")), "new_id")
+        .join(
+            idx_sig.select(F.col("doc_id").alias("corpus_id"),
+                           F.col("signature").alias("sig_b")), "corpus_id")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        # best match per new doc: highest estimate, min corpus id on
+        # ties (rank window — type-agnostic over string or numeric ids)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("new_id").orderBy(
+                    F.desc("est_jaccard"), F.col("corpus_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("est_jaccard").alias("_nr_est"),
+            F.col("corpus_id").alias("_nr_match"),
+        )
+    )
+    return (
+        out.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("_ex_match").isNull() & F.col("_nr_match").isNull())
+            .alias("keep"),
+            F.when(F.col("_ex_match").isNotNull(), F.lit("exact"))
+            .when(F.col("_nr_match").isNotNull(), F.lit("near"))
+            .alias("reason"),
+            F.coalesce("_ex_match", "_nr_match").alias("matched_id"),
+            F.when(F.col("_ex_match").isNull(), F.col("_nr_est"))
+            .alias("est_jaccard"),
+        )
+    )
