@@ -3300,6 +3300,32 @@ def _q_scd2_user_state(spark, sf_dir):
     return scd2_intervals(ev, value_col="state")
 
 
+def _q_scd2_apply_user_state(spark, sf_dir):
+    """Incremental SCD2 maintenance: the event log splits at 2024-01-16
+    into a base half (built into a type-2 table once) and a change
+    batch applied with scd2_apply_changes — closed intervals pass
+    through untouched, only affected keys' open rows re-enter the
+    windows. The oracle is the FULL-log SCD2 (identical SQL to
+    scd2_user_state): the maintenance invariant apply(intervals(log1),
+    log2) == intervals(log1+log2) is the gate itself."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.timeseries import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("event_type").alias("state")
+    )
+    pivot = F.lit("2024-01-16").cast("timestamp_ntz")
+    base = scd2_intervals(ev.filter(F.col("ts") < pivot),
+                          value_col="state")
+    return scd2_apply_changes(
+        base, ev.filter(F.col("ts") >= pivot), value_col="state"
+    )
+
+
 def _q_kcore_hosts(spark, sf_dir):
     """k-core decomposition (k=2) of the host graph by synchronous
     peeling — the crawl/social-graph denoiser; 8 fixed rounds reach the
@@ -3507,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value_7d": _q_rolling_user_value_7d,
         "ewma_user_value": _q_ewma_user_value,
         "scd2_user_state": _q_scd2_user_state,
+        "scd2_apply_user_state": _q_scd2_apply_user_state,
         "kcore_hosts": _q_kcore_hosts,
         "zorder_key_events": _q_zorder_key_events,
         "media_dhash_dups": _q_media_dhash_dups,
@@ -7816,6 +7843,11 @@ def oracle_sql() -> dict[str, str]:
                  IS NULL AS is_current
         FROM g
     """
+
+    # incremental SCD2: the oracle IS the full-log rebuild — the
+    # maintenance invariant apply(intervals(log1), log2) ==
+    # intervals(log1+log2) is what the hash gates
+    sql["scd2_apply_user_state"] = sql["scd2_user_state"]
 
     # k-core: 8 unrolled synchronous peels, every round MATERIALIZED
     # (each is referenced twice — the DuckDB CTE-inlining trap)

@@ -440,6 +440,8 @@ def main():
         # r6 twelfth-session addition (excluded): incremental dedup
         # screen against a persisted corpus index
         "incremental_screen_docs",
+        # r6 twelfth-session addition (excluded): incremental SCD2
+        "scd2_apply_user_state",
     ):
         if name in capture:
             def run(n=name):
@@ -583,6 +585,7 @@ def main():
         "q_phonetic_jw_pairs_names",
         "q_tfidf_cosine_topk_per_source",
         "q_incremental_screen_docs",
+        "q_scd2_apply_user_state",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -176,3 +176,77 @@ def scd2_intervals(
             "is_current",
         )
     )
+
+
+def scd2_apply_changes(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    validate: bool = True,
+) -> DataFrame:
+    """Incremental SCD2 maintenance — apply a new change batch to an
+    existing type-2 table WITHOUT recomputing history (the lakehouse
+    MERGE pattern for temporal tables): closed intervals are immutable
+    and pass through untouched; only the CURRENT row of each affected
+    key re-enters the window machinery, stitched with the batch's
+    events through :func:`scd2_intervals` (a batch value equal to the
+    open row's value extends the interval rather than splitting it —
+    the same consecutive-equal collapse as the batch operator).
+
+    Invariant (pytest-pinned): ``apply(intervals(log₁), log₂) ==
+    intervals(log₁ ∪ log₂)`` whenever every key's log₂ events are
+    strictly after its open interval's start. ``validate=True`` fails
+    fast on batch events at or before an affected key's
+    ``valid_from`` (late/conflicting data needs a history rebuild, not
+    a silent mis-stitch). New keys flow through the stitch with no
+    current row.
+
+    Scale shape: the change batch is small by assumption; affected
+    keys' open rows arrive via one semi-join, the stitch windows run
+    over (batch + one row per affected key), and the untouched table —
+    the 100 TB side — is a pure pass-through union with zero shuffle.
+    """
+    cur = current.select(
+        F.col(key).alias("key"), "value", "valid_from", "valid_to",
+        "is_current",
+    )
+    chg = changes.select(
+        F.col(key).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    affected = chg.select("key").distinct()
+    open_rows = cur.filter(F.col("is_current")).join(
+        affected, "key", "left_semi"
+    )
+    if validate:
+        n_late = (
+            chg.join(
+                open_rows.select("key", "valid_from"), "key"
+            )
+            .filter(F.col("ts") <= F.col("valid_from"))
+            .count()
+        )
+        if n_late:
+            raise ValueError(
+                f"{n_late} change event(s) at or before an affected "
+                "key's open valid_from — late/conflicting data requires "
+                "a history rebuild (scd2_intervals over the full log)"
+            )
+    untouched = cur.filter(~F.col("is_current")).unionByName(
+        cur.filter(F.col("is_current")).join(affected, "key", "left_anti")
+    )
+    stitched = scd2_intervals(
+        open_rows.select(
+            "key", F.col("valid_from").alias("ts"), "value"
+        ).unionByName(chg),
+        key="key",
+        ts_col="ts",
+        value_col="value",
+    ).select("key", "value", "valid_from", "valid_to", "is_current")
+    return untouched.unionByName(stitched).select(
+        F.col("key").alias(key), "value", "valid_from", "valid_to",
+        "is_current",
+    )

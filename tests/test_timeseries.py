@@ -3,6 +3,7 @@ smoothing, SCD2 interval construction — pandas/python replay parity."""
 
 import datetime as dt
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -116,3 +117,80 @@ def test_kcore_star_and_clique(spark):
     assert core4 == 0  # clique degree is 3 -> no 4-core
     with pytest.raises(ValueError):
         k_core(df, k=0)
+
+
+def test_scd2_apply_matches_full_rebuild(spark):
+    """The maintenance invariant: apply(intervals(log1), log2) ==
+    intervals(log1 + log2) when every key's log2 events come strictly
+    after its open interval start."""
+    import random
+
+    from bloomine_spark.operators.timeseries import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randint(1, 12)):
+            t += rng.randint(1, 5)
+            rows.append({"user_id": f"u{u}", "ts": t,
+                         "value": rng.choice(["a", "b", "c"])})
+    pivot = 15
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    old = df.filter(F.col("ts") < pivot)
+    new = df.filter(F.col("ts") >= pivot)
+    want = {tuple(r) for r in scd2_intervals(old.unionByName(df.filter(
+        F.col("ts") >= pivot))).collect()}
+    got = {tuple(r) for r in scd2_apply_changes(
+        scd2_intervals(old), new).collect()}
+    assert got == want
+
+
+def test_scd2_apply_untouched_new_key_extend(spark):
+    from bloomine_spark.operators.timeseries import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    old = spark.createDataFrame(pd.DataFrame([
+        {"user_id": "keep", "ts": 1, "value": "x"},
+        {"user_id": "keep", "ts": 5, "value": "y"},
+        {"user_id": "ext", "ts": 2, "value": "a"},
+    ]))
+    cur = scd2_intervals(old)
+    new = spark.createDataFrame(pd.DataFrame([
+        # same value -> the open interval EXTENDS (no new row)
+        {"user_id": "ext", "ts": 9, "value": "a"},
+        # then changes -> closes at 12
+        {"user_id": "ext", "ts": 12, "value": "b"},
+        # brand-new key
+        {"user_id": "fresh", "ts": 10, "value": "z"},
+    ]))
+    out = scd2_apply_changes(cur, new)
+    rows = {(r["user_id"], r["value"], r["valid_from"], r["valid_to"],
+             r["is_current"]) for r in out.collect()}
+    assert ("keep", "x", 1, 5, False) in rows      # untouched history
+    assert ("keep", "y", 5, None, True) in rows    # untouched current
+    assert ("ext", "a", 2, 12, False) in rows      # extended then closed
+    assert ("ext", "b", 12, None, True) in rows
+    assert ("fresh", "z", 10, None, True) in rows
+    assert len(rows) == 5
+
+
+def test_scd2_apply_validates_late_events(spark):
+    from bloomine_spark.operators.timeseries import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    cur = scd2_intervals(spark.createDataFrame(pd.DataFrame([
+        {"user_id": "u", "ts": 10, "value": "x"},
+    ])))
+    late = spark.createDataFrame(pd.DataFrame([
+        {"user_id": "u", "ts": 10, "value": "y"},  # AT valid_from: conflict
+    ]))
+    with pytest.raises(ValueError, match="history rebuild"):
+        scd2_apply_changes(cur, late)
