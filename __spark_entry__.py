@@ -1607,6 +1607,21 @@ def _q_incremental_screen_docs(spark, sf_dir):
     return screen_against_index(batch, idx, threshold=None)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Per-document overlapping token-window chunking (RAG/embedding
+    prep — the per-doc sibling of the cross-doc training packer):
+    32-token windows with 8-token overlap; the chunk set is closed-form
+    in n_tokens (tail chunks only when they extend past the previous
+    end), so the whole operator is one zero-exchange codegen explode
+    the oracle replays arithmetically."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.packing import chunk_token_windows
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_token_windows(docs, window=32, overlap=8)
+
+
 def _q_profile_lineitem(spark, sf_dir):
     """Dataset profiling — the 'look before you train' pass a curation
     run records beside its outputs: one row per (column, metric) with
@@ -3453,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_jw_pairs_names": _q_phonetic_jw_pairs_names,
         "tfidf_cosine_topk_per_source": _q_tfidf_cosine_topk_per_source,
         "incremental_screen_docs": _q_incremental_screen_docs,
+        "chunk_documents": _q_chunk_documents,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -6372,6 +6388,28 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b
           ON a.block_key = b.block_key AND a.nid < b.nid
         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
+    """
+
+    # chunking: same closed-form chunk-count arithmetic (stride 24,
+    # window 32), list_slice replay of the token windows
+    sql["chunk_documents"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ), sz AS (
+          SELECT doc_id, w, len(w) AS n,
+                 CASE WHEN len(w) > 32
+                      THEN 1 + CAST(ceil((len(w) - 32) / 24.0) AS INT)
+                      ELSE 1 END AS k
+          FROM t WHERE len(w) > 0
+        )
+        SELECT doc_id, u.i AS chunk_id,
+               u.i * 24 AS start_tok,
+               CAST(least(32, n - u.i * 24) AS INT) AS n_tokens,
+               array_to_string(w[u.i * 24 + 1 : u.i * 24 + 32], ' ')
+                 AS text
+        FROM sz, unnest(range(0, k)) AS u(i)
     """
 
     sql["incremental_screen_docs"] = """

@@ -442,6 +442,8 @@ def main():
         "incremental_screen_docs",
         # r6 twelfth-session addition (excluded): incremental SCD2
         "scd2_apply_user_state",
+        # r6 twelfth-session addition (excluded): RAG chunking
+        "chunk_documents",
     ):
         if name in capture:
             def run(n=name):
@@ -586,6 +588,7 @@ def main():
         "q_tfidf_cosine_topk_per_source",
         "q_incremental_screen_docs",
         "q_scd2_apply_user_state",
+        "q_chunk_documents",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bestfit_pack", "hash_split", "pack_context_windows"]
+__all__ = ["bestfit_pack", "chunk_token_windows", "hash_split", "pack_context_windows"]
 
 
 def pack_context_windows(
@@ -280,3 +280,74 @@ def bestfit_pack(
         return pd.DataFrame(rows)
 
     return base.groupBy("_g", "_seg").applyInPandas(kernel, schema=schema)
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    window: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document overlapping token-window chunking — the
+    RAG/embedding prep step (each chunk embeds independently; the
+    overlap keeps boundary context), the per-doc sibling of
+    :func:`pack_context_windows` (which concatenates ACROSS docs for
+    training batches).
+
+    Chunk k covers tokens ``[k·stride, k·stride + window)`` with
+    ``stride = window − overlap``; a tail chunk is emitted only when it
+    extends past the previous chunk's end (a tail fully contained in
+    its predecessor would be a duplicate). The chunk set is closed-form
+    in ``n_tokens`` — no sequential fill — so the whole operator is one
+    zero-exchange codegen explode and the DuckDB oracle replays it from
+    the same arithmetic. Docs with no tokens emit no chunks.
+
+    Returns (id, chunk_id, start_tok, n_tokens, text).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not 0 <= overlap < window:
+        raise ValueError("overlap must be in [0, window)")
+    stride = window - overlap
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    n = F.size(words)
+    # number of chunks: 1 + ceil((n - window)/stride) when n > window
+    n_chunks = F.when(
+        n > window,
+        F.lit(1) + F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int"),
+    ).otherwise(F.lit(1))
+    out = (
+        docs.select(
+            F.col(id_col),
+            words.alias("_w"),
+            n.alias("_n"),
+            n_chunks.alias("_k"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_w",
+            "_n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_k") - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.least(
+                F.lit(window), F.col("_n") - F.col("chunk_id") * stride
+            ).cast("int").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_w", F.col("chunk_id") * stride + 1, F.lit(window)
+                ),
+            ).alias("text"),
+        )
+    )
+    return out

@@ -107,3 +107,73 @@ def test_segmenting_bounds_kernel_and_keeps_everything(spark):
         ).collect()
     }
     assert len(segs) == 5  # ceil(500/100) md5 segments actually used
+
+
+def test_chunk_token_windows_shapes(spark):
+    import pandas as pd
+
+    from bloomine_spark.operators.packing import chunk_token_windows
+
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(10))},  # n=10
+        {"doc_id": 2, "text": " ".join(f"w{i}" for i in range(13))},  # n=13
+        {"doc_id": 3, "text": "a b"},                                  # n=2
+        {"doc_id": 4, "text": ""},                                     # none
+    ]))
+    out = chunk_token_windows(docs, window=8, overlap=3)  # stride 5
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # n=10 > 8: K = 1 + ceil(2/5) = 2 chunks at starts 0, 5
+    assert {(k[0], k[1]) for k in rows if k[0] == 1} == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["text"].split() == [f"w{i}" for i in range(8)]
+    assert rows[(1, 1)]["start_tok"] == 5
+    assert rows[(1, 1)]["n_tokens"] == 5
+    assert rows[(1, 1)]["text"].split() == [f"w{i}" for i in range(5, 10)]
+    # n=13: K = 1 + ceil(5/5) = 2 -> starts 0, 5; chunk1 covers 5..12
+    assert {(k[0], k[1]) for k in rows if k[0] == 2} == {(2, 0), (2, 1)}
+    assert rows[(2, 1)]["n_tokens"] == 8
+    # a tail fully contained in its predecessor never appears: every
+    # chunk after the first extends past the previous end
+    for (d, c), r in rows.items():
+        if c > 0:
+            prev_end = rows[(d, c - 1)]["start_tok"] + rows[(d, c - 1)]["n_tokens"]
+            assert r["start_tok"] + r["n_tokens"] > prev_end
+    # short doc: one whole-doc chunk; empty doc: no chunks
+    assert rows[(3, 0)]["n_tokens"] == 2
+    assert not [k for k in rows if k[0] == 4]
+
+
+def test_chunk_token_windows_coverage_and_overlap(spark):
+    import pandas as pd
+
+    from bloomine_spark.operators.packing import chunk_token_windows
+
+    n = 103
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 9, "text": " ".join(f"t{i}" for i in range(n))},
+    ]))
+    out = chunk_token_windows(docs, window=32, overlap=8).collect()
+    covered = set()
+    for r in out:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(n))  # every token in some chunk
+    # consecutive chunks overlap by exactly `overlap` except the tail
+    starts = sorted(r["start_tok"] for r in out)
+    assert all(b - a == 24 for a, b in zip(starts, starts[1:]))
+
+
+def test_chunk_token_windows_validation_and_plan(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from bloomine_spark.operators.packing import chunk_token_windows
+
+    docs = spark.createDataFrame(pd.DataFrame([{"doc_id": 1, "text": "a"}]))
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_token_windows(docs, window=8, overlap=8)
+    with _pytest.raises(ValueError, match="window"):
+        chunk_token_windows(docs, window=0)
+    plan = (
+        chunk_token_windows(docs)._jdf.queryExecution().executedPlan()
+        .toString()
+    ).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan  # zero-exchange codegen explode
