@@ -1324,6 +1324,56 @@ def _q_robots_filter_docs(spark, sf_dir):
     return robots_allowed(urls, rules, "trainbot")
 
 
+def _q_politeness_schedule_urls(spark, sf_dir):
+    """Frontier politeness planning: planted robots texts carry
+    Crawl-delay directives (hosts r%4==0 give agent 'trainbot' its own
+    5s group SHADOWING a '*' 2s group; r%4==1 only '*: ' 2+r%3; r%4==2
+    a non-numeric value that must drop; r%4==3 no directive →
+    default) parsed by robots_crawl_delays, then each host's URLs
+    serialize into slots with fetch_at_s = slot × delay. The oracle
+    derives delays from the planting formulas — parse AND schedule
+    must both be right."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.robots import (
+        politeness_schedule,
+        robots_crawl_delays,
+    )
+    from bloomine_spark.sources.tables import load_table
+
+    r = F.col("id")
+    robots_txt = (
+        F.when(
+            r % 4 == 0,
+            F.lit("User-agent: trainbot\nCrawl-delay: 5\n\n"
+                  "User-agent: *\nCrawl-delay: 2\n"),
+        )
+        .when(
+            r % 4 == 1,
+            F.concat(F.lit("User-agent: *\nCrawl-delay: "),
+                     (2 + r % 3).cast("string"), F.lit("\n")),
+        )
+        .when(r % 4 == 2,
+              F.lit("User-agent: *\nCrawl-delay: soon\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /tmp\n"))
+    )
+    hosts = spark.range(20).select(
+        F.concat(F.lit("h"), r.cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        robots_txt.alias("robots_txt"),
+    )
+    delays = robots_crawl_delays(hosts, "trainbot")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 20).cast("string"),
+            F.lit(".example.com/p/"), d.cast("string"),
+        ).alias("url")
+    )
+    return politeness_schedule(urls, delays, default_delay=1.0)
+
+
 def _q_sitemap_entries_docs(spark, sf_dir):
     """Sitemap parse (sitemaps.org): each doc plants a urlset of two
     <url> blocks (second without lastmod) — or, on %7, a <sitemapindex>
@@ -3457,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_extract_docs": _q_html_main_extract_docs,
         "html_meta_docs": _q_html_meta_docs,
         "robots_filter_docs": _q_robots_filter_docs,
+        "politeness_schedule_urls": _q_politeness_schedule_urls,
         "sitemap_entries_docs": _q_sitemap_entries_docs,
         "line_dedup_docs": _q_line_dedup_docs,
         "boilerplate_line_df_docs": _q_boilerplate_line_df_docs,
@@ -6388,6 +6439,34 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b
           ON a.block_key = b.block_key AND a.nid < b.nid
         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
+    """
+
+    # politeness: delays derived from the planting formulas (trainbot
+    # group shadows '*', non-numeric drops to the default), slots from
+    # the same per-host url-order window
+    sql["politeness_schedule_urls"] = """
+        WITH u AS (
+          SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+                   AS host,
+                 'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ), dl AS (
+          SELECT 'h' || CAST(r AS VARCHAR) || '.example.com' AS host,
+                 CASE WHEN r % 4 = 0 THEN CAST(5 AS DOUBLE)
+                      WHEN r % 4 = 1 THEN CAST(2 + r % 3 AS DOUBLE)
+                      ELSE CAST(1.0 AS DOUBLE) END AS crawl_delay
+          FROM range(0, 20) t(r)
+        ), s AS (
+          SELECT u.host, u.url,
+                 ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url)
+                   - 1 AS slot,
+                 dl.crawl_delay
+          FROM u JOIN dl ON dl.host = u.host
+        )
+        SELECT host, url, slot, crawl_delay,
+               slot * crawl_delay AS fetch_at_s
+        FROM s
     """
 
     # chunking: same closed-form chunk-count arithmetic (stride 24,

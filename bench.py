@@ -444,6 +444,8 @@ def main():
         "scd2_apply_user_state",
         # r6 twelfth-session addition (excluded): RAG chunking
         "chunk_documents",
+        # r6 twelfth-session addition (excluded): crawl politeness
+        "politeness_schedule_urls",
     ):
         if name in capture:
             def run(n=name):
@@ -589,6 +591,7 @@ def main():
         "q_incremental_screen_docs",
         "q_scd2_apply_user_state",
         "q_chunk_documents",
+        "q_politeness_schedule_urls",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["robots_rules", "robots_allowed"]
+__all__ = ["robots_rules", "robots_allowed", "robots_crawl_delays", "politeness_schedule"]
 
 
 def robots_rules(
@@ -151,3 +151,118 @@ def robots_allowed(
         )
     )
     return best
+
+
+def robots_crawl_delays(
+    df: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay) from ``Crawl-delay`` directives — the de
+    facto politeness extension beside the RFC 9309 core (Bing/Yandex
+    honor it; parsing shares the gaps-and-islands group machinery of
+    :func:`robots_rules`). The product token's own group SHADOWS ``*``
+    (same precedence rule as path rules); non-numeric values drop;
+    multiple delays in the effective group resolve to the MAX (the
+    politest reading). Hosts with no applicable directive are absent —
+    join back with a default.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    )
+    nocomment = F.regexp_replace(F.col("line"), r"#.*$", "")
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.regexp_extract(nocomment, r"^\s*([A-Za-z-]+)\s*:", 1)
+        ).alias("directive"),
+        F.trim(
+            F.regexp_extract(nocomment, r"^\s*[A-Za-z-]+\s*:(.*)$", 1)
+        ).alias("value"),
+    ).filter(F.col("directive").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    grouped = parsed.withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                (F.col("directive") == "user-agent")
+                & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    uas = grouped.filter(F.col("directive") == "user-agent").select(
+        "host", "gid", F.lower(F.col("value")).alias("agent")
+    )
+    delays = grouped.filter(
+        (F.col("directive") == "crawl-delay")
+        & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+    ).select("host", "gid", F.col("value").cast("double").alias("delay"))
+    per_agent = (
+        uas.join(delays, ["host", "gid"])
+        .filter(F.col("agent").isin(agent.lower(), "*"))
+        .groupBy("host", "agent")
+        .agg(F.max("delay").alias("delay"))
+    )
+    pick = Window.partitionBy("host").orderBy(
+        F.when(F.col("agent") == agent.lower(), 0).otherwise(1)
+    )
+    return (
+        per_agent.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select("host", F.col("delay").alias("crawl_delay"))
+    )
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    host_col: str | None = None,
+    default_delay: float = 1.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-host fetch schedule under politeness delays — the frontier
+    planning step between URL dedup and the fetcher: within each host
+    URLs serialize into slots (``order_col`` if given, else URL order —
+    deterministic either way) and ``fetch_at_s = slot × delay``; hosts
+    are independent, so the crawl's makespan is the politest host's
+    queue, not the URL count. ``delays`` is a (host, crawl_delay)
+    relation (:func:`robots_crawl_delays`), broadcast-joined; absent
+    hosts use ``default_delay``.
+
+    One narrow (host, url) rank window + one broadcast join — the plan
+    a 100 TB frontier needs (per-host queues are the unit of work a
+    fetcher fleet shards over).
+    """
+    from bloomine_spark.operators.linkgraph import host_of
+
+    host = (
+        F.col(host_col) if host_col else host_of(F.col(url_col))
+    ).alias("host")
+    rel = urls.select(F.col(url_col).alias("url"), host)
+    w = Window.partitionBy("host").orderBy(
+        F.col(order_col) if order_col else F.col("url")
+    )
+    ranked = rel.withColumn("slot", F.row_number().over(w) - 1)
+    if delays is not None:
+        ranked = ranked.join(F.broadcast(delays), "host", "left")
+    else:
+        ranked = ranked.withColumn(
+            "crawl_delay", F.lit(None).cast("double")
+        )
+    return ranked.select(
+        "host",
+        "url",
+        "slot",
+        F.coalesce("crawl_delay", F.lit(float(default_delay)))
+        .alias("crawl_delay"),
+        (
+            F.col("slot")
+            * F.coalesce("crawl_delay", F.lit(float(default_delay)))
+        ).alias("fetch_at_s"),
+    )

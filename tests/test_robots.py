@@ -125,3 +125,46 @@ def test_query_string_participates_in_match(spark):
     got = dict(zip(out["url_canon"], out["robots_allowed"]))
     assert got["https://q.com/s?page=2"] is False
     assert got["https://q.com/s"] is True
+
+
+def test_crawl_delay_shadowing_and_validation(spark):
+    from bloomine_spark.operators.robots import robots_crawl_delays
+
+    hosts = spark.createDataFrame(pd.DataFrame([
+        # specific group shadows '*'
+        {"host": "a", "robots_txt": "User-agent: trainbot\nCrawl-delay: 7\n"
+                                    "\nUser-agent: *\nCrawl-delay: 2\n"},
+        # only '*'
+        {"host": "b", "robots_txt": "User-agent: *\nCrawl-delay: 3.5\n"},
+        # non-numeric drops -> host absent
+        {"host": "c", "robots_txt": "User-agent: *\nCrawl-delay: soon\n"},
+        # multiple in effective group -> max (politest)
+        {"host": "d", "robots_txt": "User-agent: *\nCrawl-delay: 1\n"
+                                    "Crawl-delay: 4\n"},
+        # case-insensitive agent match, comment stripping
+        {"host": "e", "robots_txt": "User-agent: TrainBot # us\n"
+                                    "Crawl-delay: 9\n"},
+    ]))
+    got = {r["host"]: r["crawl_delay"]
+           for r in robots_crawl_delays(hosts, "trainbot").collect()}
+    assert got == {"a": 7.0, "b": 3.5, "d": 4.0, "e": 9.0}
+
+
+def test_politeness_schedule_slots(spark):
+    from bloomine_spark.operators.robots import politeness_schedule
+
+    urls = spark.createDataFrame(pd.DataFrame([
+        {"url": f"https://slow.com/p/{i}"} for i in range(3)
+    ] + [{"url": "https://fast.com/x"}]))
+    delays = spark.createDataFrame(
+        pd.DataFrame([{"host": "slow.com", "crawl_delay": 10.0}])
+    )
+    out = {(r["host"], r["slot"]): r
+           for r in politeness_schedule(urls, delays,
+                                        default_delay=0.5).collect()}
+    assert out[("slow.com", 0)]["fetch_at_s"] == 0.0
+    assert out[("slow.com", 2)]["fetch_at_s"] == 20.0
+    # unknown host -> default delay
+    assert out[("fast.com", 0)]["crawl_delay"] == 0.5
+    # per-host queues: slots restart per host
+    assert {k[1] for k in out if k[0] == "slow.com"} == {0, 1, 2}
