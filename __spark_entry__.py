@@ -1657,6 +1657,58 @@ def _q_incremental_screen_docs(spark, sf_dir):
     return screen_against_index(batch, idx, threshold=None)
 
 
+def _q_snapshot_diff_docs(spark, sf_dir):
+    """Corpus snapshot churn (the dataset-card audit between releases):
+    old = docs with doc_id%7 != 6 and formula texts; new drops %7==5
+    (removed), adds the %7==6 ids (added), rewrites %3==0 texts
+    (changed), keeps the rest byte-identical (unchanged). Text never
+    rides the shuffle — both sides collapse to (id, md5) first."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import snapshot_diff
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    old = docs.filter(d % 7 != 6).select(
+        "doc_id",
+        F.concat(F.lit("v1 body "), d.cast("string")).alias("text"),
+    )
+    new = docs.filter(d % 7 != 5).select(
+        "doc_id",
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("v2 body "), d.cast("string")),
+        ).otherwise(
+            F.concat(F.lit("v1 body "), d.cast("string"))
+        ).alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+def _q_source_overlap_docs(spark, sf_dir):
+    """Cross-source contamination matrix (the provenance audit before
+    mixing corpora): formula texts make doc content repeat across
+    sources on controlled moduli, and the matrix counts distinct
+    fingerprints shared per ordered source pair (diagonal = each
+    source's distinct count). The pair join runs on the COLLAPSED
+    (source, fp) relation, never |docs|²."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.dedup import source_overlap_matrix
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit("src"), (d % 4).cast("string")).alias("source"),
+        # content keyed on d%30: sources share fingerprints exactly when
+        # residues overlap across the %4 striping
+        F.concat(F.lit("shared body "), (d % 30).cast("string"))
+        .alias("text"),
+    )
+    return source_overlap_matrix(planted)
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Per-document overlapping token-window chunking (RAG/embedding
     prep — the per-doc sibling of the cross-doc training packer):
@@ -3520,6 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_topk_per_source": _q_tfidf_cosine_topk_per_source,
         "incremental_screen_docs": _q_incremental_screen_docs,
         "chunk_documents": _q_chunk_documents,
+        "snapshot_diff_docs": _q_snapshot_diff_docs,
+        "source_overlap_docs": _q_source_overlap_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
         "html_links_docs": _q_html_links_docs,
@@ -6439,6 +6493,43 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b
           ON a.block_key = b.block_key AND a.nid < b.nid
         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
+    """
+
+    sql["snapshot_diff_docs"] = """
+        WITH o AS (
+          SELECT doc_id, md5('v1 body ' || CAST(doc_id AS VARCHAR)) AS fo
+          FROM documents WHERE doc_id % 7 <> 6
+        ), n AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 3 = 0
+                          THEN 'v2 body ' || CAST(doc_id AS VARCHAR)
+                          ELSE 'v1 body ' || CAST(doc_id AS VARCHAR) END)
+                   AS fn
+          FROM documents WHERE doc_id % 7 <> 5
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN fo = fn THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
+    sql["source_overlap_docs"] = """
+        WITH fp AS (
+          SELECT DISTINCT 'src' || CAST(doc_id % 4 AS VARCHAR) AS source,
+                 md5('shared body ' || CAST(doc_id % 30 AS VARCHAR)) AS fp
+          FROM documents
+        )
+        SELECT source AS source_a, source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp GROUP BY source
+        UNION ALL
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b
+          ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
     """
 
     # politeness: delays derived from the planting formulas (trainbot

@@ -446,6 +446,10 @@ def main():
         "chunk_documents",
         # r6 twelfth-session addition (excluded): crawl politeness
         "politeness_schedule_urls",
+        # r6 twelfth-session additions (excluded): snapshot churn,
+        # cross-source contamination matrix
+        "snapshot_diff_docs",
+        "source_overlap_docs",
     ):
         if name in capture:
             def run(n=name):
@@ -592,6 +596,8 @@ def main():
         "q_scd2_apply_user_state",
         "q_chunk_documents",
         "q_politeness_schedule_urls",
+        "q_snapshot_diff_docs",
+        "q_source_overlap_docs",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

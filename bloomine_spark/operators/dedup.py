@@ -2119,3 +2119,86 @@ def screen_against_index(
             .alias("est_jaccard"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot churn report — diff two versions of a document
+    set by id and content fingerprint: one row per id in either
+    snapshot with ``status`` ∈ ``added`` (id only in new), ``removed``
+    (only in old), ``changed`` (both, md5(text) differs), ``unchanged``.
+    The audit a recurring curation run publishes between releases
+    (dataset cards report exactly these counts).
+
+    Plan: both sides reduce to narrow (id, fingerprint) relations
+    before the full-outer join — text never rides the shuffle; one
+    exchange per side.
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fp_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fp_new")
+    )
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("_fp_old").isNull(), F.lit("added"))
+            .when(F.col("_fp_new").isNull(), F.lit("removed"))
+            .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair
+    (a < b), how many distinct content fingerprints appear in BOTH —
+    the provenance audit run before mixing corpora (a high overlap
+    means one source republishes another and a mixture plan would
+    double-count it). Diagonal rows carry each source's distinct
+    fingerprint count for normalization.
+
+    Plan: docs collapse to distinct (source, fingerprint) first (the
+    only corpus-wide exchange), then the pair join runs fingerprint-to-
+    fingerprint on the collapsed relation — |distinct| rows, never
+    |docs|², and a fingerprint shared by k sources contributes exactly
+    its C(k,2) pairs.
+    """
+    fp = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.md5(F.col(text_col)).alias("fp"),
+        )
+        .distinct()
+    )
+    diag = fp.groupBy("source").agg(F.count("*").alias("n_shared")).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        "n_shared",
+    )
+    pairs = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return diag.unionByName(pairs)

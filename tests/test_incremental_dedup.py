@@ -97,3 +97,47 @@ def test_build_validates_banding(spark, tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         build_dedup_index(_corpus(spark), str(tmp_path / "x"),
                           num_perm=64, bands=15)
+
+
+def test_snapshot_diff_statuses(spark):
+    from bloomine_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "same"},
+        {"doc_id": 2, "text": "before"},
+        {"doc_id": 3, "text": "gone"},
+    ]))
+    new = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "same"},
+        {"doc_id": 2, "text": "after"},
+        {"doc_id": 4, "text": "fresh"},
+    ]))
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_source_overlap_matrix_counts(spark):
+    from bloomine_spark.operators.dedup import source_overlap_matrix
+
+    rows = [
+        # s0 and s1 share two bodies; s2 shares one with s0 only;
+        # duplicate copies within one source count ONCE (distinct fp)
+        {"doc_id": 1, "source": "s0", "text": "x"},
+        {"doc_id": 2, "source": "s0", "text": "x"},
+        {"doc_id": 3, "source": "s0", "text": "y"},
+        {"doc_id": 4, "source": "s0", "text": "z"},
+        {"doc_id": 5, "source": "s1", "text": "x"},
+        {"doc_id": 6, "source": "s1", "text": "y"},
+        {"doc_id": 7, "source": "s2", "text": "z"},
+        {"doc_id": 8, "source": "s2", "text": "w"},
+    ]
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap_matrix(
+               spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    assert got[("s0", "s0")] == 3        # x, y, z (dup x counts once)
+    assert got[("s1", "s1")] == 2
+    assert got[("s2", "s2")] == 2
+    assert got[("s0", "s1")] == 2        # x, y
+    assert got[("s0", "s2")] == 1        # z
+    assert ("s1", "s2") not in got       # nothing shared
