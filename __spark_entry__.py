@@ -1657,6 +1657,43 @@ def _q_incremental_screen_docs(spark, sf_dir):
     return screen_against_index(batch, idx, threshold=None)
 
 
+_SCRIPT_SNIPPETS = {
+    1: "привет мир студент школа",        # cyrillic
+    2: "你好世界学习模型数据",             # cjk
+    3: "γειά σου κόσμος μάθηση",          # greek
+    4: "مرحبا بالعالم تعلم",               # arabic
+}
+
+
+def _q_script_mix_docs(spark, sf_dir):
+    """Unicode-script composition (the multilingual triage before any
+    statistical lang-id): docs with doc_id%5 in 1..4 get a planted
+    non-Latin snippet — %5==2 REPLACES the text entirely (dominant
+    flips to cjk), the others append (latin stays dominant but the
+    fraction drops). Counting is pure codegen length-difference per
+    script class; the oracle interpolates the SAME range constants
+    and snippet literals."""
+    _ship_pkg(spark)
+    from bloomine_spark.operators.textops import script_mix
+    from bloomine_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(d % 5 == 2, F.lit(_SCRIPT_SNIPPETS[2]))
+        .when(d % 5 == 1, F.concat(F.col("text"), F.lit(" "),
+                                   F.lit(_SCRIPT_SNIPPETS[1])))
+        .when(d % 5 == 3, F.concat(F.col("text"), F.lit(" "),
+                                   F.lit(_SCRIPT_SNIPPETS[3])))
+        .when(d % 5 == 4, F.concat(F.col("text"), F.lit(" "),
+                                   F.lit(_SCRIPT_SNIPPETS[4])))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return script_mix(planted)
+
+
 def _q_snapshot_diff_docs(spark, sf_dir):
     """Corpus snapshot churn (the dataset-card audit between releases):
     old = docs with doc_id%7 != 6 and formula texts; new drops %7==5
@@ -3573,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_screen_docs": _q_incremental_screen_docs,
         "chunk_documents": _q_chunk_documents,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
+        "script_mix_docs": _q_script_mix_docs,
         "source_overlap_docs": _q_source_overlap_docs,
         "url_canonical_filter": _q_url_canonical_filter,
         "url_host_cap_dedup": _q_url_host_cap_dedup,
@@ -6493,6 +6531,54 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b
           ON a.block_key = b.block_key AND a.nid < b.nid
         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88
+    """
+
+    # script mix: interpolate the operator's OWN range constants and the
+    # planted snippet literals; per-script count = char-length difference
+    from bloomine_spark.operators.textops import SCRIPT_RANGES
+
+    _scr_names = sorted(SCRIPT_RANGES)
+    _scr_counts = ",\n".join(
+        f"length(text) - length(regexp_replace(text, '[{SCRIPT_RANGES[s]}]'"
+        f", '', 'g')) AS n_{s}"
+        for s in _scr_names
+    )
+    _scr_total = " + ".join(f"n_{s}" for s in _scr_names)
+    _scr_structs = ", ".join(
+        f"struct_pack(s := '{s}', c := n_{s})" for s in _scr_names
+    )
+    sql["script_mix_docs"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 2 THEN '{_SCRIPT_SNIPPETS[2]}'
+                 WHEN doc_id % 5 = 1 THEN text || ' ' || '{_SCRIPT_SNIPPETS[1]}'
+                 WHEN doc_id % 5 = 3 THEN text || ' ' || '{_SCRIPT_SNIPPETS[3]}'
+                 WHEN doc_id % 5 = 4 THEN text || ' ' || '{_SCRIPT_SNIPPETS[4]}'
+                 ELSE text END AS text
+          FROM documents
+        ), c AS (
+          SELECT doc_id, {_scr_counts}
+          FROM p
+        ), tot AS (
+          SELECT *, {_scr_total} AS n_script FROM c
+        ), lng AS (
+          SELECT doc_id, u.x.s AS s, u.x.c AS cnt
+          FROM tot, unnest([{_scr_structs}]) AS u(x)
+        ), dom AS (
+          SELECT doc_id, s, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, s) AS rk
+          FROM lng
+        )
+        SELECT t.doc_id,
+               {", ".join(f"CAST(t.n_{s} AS BIGINT) AS n_{s}" for s in _scr_names)},
+               CAST(t.n_script AS BIGINT) AS n_script,
+               CASE WHEN t.n_script > 0 THEN d.s ELSE 'none' END
+                 AS dominant_script,
+               CASE WHEN t.n_script > 0
+                    THEN ROUND(CAST(d.cnt AS DOUBLE) / t.n_script, 6)
+               END AS dominant_frac
+        FROM tot t JOIN dom d ON d.doc_id = t.doc_id AND d.rk = 1
     """
 
     sql["snapshot_diff_docs"] = """

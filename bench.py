@@ -450,6 +450,8 @@ def main():
         # cross-source contamination matrix
         "snapshot_diff_docs",
         "source_overlap_docs",
+        # r6 twelfth-session addition (excluded): Unicode script triage
+        "script_mix_docs",
     ):
         if name in capture:
             def run(n=name):
@@ -598,6 +600,7 @@ def main():
         "q_politeness_schedule_urls",
         "q_snapshot_diff_docs",
         "q_source_overlap_docs",
+        "q_script_mix_docs",
     }
     total = round(
         sum(t for n, t in times.items() if n not in new_rows), 3

@@ -1521,3 +1521,71 @@ def readability_per_source(
         (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
         .alias("fk_grade"),
     )
+
+
+# Unicode script ranges (BMP core blocks) — the literal characters
+# embed in the patterns so the same class strings run on Java regex
+# AND DuckDB's RE2, and the oracles interpolate THESE constants
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
+}
+
+
+def script_mix(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script composition per doc — the multilingual triage
+    BEFORE any language model runs (script is certain where language is
+    statistical: Cyrillic text is never English, and a 50/50
+    Latin-CJK doc is a mixed page that should route to segmentation,
+    not to one lang-id label): per-script character counts over the
+    core BMP blocks, ``n_script`` (their sum), ``dominant_script``
+    (argmax, name ascending on ties, ``none`` when no script chars),
+    and ``dominant_frac`` (dominant / n_script).
+
+    Counting is ``length(text) − length(regexp_replace(text, [class],
+    ''))`` per script — pure whole-stage codegen, zero exchange, and
+    the class strings are module constants the oracle interpolates.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: (
+            F.length(t)
+            - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    # argmax by (count DESC, name ASC): fold over a sorted struct array
+    pairs = F.array(
+        *[
+            F.struct(counts[n].alias("c"), F.lit(n).alias("s"))
+            for n in sorted(SCRIPT_RANGES)
+        ]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["c"] > b["c"], -1)
+        .when(a["c"] < b["c"], 1)
+        .otherwise(F.when(a["s"] < b["s"], -1).when(a["s"] > b["s"], 1)
+                   .otherwise(0)),
+    )[0]
+    return docs.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n in sorted(SCRIPT_RANGES)],
+        total.alias("n_script"),
+        F.when(total > 0, best["s"]).otherwise(F.lit("none"))
+        .alias("dominant_script"),
+        F.when(total > 0, F.round(best["c"] / total, 6))
+        .alias("dominant_frac"),
+    )
