@@ -377,6 +377,25 @@ def minhash_signatures(
     return pre.mapInArrow(_minhash_signatures_kernel(num_perm), schema=schema)
 
 
+def _band_buckets_col(bands: int, r: int):
+    """The exploded (band, bucket) struct column over ``signature`` —
+    THE banding contract, shared by batch LSH, the persisted dedup
+    index (build and screen must stay byte-identical or screens find
+    zero candidates with no error), and the streaming LSH monitor
+    (review finding: this expression existed four times verbatim)."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice("signature", b * r + 1, r))
+                ).alias("bucket"),
+            ),
+        )
+    ).alias("bb")
+
+
 def optimal_minhash_bands(
     num_perm: int,
     threshold: float,
@@ -455,17 +474,7 @@ def minhash_lsh_duplicates(
     # exploded band join — at sf0.1 this halves the operator's wall time
     banded = sig.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        _band_buckets_col(bands, r),
     ).select("doc_id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
@@ -1941,17 +1950,7 @@ def build_dedup_index(
     spark = df.sparkSession
     banded = spark.read.parquet(path.rstrip("/") + "/signatures").select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        _band_buckets_col(bands, r),
     ).select("doc_id", "bb.band", "bb.bucket")
     banded.write.mode("overwrite").parquet(path.rstrip("/") + "/bands")
     manifest = {
@@ -2010,6 +2009,12 @@ def screen_against_index(
     batch with the existing operators first; this operator answers
     "is it already in the corpus".
 
+    Note: the batch's signature relation is ``.cache()``d (it feeds
+    both the band explode and the estimator join — same posture as
+    ``minhash_lsh_duplicates``); a long-lived driver screening many
+    ingests should ``spark.catalog.clearCache()`` between batches, or
+    the cached blocks accumulate until storage eviction.
+
     Plan shape: the exact probe is one narrow (fingerprint, id)
     broadcast-or-shuffle join; the near probe explodes the BATCH into
     (id, band, bucket) and equi-joins the index's band relation (the
@@ -2047,17 +2052,7 @@ def screen_against_index(
     sig_new = minhash_signatures(df, text_col, id_col, n, num_perm).cache()
     banded_new = sig_new.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        _band_buckets_col(bands, r),
     ).select("doc_id", "bb.band", "bb.bucket")
     idx_bands = spark.read.parquet(base + "/bands")
     cand = (
@@ -2138,19 +2133,29 @@ def snapshot_diff(
     before the full-outer join — text never rides the shuffle; one
     exchange per side.
     """
+    # presence markers, not fingerprint nullity: md5(NULL) is NULL, so
+    # a NULL-text doc present on both sides must still read as
+    # changed/unchanged, never added/removed (review finding)
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fp_old")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fp_new")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
     )
     return (
         o.join(n, "id", "full_outer")
         .select(
             F.col("id").alias(id_col),
-            F.when(F.col("_fp_old").isNull(), F.lit("added"))
-            .when(F.col("_fp_new").isNull(), F.lit("removed"))
-            .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(
+                F.col("_fp_old").eqNullSafe(F.col("_fp_new")),
+                F.lit("unchanged"),
+            )
             .otherwise(F.lit("changed"))
             .alias("status"),
         )

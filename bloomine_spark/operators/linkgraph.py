@@ -270,8 +270,11 @@ def hits(
     if n == 0:
         e.unpersist()
         nodes.unpersist()
-        return edges.sparkSession.createDataFrame(
-            [], "node string, hub double, auth double"
+        # empty-graph schema derives from the input's node type (a
+        # hard-coded string schema would break unions/joins with
+        # long-keyed graphs on exactly the empty path — review finding)
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
         )
     hubs = nodes.select("node", F.lit(1.0 / n ** 0.5).alias("s"))
     auths = None

@@ -32,14 +32,21 @@ def list_data_files(spark, path: str) -> list[tuple[str, int]]:
     jvm = sc._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    base = fs.makeQualified(hpath).toString().rstrip("/")
     out = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        full = st.getPath().toString()
+        # the Hadoop hidden convention applies to EVERY path component
+        # under the table root, not just the leaf — otherwise a
+        # streaming sink's _spark_metadata/ members ('0', '9.compact')
+        # would count as data files (review finding)
+        rel = full[len(base):].lstrip("/") if full.startswith(base) else full
+        if any(p.startswith("_") or p.startswith(".")
+               for p in rel.split("/")):
             continue
-        out.append((st.getPath().toString(), int(st.getLen())))
+        out.append((full, int(st.getLen())))
     return out
 
 

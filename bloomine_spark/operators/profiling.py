@@ -40,46 +40,58 @@ def profile_table(
     ``approx_count_distinct`` (the HLL path) for web-scale tables
     where exact cardinality is itself a shuffle.
     """
-    cols = columns or df.columns
+    all_cols = list(df.columns)
+    cols = columns or all_cols
+    numeric_types = (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    )
     numeric = {
         f.name
         for f in df.schema.fields
-        if f.dataType.typeName()
-        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        if f.dataType.typeName() in numeric_types
     }
+    # positional rename BEFORE any reference: both F.col(name) and
+    # df[name] PARSE attribute names, so a column containing an
+    # unpaired backtick is unaddressable by name — toDF renames by
+    # position without parsing (review finding)
+    safe = df.toDF(*[f"_c{i}" for i in range(len(all_cols))])
+    pos = {name: i for i, name in enumerate(all_cols)}
     total = F.count(F.lit(1))
     aggs = []
+    labels: list[tuple[str, str]] = []  # positional (column, metric)
+
+    def add(c: str, metric: str, expr) -> None:
+        aggs.append(expr.alias(f"_m{len(labels)}"))
+        labels.append((c, metric))
+
     for c in cols:
-        nn = F.count(F.col(c))
+        ref = F.col(f"_c{pos[c]}")
+        nn = F.count(ref)
         nd = (
-            F.countDistinct(F.col(c))
+            F.countDistinct(ref)
             if exact_distinct
-            else F.approx_count_distinct(c)
+            else F.approx_count_distinct(ref)
         )
-        aggs += [
-            nn.cast("double").alias(f"{c}__n"),
-            ((total - nn) / total).cast("double").alias(f"{c}__null_frac"),
-            nd.cast("double").alias(f"{c}__n_distinct"),
-        ]
+        add(c, "n", nn.cast("double"))
+        add(c, "null_frac", ((total - nn) / total).cast("double"))
+        add(c, "n_distinct", nd.cast("double"))
         if c in numeric:
-            aggs += [
-                F.min(F.col(c)).cast("double").alias(f"{c}__min"),
-                F.max(F.col(c)).cast("double").alias(f"{c}__max"),
-                F.avg(F.col(c)).cast("double").alias(f"{c}__mean"),
-            ]
-    row = df.agg(*aggs)
-    pieces = []
-    for field in row.columns:
-        col_name, metric = field.rsplit("__", 1)
-        pieces.append(
-            f"'{col_name}', '{metric}', `{field}`"
-        )
-    n_triples = len(pieces)
-    return row.select(
-        F.expr(
-            f"stack({n_triples}, {', '.join(pieces)}) "
-            "AS (column_name, metric, value)"
-        )
+            add(c, "min", F.min(ref).cast("double"))
+            add(c, "max", F.max(ref).cast("double"))
+            add(c, "mean", F.avg(ref).cast("double"))
+    row = safe.agg(*aggs)
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(m).alias("metric"),
+                F.col(f"_m{i}").alias("value"),
+            )
+            for i, (c, m) in enumerate(labels)
+        ]
+    )
+    return row.select(F.explode(triples).alias("t")).select(
+        "t.column_name", "t.metric", "t.value"
     )
 
 

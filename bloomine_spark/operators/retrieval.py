@@ -345,7 +345,10 @@ def tfidf_cosine_topk_per_source(
             F.round(
                 F.sum(
                     (F.lit(1.0) + F.log("tf")) / F.col("dnorm")
-                    * F.col("idf") / F.col("qnorm")
+                    # ANSI guard: qnorm 0 (all-zero idf) must yield
+                    # NULL -> filtered, not DIVIDE_BY_ZERO
+                    * F.when(F.col("qnorm") != 0,
+                             F.col("idf") / F.col("qnorm"))
                 ),
                 6,
             ).alias("score")
@@ -355,7 +358,12 @@ def tfidf_cosine_topk_per_source(
         F.desc("score"), F.col("doc_id").cast("string")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # a query whose every term spans the whole corpus has idf 0 for
+        # all of it -> qnorm 0 -> NULL scores; such a query carries no
+        # ranking signal, so the contract is an EMPTY result rather
+        # than k arbitrary NULL-scored docs (review finding)
+        scored.filter(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )

@@ -30,13 +30,17 @@ from pyspark.sql import functions as F
 __all__ = ["robots_rules", "robots_allowed", "robots_crawl_delays", "politeness_schedule"]
 
 
-def robots_rules(
-    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+def _grouped_directives(
+    df: DataFrame, host_col: str, txt_col: str
 ) -> DataFrame:
-    """(host, agent, allow, path, match_regex) — one row per (group
-    member agent × rule). Comments strip at ``#``; empty rule values
-    match nothing and drop (an empty ``Disallow:`` means allow-all per
-    RFC); agents compare case-insensitively."""
+    """(host, pos, directive, value, gid) over EVERY directive line —
+    the shared group machinery of :func:`robots_rules` and
+    :func:`robots_crawl_delays`. The gaps-and-islands group id must be
+    computed BEFORE any directive filter: a new group starts at a
+    user-agent line whose previous directive line — of ANY kind — is
+    not user-agent, so filtering first would merge two groups whenever
+    the directives between their UA lines were outside the filter
+    (e.g. a path-rule-only group followed by a Crawl-delay group)."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
@@ -48,13 +52,13 @@ def robots_rules(
         F.lower(
             F.regexp_extract(nocomment, r"^\s*([A-Za-z-]+)\s*:", 1)
         ).alias("directive"),
-        F.trim(F.regexp_extract(nocomment, r"^\s*[A-Za-z-]+\s*:(.*)$", 1)).alias(
-            "value"
-        ),
-    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+        F.trim(
+            F.regexp_extract(nocomment, r"^\s*[A-Za-z-]+\s*:(.*)$", 1)
+        ).alias("value"),
+    ).filter(F.col("directive") != "")
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = (F.col("directive") == "user-agent").cast("int")
-    grouped = parsed.withColumn(
+    return parsed.withColumn(
         "gid",
         F.sum(
             F.when(
@@ -63,6 +67,18 @@ def robots_rules(
                 1,
             ).otherwise(0)
         ).over(w),
+    )
+
+
+def robots_rules(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agent, allow, path, match_regex) — one row per (group
+    member agent × rule). Comments strip at ``#``; empty rule values
+    match nothing and drop (an empty ``Disallow:`` means allow-all per
+    RFC); agents compare case-insensitively."""
+    grouped = _grouped_directives(df, host_col, txt_col).filter(
+        F.col("directive").isin("user-agent", "allow", "disallow")
     )
     uas = grouped.filter(F.col("directive") == "user-agent").select(
         "host", "gid", F.lower(F.col("value")).alias("agent")
@@ -168,32 +184,8 @@ def robots_crawl_delays(
     politest reading). Hosts with no applicable directive are absent —
     join back with a default.
     """
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
-    )
-    nocomment = F.regexp_replace(F.col("line"), r"#.*$", "")
-    parsed = lines.select(
-        "host",
-        "pos",
-        F.lower(
-            F.regexp_extract(nocomment, r"^\s*([A-Za-z-]+)\s*:", 1)
-        ).alias("directive"),
-        F.trim(
-            F.regexp_extract(nocomment, r"^\s*[A-Za-z-]+\s*:(.*)$", 1)
-        ).alias("value"),
-    ).filter(F.col("directive").isin("user-agent", "crawl-delay"))
-    w = Window.partitionBy("host").orderBy("pos")
-    is_ua = (F.col("directive") == "user-agent").cast("int")
-    grouped = parsed.withColumn(
-        "gid",
-        F.sum(
-            F.when(
-                (F.col("directive") == "user-agent")
-                & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0),
-                1,
-            ).otherwise(0)
-        ).over(w),
+    grouped = _grouped_directives(df, host_col, txt_col).filter(
+        F.col("directive").isin("user-agent", "crawl-delay")
     )
     uas = grouped.filter(F.col("directive") == "user-agent").select(
         "host", "gid", F.lower(F.col("value")).alias("agent")

@@ -536,7 +536,7 @@ def lsh_dedup_stream(
     dedupe with ``dropDuplicates`` per microbatch; cross-trigger pair
     identity is (id_a, id_b).
     """
-    from bloomine_spark.operators.dedup import minhash_signatures
+    from bloomine_spark.operators.dedup import _band_buckets_col, minhash_signatures
 
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -544,17 +544,7 @@ def lsh_dedup_stream(
     banded = sig.select(
         "doc_id",
         "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", b * r + 1, r))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        _band_buckets_col(bands, r),
     ).select("bb.band", "bb.bucket", "doc_id", "signature")
 
     def fn(
@@ -728,6 +718,7 @@ def attribution_stream(
     key_col: str = "user_id",
     click_ts: str = "ts",
     purchase_ts: str = "ts",
+    value_col: str = "value",
     horizon: str = "2 days",
     watermark: str = "1 hour",
 ) -> DataFrame:
@@ -776,7 +767,7 @@ def attribution_stream(
         .select(
             F.col(key_col).alias(key_col),
             F.col(purchase_ts).alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
+            F.col(value_col).alias("purchase_value"),
         )
     )
     joined = p.join(

@@ -173,3 +173,14 @@ def test_tfidf_cosine_properties(spark):
         tfidf_cosine_topk_per_source(_df(spark, rows), ["a", "a"])
     with pytest.raises(ValueError, match="non-empty"):
         tfidf_cosine_topk_per_source(_df(spark, rows), [])
+
+
+def test_tfidf_zero_signal_query_empty(spark):
+    # review finding: every-term-everywhere query has qnorm 0 -> empty
+    from bloomine_spark.operators.retrieval import (
+        tfidf_cosine_topk_per_source,
+    )
+
+    rows = [("1", "s", "the cat"), ("2", "s", "the dog")]
+    out = tfidf_cosine_topk_per_source(_df(spark, rows), ["the"], k=5)
+    assert out.count() == 0

@@ -141,3 +141,21 @@ def test_source_overlap_matrix_counts(spark):
     assert got[("s0", "s1")] == 2        # x, y
     assert got[("s0", "s2")] == 1        # z
     assert ("s1", "s2") not in got       # nothing shared
+
+
+def test_snapshot_diff_null_text(spark):
+    # review finding: presence must come from the id, not md5(text) —
+    # NULL text on both sides is 'unchanged', NULL->value is 'changed'
+    from bloomine_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": None},
+                      {"doc_id": 2, "text": None}]).astype({"text": "object"})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": None},
+                      {"doc_id": 2, "text": "now set"}]).astype({"text": "object"})
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed"}

@@ -255,3 +255,13 @@ def test_hits_empty(spark):
 
     df = spark.createDataFrame(pd.DataFrame(columns=["src", "dst"]), "src string, dst string")
     assert hits(df).count() == 0
+
+
+def test_hits_empty_preserves_node_type(spark):
+    # review finding: the empty-graph schema derives from the input
+    df = spark.createDataFrame(pd.DataFrame(columns=["src", "dst"]),
+                               "src long, dst long")
+    out = hits_schema = __import__("bloomine_spark.operators.linkgraph",
+                                   fromlist=["hits"]).hits(df)
+    assert out.count() == 0
+    assert dict(out.dtypes)["node"] == "bigint"

@@ -67,3 +67,19 @@ def test_compact_validates(spark, tmp_path):
                         str(tmp_path / "o"))
     with pytest.raises(ValueError, match="target_bytes"):
         compaction_plan(spark, str(tmp_path / "empty"), target_bytes=0)
+
+
+def test_hidden_directory_members_excluded(spark, tmp_path):
+    # review finding: _spark_metadata/ members are named '0', '9.compact'
+    # — hidden-ness must apply to every path component
+    import os
+
+    path = _fragmented(spark, tmp_path, n_files=3)
+    meta = os.path.join(path, "_spark_metadata")
+    os.makedirs(meta)
+    for name in ("0", "1", "9.compact"):
+        with open(os.path.join(meta, name), "w") as fh:
+            fh.write("not data")
+    files = list_data_files(spark, path)
+    assert len(files) == 3
+    assert all("_spark_metadata" not in f for f, _ in files)

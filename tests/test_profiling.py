@@ -96,3 +96,13 @@ def test_bins_validation(spark):
     with pytest.raises(ValueError, match="n_bins"):
         equal_freq_bins(df, "v", 1)
     assert equal_freq_bins(df.filter("v > 99"), "v", 3) == []
+
+
+def test_profile_hostile_column_names(spark):
+    # review finding: quotes/backticks in a column name must not break
+    # the unpivot (positional rename — names never enter identifiers)
+    df = spark.createDataFrame(
+        pd.DataFrame([{"it's`odd": 1.0, "with.dot": "x"}])
+    )
+    out = {r["column_name"] for r in profile_table(df).collect()}
+    assert out == {"it's`odd", "with.dot"}

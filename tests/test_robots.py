@@ -168,3 +168,36 @@ def test_politeness_schedule_slots(spark):
     assert out[("fast.com", 0)]["crawl_delay"] == 0.5
     # per-host queues: slots restart per host
     assert {k[1] for k in out if k[0] == "slow.com"} == {0, 1, 2}
+
+
+def test_group_islands_survive_filtered_directives(spark):
+    """Regression (review finding): group boundaries are computed over
+    EVERY directive line — a path-rule-only group followed by a
+    Crawl-delay group must NOT merge, and a Crawl-delay-only group
+    followed by a rule group must keep its rules separate."""
+    from bloomine_spark.operators.robots import (
+        robots_crawl_delays,
+        robots_rules,
+    )
+
+    hosts = spark.createDataFrame(pd.DataFrame([
+        # trainbot's group has rules but NO crawl-delay; slowbot's
+        # declares 10 — trainbot must fall through (absent), not inherit
+        {"host": "a", "robots_txt": "User-agent: trainbot\n"
+                                    "Disallow: /private\n\n"
+                                    "User-agent: slowbot\n"
+                                    "Crawl-delay: 10\n"},
+        # mirror case for rules: alpha's group is crawl-delay-only,
+        # beta's has the Disallow — alpha must NOT get beta's rule
+        {"host": "b", "robots_txt": "User-agent: alpha\n"
+                                    "Crawl-delay: 3\n\n"
+                                    "User-agent: beta\n"
+                                    "Disallow: /secret\n"},
+    ]))
+    delays = {r["host"]: r["crawl_delay"]
+              for r in robots_crawl_delays(hosts, "trainbot").collect()}
+    assert "a" not in delays  # no applicable directive for trainbot or *
+    rules = {(r["host"], r["agent"], r["path"])
+             for r in robots_rules(hosts).collect()}
+    assert ("b", "beta", "/secret") in rules
+    assert ("b", "alpha", "/secret") not in rules
