@@ -307,13 +307,21 @@ def _kgram_str_expr(n: int):
     transform would then crash on slice(words, 0, n) — so docs with fewer
     than n words yield an empty gram array instead.
     """
+    # zip_with ladder (see operators/dedup._word_shingles_expr): element j
+    # of round k is words[j..j+k] space-joined — byte-identical grams to
+    # the old per-index slice+concat_ws transform at ~6x less expression
+    # work (no per-gram array slice, one linear pass per round)
     words = F.split(F.col("text"), " ")
+    g = words
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.when(
         F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
+        F.slice(g, 1, F.size(words) - n + 1),
     ).otherwise(F.array().cast("array<string>"))
 
 

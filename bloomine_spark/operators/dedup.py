@@ -48,19 +48,30 @@ def exact_duplicates(
 # ---------------------------------------------------------------------------
 
 def _word_shingles_expr(text_col: str, n: int):
-    # Guarded: sequence(0, -1) yields the DESCENDING array [0, -1] in Spark,
-    # so an unguarded transform crashes on slice(words, 0, n) for any doc
-    # with fewer than n words (and a size==n-1 doc would emit a wrong short
-    # shingle). Short docs produce an empty shingle set instead.
+    # Guarded: a doc with fewer than n words produces an empty shingle set
+    # (slice at a negative length would error; the old sequence(0, -1)
+    # formulation had the same guard for the same reason).
+    #
+    # Construction is a zip_with ladder over the word array instead of the
+    # old per-index slice+concat_ws transform: element j of round k is
+    # words[j..j+k] joined by single spaces, so after n-1 rounds the first
+    # size-n+1 elements are exactly the n-gram strings (byte-identical to
+    # the old expression — verified over the full sf1.0 corpus). The old
+    # form allocated a fresh slice array per gram and re-walked the word
+    # array per index; the ladder is one linear pass per round (measured
+    # 13.7s → 2.2s for the gram build at sf1.0, guide §1.2 "per-task
+    # work"). concat (vs concat_ws) is safe: split() never yields nulls.
     words = F.split(F.col(text_col), " ")
+    g = words
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.when(
         F.size(words) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            )
-        ),
+        F.array_distinct(F.slice(g, 1, F.size(words) - n + 1)),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -107,23 +118,21 @@ def ngram_jaccard_pairs(
     re-join are pure overhead — hence default False; ``max_doc_freq`` is
     the cost bound that actually binds on dense corpora.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(
-            _word_shingles_expr(text_col, n)).alias("g"))
-        .filter(F.col("g") != "")
-        .distinct()
-    )
-    if max_doc_freq is not None:
-        # document frequency per shingle; one narrow extra aggregation —
-        # shuffles (g, df) only, then a broadcast-friendly semi filter
-        freq = sh.groupBy("g").agg(F.count("*").alias("_df"))
-        sh = (
-            sh.join(freq, "g")
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("id", "g")
-        )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if prefix_filter and min_jaccard > 0:
+        sh = (
+            df.select(F.col(id_col).alias("id"), F.explode(
+                _word_shingles_expr(text_col, n)).alias("g"))
+            .filter(F.col("g") != "")
+            .distinct()
+        )
+        if max_doc_freq is not None:
+            freq0 = sh.groupBy("g").agg(F.count("*").alias("_df"))
+            sh = (
+                sh.join(freq0, "g")
+                .filter(F.col("_df") <= max_doc_freq)
+                .select("id", "g")
+            )
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
         # canonical order: ascending document frequency, shingle as the
         # deterministic tiebreak — rare shingles first maximizes pruning
         freq = sh.groupBy("g").agg(F.count("*").alias("_gdf"))
@@ -156,62 +165,123 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
-    else:
-        # carry sz on each posting (one narrow join of the postings with
-        # the per-doc sizes — AQE broadcasts the small side at test scale,
-        # plain shuffle join at corpus scale) so sz_a/sz_b ride the
-        # self-join and fold into the pair groupBy KEYS (sz is
-        # functionally dependent on id, so groups are unchanged) — this
-        # deletes the two post-aggregation joins against `sizes` that
-        # would otherwise reshuffle the pair table twice.
-        szd = sh.join(sizes, "id")
-        a = szd.alias("a")
-        b = szd.alias("b")
-        cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
-        if min_jaccard > 0:
-            # EXACT size-ratio prune: J(A,B) >= t forces
-            # min(|A|,|B|) >= t * max(|A|,|B|) (intersection <= min,
-            # union >= max), so rows failing the ratio can never reach
-            # the threshold — dropped BEFORE the pair shuffle, no effect
-            # on the result (24% of join rows on the sf0.1 fixture).
-            cond = cond & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.lit(float(min_jaccard))
-                * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            )
-        inter = (
-            a.join(b, cond)
-            .groupBy(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.sz").alias("sz_a"),
-                F.col("b.sz").alias("sz_b"),
-            )
-            .agg(F.count("*").alias("inter"))
-        )
         return (
-            inter.withColumn(
+            inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn(
                 "jaccard",
                 F.round(
-                    F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                    6,
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
                 ),
             )
             .filter(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard")
         )
+    # Default path: posting-list pair generation instead of a shingle
+    # self-join (guide §2.3/§2.4). One groupBy(g) builds the per-shingle
+    # posting list (collect_set dedups (g,id) in the same exchange a
+    # distinct would have needed); ordered candidate pairs are generated
+    # IN-EXPRESSION from the sorted list — C(df,2) rows map-side, half
+    # the self-join's df² enumeration and two fewer exchanges (no second
+    # shuffle of the postings into the join, no sizes join onto every
+    # posting). Grams ride as xxhash64 int64s, so no shuffle ever
+    # carries gram text. sz_a/sz_b attach to the (far smaller) pair
+    # relation afterward; the old pre-shuffle size-ratio prune is
+    # subsumed by the jaccard threshold filter (result unchanged).
+    pairs = _posting_pair_intersections(df, text_col, id_col, n, max_doc_freq)
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ordered_pairs_expr(ids):
+    """All ordered pairs (id_a < id_b) of a SORTED-ascending array column
+    as an array<struct<id_a,id_b>> — the map-side replacement for a
+    bucket self-join: C(n,2) combinations, generated where the list
+    already lives, no second shuffle and no join machinery."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _posting_pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared candidate-pair core of the exact shingle-overlap family:
+    → (id_a, id_b, sz_a, sz_b, inter) with id_a < id_b, sizes over the
+    capped shingle universe.
+
+    Shape: explode shingles → hash gram text to int64 (the only thing a
+    shuffle ever carries) → df cap via a window count over g → per-doc
+    capped sizes (one narrow aggregate, its exchange reused by the join
+    back) → ONE groupBy(g) collecting (id, sz) posting lists →
+    sorted-list ordered-pair explosion (map-side, C(df,2) per shingle —
+    half the self-join's df² enumeration) → pair count aggregate with
+    the sizes riding the KEYS (functionally dependent on the ids, so
+    groups are unchanged and no post-aggregation join is needed — which
+    also sidesteps a real planner trap: the candidate-pair aggregate
+    sits over an explode, whose static size estimate is so far below
+    reality that the planner broadcast the 67M-row pair relation at
+    sf1.0 and OOMed the driver; with no join above the pair aggregate
+    there is nothing to mis-broadcast). With a df cap the lists are
+    bounded at ``max_doc_freq``; uncapped, a degenerate ultra-frequent
+    shingle concentrates in one list — the same df² blow-up the join
+    formulation had, so cap at corpus scale (the operators' documented
+    posture). ``id_col`` must identify rows uniquely (a doc id).
+    """
+    posts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_word_shingles_expr(text_col, n)).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select("id", F.xxhash64("g").alias("g"))
+    )
+    if max_doc_freq is not None:
+        capped = posts.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("g"))
+        ).filter(F.col("_df") <= max_doc_freq).select("id", "g")
+    else:
+        capped = posts
+    sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
+    gl = (
+        capped.join(sizes, "id")
+        .groupBy("g")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("id"), F.col("sz")))
+            ).alias("mems")
+        )
+    )
+    p = F.explode(_ordered_pairs_expr(F.col("mems"))).alias("p")
+    return (
+        gl.select(p)
+        .groupBy(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.col("p.id_a.sz").alias("sz_a"),
+            F.col("p.id_b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
     )
 
 
@@ -245,35 +315,11 @@ def ngram_containment_pairs(
     the Jaccard operator (containment recomputed over the capped
     shingle universe on both sides).
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(
-            _word_shingles_expr(text_col, n)).alias("g"))
-        .filter(F.col("g") != "")
-        .distinct()
-    )
-    if max_doc_freq is not None:
-        freq = sh.groupBy("g").agg(F.count("*").alias("_df"))
-        sh = (
-            sh.join(freq, "g")
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("id", "g")
-        )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    szd = sh.join(sizes, "id")
-    a, b = szd.alias("a"), szd.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    # same posting-list pair-generation core as ngram_jaccard_pairs
+    # (guide §2.3/§2.4): one exchange into per-shingle posting lists,
+    # ordered pairs generated in-expression, sizes attached to the small
+    # pair relation — no shingle self-join, no gram text in any shuffle
+    pairs = _posting_pair_intersections(df, text_col, id_col, n, max_doc_freq)
     c_ab = F.round(F.col("inter") / F.col("sz_a"), 6)
     c_ba = F.round(F.col("inter") / F.col("sz_b"), 6)
     return (
@@ -477,19 +523,17 @@ def minhash_lsh_duplicates(
         _band_buckets_col(bands, r),
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # bucket-membership pair generation instead of a band self-join
+    # (guide §2.3/§2.4): ONE exchange into (band, bucket) posting lists,
+    # ordered pairs generated in-expression map-side — half the df²
+    # enumeration of the self-join and one fewer shuffle of the banded
+    # relation; the dedup across bands is unchanged
     cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_ordered_pairs_expr(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify == "exact":
@@ -1171,6 +1215,13 @@ def connected_components(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        # materialize the input pair graph ONCE before round 1:
+        # _large_star references its input through a union with its own
+        # reversal and feeds two consumers, so an uncheckpointed edge set
+        # re-evaluates the (often expensive) pair-generation plan up to
+        # 4x in the first round — for er_canonical/soft_dedup the pair
+        # generator IS the dominant cost of the whole query
+        .localCheckpoint(eager=True)
     )
     prev_sum: tuple | None = None
     rounds = 0
