@@ -25,23 +25,56 @@ from pyspark.sql import functions as F
 __all__ = ["nb_train", "nb_classify"]
 
 
-def _bigram_buckets(df: DataFrame, text_col: str, n_buckets: int):
-    """(rows…, b) — one row per char-bigram occurrence, hashed bucket."""
-    grams = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(
-                F.length(text_col) - 1, F.lit(0))),
-            lambda i: F.col(text_col).substr(i, F.lit(2)),
-        ),
-        lambda g: F.length(g) == 2,
+def _bucket_expr(g, n_buckets: int):
+    """THE feature-hash contract (md5-hex prefix → int → mod B), shared
+    with the DuckDB oracle formula — must stay byte-identical."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % n_buckets
     )
-    return df.select(
-        "*", F.explode(grams).alias("_g")
-    ).select(
-        "*",
-        (F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
-         % n_buckets).alias("b"),
-    ).drop("_g")
+
+
+def _bucket_counts(df: DataFrame, keys: list[str], text_col: str,
+                   n_buckets: int):
+    """(keys…, b, _c) — per-key hashed-bucket occurrence counts.
+
+    The md5/conv feature hash runs once per (key, DISTINCT bigram) via a
+    broadcast gram→bucket map, not once per occurrence: occurrences are
+    first collapsed by the raw 2-char gram (map-side partial aggregation
+    does most of that collapse before any shuffle), and the map itself is
+    bounded by |charset|² distinct bigrams — a universe small enough to
+    broadcast at ANY corpus scale, which is what makes the explicit
+    broadcast safe where a size-estimate gamble would not be. The old
+    per-occurrence form spent the whole operator inside md5+conv
+    (~2 corpus-scans' worth at sf1.0, guide §1.2 step 2 / §4 choose-
+    cheaper-expressions)."""
+    # char bigrams via one split + a zip_with of the char array against
+    # its own shift — NOT per-position substr: UTF8 substr(i, 2) must walk
+    # the variable-width bytes to char i, so the old transform was
+    # O(len²) per document (measured: the explode alone cost ~19s at
+    # sf1.0; this form is linear). Values are byte-identical.
+    ch = F.split(F.col(text_col), "")
+    g2 = F.zip_with(
+        ch,
+        F.slice(ch, 2, F.greatest(F.size(ch) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, y),
+    )
+    grams = F.when(
+        F.length(text_col) >= 2,
+        F.slice(g2, 1, F.length(text_col) - 1),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        df.select(*keys, F.explode(grams).alias("_g"))
+        .groupBy(*keys, "_g")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    gmap = occ.select("_g").distinct().select(
+        "_g", _bucket_expr(F.col("_g"), n_buckets).alias("b")
+    )
+    return (
+        occ.join(F.broadcast(gmap), "_g")
+        .groupBy(*keys, "b")
+        .agg(F.sum("_c").cast("long").alias("_c"))
+    )
 
 
 def nb_train(
@@ -70,9 +103,8 @@ def nb_train(
     base = labeled.select(
         F.col(label_col).alias("label"), F.col(text_col).alias("_t")
     )
-    toks = _bigram_buckets(base, "_t", n_buckets).select("label", "b")
-    counts = toks.groupBy("label", "b").agg(
-        F.count("*").cast("long").alias("c")
+    counts = _bucket_counts(base, ["label"], "_t", n_buckets).select(
+        "label", "b", F.col("_c").alias("c")
     )
     totals = counts.groupBy("label").agg(
         F.sum("c").cast("long").alias("t_label")
@@ -135,10 +167,8 @@ def nb_classify(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     )
-    tf = (
-        _bigram_buckets(base, "_t", n_buckets)
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").cast("long").alias("tf"))
+    tf = _bucket_counts(base, ["doc_id"], "_t", n_buckets).select(
+        "doc_id", "b", F.col("_c").alias("tf")
     )
     per_doc = tf.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_feat")
