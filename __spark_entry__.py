@@ -906,7 +906,10 @@ def _q_bloom_relational_screen(spark, sf_dir):
     )
     truth = target.withColumn("_true", F.lit(1))
     tagged = (
-        probe_pairs.join(member, "gram")
+        # membership relation is bounded by distinct probe grams; keep it
+        # on the broadcast side explicitly (the pinned plan shape) now
+        # that static auto-broadcast is off session-wide
+        probe_pairs.join(F.broadcast(member), "gram")
         .join(F.broadcast(truth), "gram", "left")
         .select(
             "source",

@@ -136,7 +136,11 @@ def robots_allowed(
         F.max((F.col("agent") == a).cast("int")).alias("_spec")
     )
     effective = (
-        cand.join(has_specific, "host")
+        # per-host 1-row specificity marker and the rules relation stay
+        # on the broadcast side explicitly (static auto-broadcast is off
+        # session-wide; these are host-bounded, orders smaller than the
+        # URL table)
+        cand.join(F.broadcast(has_specific), "host")
         .filter(
             (F.col("agent") == a)
             | ((F.col("agent") == "*") & (F.col("_spec") == 0))
@@ -144,7 +148,8 @@ def robots_allowed(
         .select("host", "allow", "path", "match_regex")
     )
     joined = u.join(
-        effective.withColumnRenamed("host", "_host"), "_host", "left"
+        F.broadcast(effective.withColumnRenamed("host", "_host")),
+        "_host", "left"
     ).withColumn(
         "_match",
         F.col("path").isNotNull()

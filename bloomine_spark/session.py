@@ -56,6 +56,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast decisions come from AQE's RUNTIME sizes, never from
+        # static estimates: a HashAggregate above an explode is estimated
+        # far below reality, and the planner repeatedly picked such
+        # relations as broadcast build sides (at sf1.0 it broadcast a
+        # 67M-row candidate-pair aggregate and OOMed the driver — AQE
+        # never demotes a statically planned broadcast join). Explicit
+        # F.broadcast() hints are unaffected. Scale-independent posture:
+        # the same misestimates exist on a 100 TB corpus, with worse
+        # consequences.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
