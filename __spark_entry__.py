@@ -348,8 +348,14 @@ def _q_hll_distinct_kgrams_per_source(spark, sf_dir):
     from bloomine_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select("source", F.explode(_kgram_str_expr(3)).alias("g")).select(
-        "source", F.xxhash64("g").alias("gh")
+    # gram hashes ride as ONE array column per doc into the Arrow fold
+    # kernel (which flattens list columns natively) instead of a per-gram
+    # exploded row — same xxhash64 values, same HLL registers, but the
+    # JVM->Python boundary carries |docs| rows, not |gram occurrences|
+    # (guide §4: fewer, larger batches across the boundary)
+    grams = docs.select(
+        "source",
+        F.transform(_kgram_str_expr(3), lambda g: F.xxhash64(g)).alias("gh"),
     )
     factory = lambda: __import__(  # noqa: E731
         "bloomine_spark.sketch.hll", fromlist=["HyperLogLog"]
@@ -722,9 +728,12 @@ def _q_minhash_jaccard_sources(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin(list(_JACCARD_SOURCES))
     )
+    # array column into the Arrow fold (no per-gram explode) — same
+    # xxhash64 values, min-per-permutation is order-insensitive
     grams = docs.select(
-        "source", F.explode(_kgram_str_expr(3)).alias("g")
-    ).select("source", F.xxhash64("g").alias("gh"))
+        "source",
+        F.transform(_kgram_str_expr(3), lambda g: F.xxhash64(g)).alias("gh"),
+    )
     agg = sketch_agg(grams, ["source"], "gh",
                      lambda: MinHashSketch.empty(256))
     sketches = {

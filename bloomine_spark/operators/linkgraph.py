@@ -185,10 +185,15 @@ def pagerank(
     for _ in range(iterations):
         rounds += 1
         with_deg = ranks.join(outdeg, "node", "left")
+        # the dangling mass rides the SAME plan as a broadcast 1-row
+        # relation instead of a per-round driver collect: one barrier per
+        # round (the checkpoint), not two — the collect variant paid a
+        # full extra job every round, pure fixed overhead at any graph
+        # size (same fix HITS got for its L2 norms in round 6). The
+        # arithmetic is unchanged: the summed values are identical.
         dangling = (
             with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .head()[0]
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
         )
         contribs = (
             with_deg.filter(F.col("outdeg").isNotNull())
@@ -197,16 +202,20 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
         )
-        new_ranks = weights.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping) * F.col("w")
-                + F.lit(damping)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.lit(dangling) * F.col("w")
-                )
-            ).alias("pr"),
+        new_ranks = (
+            weights.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("w")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dang") * F.col("w")
+                    )
+                ).alias("pr"),
+            )
         )
         if tol is not None:
             delta = (
