@@ -510,78 +510,86 @@ def unigram_viterbi_segment(
     Returns (word, score, n_pieces, pieces) with ``pieces`` '|'-joined
     and score the unrounded path sum (round at the consumer).
 
-    Loop shape: one round per char position (bounded by the longest
-    word, read once as a scalar), each round a ≤``max_len``-row window
-    over the cumulative dp relation, one broadcast vocab join, one
-    struct-max per word; localCheckpoint caps lineage. ``max_word_chars``
-    bounds the rounds against degenerate tokens (the wordpiece_segment
-    rationale); longer words are excluded."""
+    Execution: the DP is strictly per-word-local, so it runs as ONE
+    Arrow-batched kernel over the word-TYPE relation with the vocab
+    broadcast as a plain dict (bounded by |charset|^max_len substring
+    types — the same boundedness the old broadcast join relied on). The
+    former one-round-per-char-position relational loop paid a fixed
+    ~0.4 s of driver/stage overhead per position at ANY corpus size
+    (longest word ⇒ ~12+ sequential rounds over a types-sized relation);
+    the kernel pays one Python stage over types only — the corpus never
+    crosses the Python boundary (guide §4.2: collapse to types, then do
+    per-type work next to the data).
+
+    Result-identical to the relational loop by construction: scores
+    accumulate left-to-right in the same order (bit-identical doubles),
+    and the per-position argmax mirrors the engine comparator
+    lexicographically — (round(score,6) DESC, n_pieces ASC, pieces
+    DESC); a full tie is an identical path. round() reproduces Spark's
+    HALF_UP over the shortest-decimal representation (Java
+    BigDecimal.valueOf semantics) via Decimal(repr(x)); Python/UTF-8
+    string order equals Spark's binary string order. Equality is
+    fuzz-pinned in tests/test_unigram_viterbi.py. ``checkpoint_every``
+    is retained for API compatibility (no loop remains to checkpoint)."""
     if max_len < 1:
         raise ValueError("max_len must be >= 1")
-    v = F.broadcast(vocab.select("piece", "logp"))
-    base = words.filter(F.length("word") <= max_word_chars).select(
-        "word", F.length("word").cast("long").alias("_n"))
-    dp = base.select(
-        "word", "_n",
-        F.lit(0).cast("long").alias("_i"),
-        F.lit(0.0).alias("score"),
-        F.lit(0).cast("long").alias("n_pieces"),
-        F.lit("").alias("pieces"),
+    import pandas as pd
+
+    vmap = {
+        r["piece"]: r["logp"]
+        for r in vocab.select("piece", "logp").collect()
+    }
+    bc = words.sparkSession.sparkContext.broadcast(vmap)
+    ml = int(max_len)
+    mwc = int(max_word_chars)
+
+    def seg_iter(pdfs):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        vm = bc.value
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+        for pdf in pdfs:
+            out = {"word": [], "score": [], "n_pieces": [], "pieces": []}
+            for w in pdf["word"]:
+                n = len(w)
+                if n == 0:
+                    continue
+                # dp[i] = (r6(score), -n_pieces, pieces, score, n_pieces)
+                dp: dict[int, tuple] = {0: (0.0, 0, "", 0.0, 0)}
+                for i in range(1, n + 1):
+                    best = None
+                    for j in range(i - ml if i > ml else 0, i):
+                        st = dp.get(j)
+                        if st is None:
+                            continue
+                        lp = vm.get(w[j:i])
+                        if lp is None:
+                            continue
+                        sc = st[3] + lp
+                        np_ = st[4] + 1
+                        pieces = st[2] + ("" if st[4] == 0 else "|") + w[j:i]
+                        cand = (r6(sc), -np_, pieces, sc, np_)
+                        if best is None or cand[:3] > best[:3]:
+                            best = cand
+                    if best is not None:
+                        dp[i] = best
+                fin = dp.get(n)
+                if fin is None:
+                    continue
+                out["word"].append(w)
+                out["score"].append(fin[3])
+                out["n_pieces"].append(fin[4])
+                out["pieces"].append(fin[2])
+            if out["word"]:
+                yield pd.DataFrame(out)
+
+    return words.filter(F.length("word") <= mwc).select("word").mapInPandas(
+        seg_iter, "word string, score double, n_pieces bigint, pieces string"
     )
-    max_rounds = int(base.agg(F.max("_n")).first()[0] or 0)
-    for i in range(1, max_rounds + 1):
-        ext = (
-            dp.filter(
-                (F.col("_i") >= i - max_len) & (F.col("_i") < i)
-                & (F.col("_n") >= i)
-            )
-            .withColumn(
-                "_pc",
-                F.col("word").substr(
-                    (F.col("_i") + 1).cast("int"),
-                    (F.lit(i) - F.col("_i")).cast("int"),
-                ),
-            )
-            .join(v, F.col("_pc") == v["piece"])
-            .select(
-                "word", "_n",
-                (F.col("score") + F.col("logp")).alias("score"),
-                (F.col("n_pieces") + 1).alias("n_pieces"),
-                F.concat(
-                    F.col("pieces"),
-                    F.when(F.col("n_pieces") == 0, F.lit(""))
-                    .otherwise(F.lit("|")),
-                    F.col("_pc"),
-                ).alias("pieces"),
-            )
-        )
-        best = (
-            ext.groupBy("word", "_n")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.round("score", 6).alias("r"),
-                        (-F.col("n_pieces")).alias("nn"),
-                        F.col("pieces").alias("pieces"),
-                        F.col("score").alias("score"),
-                        F.col("n_pieces").alias("n_pieces"),
-                    )
-                ).alias("b")
-            )
-            .select(
-                "word", "_n",
-                F.lit(i).cast("long").alias("_i"),
-                F.col("b.score").alias("score"),
-                F.col("b.n_pieces").alias("n_pieces"),
-                F.col("b.pieces").alias("pieces"),
-            )
-        )
-        dp = dp.unionByName(best)
-        if i % checkpoint_every == 0:
-            dp = dp.localCheckpoint()
-    return dp.filter(
-        (F.col("_i") == F.col("_n")) & (F.col("_n") > 0)
-    ).select("word", "score", "n_pieces", "pieces")
 
 
 def unigram_segment_stats_per_source(

@@ -628,15 +628,19 @@ def test_normalize_sample_wordpiece_plans(spark):
 
 @needs_data
 def test_unigram_viterbi_plan(spark):
-    """Viterbi segmentation runs on word TYPES with a broadcast vocab —
-    the final plan is Python-free with no cartesian; the dp loop's
-    lineage is capped by localCheckpoint."""
+    """Viterbi segmentation runs on word TYPES: exactly one Python
+    kernel (the per-type DP, r7) fed by the types relation — the corpus
+    scan/aggregation side stays Python-free — and no cartesian."""
     import __spark_entry__ as em
 
     q = em.queries()["unigram_segment_stats_per_source"](spark, SF)
     f = plan_facts(q)
-    assert not f.has_python_eval, f.text
     assert "CartesianProduct" not in f.join_strategies, f.text
+    n_py = sum(
+        f.text.count(node)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+    )
+    assert n_py == 1, f.text
 
 
 @needs_data
