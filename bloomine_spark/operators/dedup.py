@@ -1160,7 +1160,11 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        # no distinct here: the consumer (_small_star) is duplicate-
+        # insensitive — its groupBy(min) aggregations ignore multiplicity
+        # and its own trailing distinct dedups the round's output — so
+        # the exchange+dedup this operator used to pay per round bought
+        # nothing (duplicates are bounded by the 2|E| symmetric rows)
     )
 
 
