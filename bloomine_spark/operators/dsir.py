@@ -65,14 +65,12 @@ def dsir_doc_features(
         d.filter(F.col("_n") >= 2)
         .select(
             "doc_id",
+            # zip_with ladder: identical bigram strings, one linear pass
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("_w", i + 1),
-                        F.element_at("_w", i + 2),
-                    ),
+                F.zip_with(
+                    F.slice("_w", 1, F.col("_n") - 1),
+                    F.slice("_w", 2, F.col("_n") - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
                 )
             ).alias("g"),
         )

@@ -265,6 +265,8 @@ def hits(
     Rounds are graph-size-independent, so a 100 TB crawl graph costs
     the same ~8-20 narrow-shuffle rounds.
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
@@ -295,17 +297,18 @@ def hits(
         # subtree Catalyst reuses the aggregation exchange, so the norm
         # costs no second scan either. (Measured: the collect variant
         # spent ~half its wall time in 32 serial driver round-trips.)
+        # SPARSE per round (r7): zero-score nodes are simply absent —
+        # they contribute nothing to the norm (0²) or to the next
+        # half-step's sums (no join match = no contribution), so the
+        # per-half-step nodes left-join that materialized them bought
+        # nothing; the dense (node, hub, auth) view with exact 0.0s is
+        # rebuilt once at the end.
         nrm = raw.agg(
             F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
         )
         return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(nrm))
-            .select(
-                "node",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("nrm"))
-                .alias("s"),
-            )
+            raw.crossJoin(F.broadcast(nrm))
+            .select("node", (F.col("raw") / F.col("nrm")).alias("s"))
             .localCheckpoint(eager=True)
         )
 
@@ -325,9 +328,13 @@ def hits(
             .agg(F.sum("s").alias("raw"))
         )
     out = (
-        hubs.withColumnRenamed("s", "hub")
-        .join(auths.withColumnRenamed("s", "auth"), "node")
-        .select("node", "hub", "auth")
+        nodes.join(hubs.withColumnRenamed("s", "hub"), "node", "left")
+        .join(auths.withColumnRenamed("s", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
     )
     e.unpersist()
     nodes.unpersist()

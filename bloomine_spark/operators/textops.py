@@ -235,11 +235,15 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
     Returns (doc_id, n_2grams, top_2gram_count, top2_frac, distinct_frac).
     """
     words = F.split(F.col(text_col), " ")
+    # zip_with against the array's own shift: byte-identical 2-gram
+    # strings to the old per-index slice+concat_ws transform at a
+    # fraction of the expression work (see dedup._word_shingles_expr)
     grams = F.when(
         F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = docs.select(F.col(id_col).alias("doc_id"),
@@ -336,13 +340,14 @@ def bigram_doc_nll(
         .select(
             "source",
             "doc_id",
+            # zip_with of the word array against its own shift — the same
+            # (w1, w2) pairs as the old per-index element_at transform at
+            # one linear pass (see dedup._word_shingles_expr)
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n") - 2),
-                    lambda i: F.struct(
-                        F.element_at("_w", i + 1).alias("w1"),
-                        F.element_at("_w", i + 2).alias("w2"),
-                    ),
+                F.zip_with(
+                    F.slice("_w", 1, F.col("_n") - 1),
+                    F.slice("_w", 2, F.col("_n") - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
                 )
             ).alias("b"),
         )
@@ -366,12 +371,26 @@ def bigram_doc_nll(
              - F.log(F.col("cw") + k * F.col("v"))).alias("lp"),
         )
     )
-    per_doc = (
+    per_doc = _doc_mean_lp(big, lm)
+    return per_doc
+
+
+def _doc_mean_lp(big: DataFrame, lm: DataFrame) -> DataFrame:
+    """(source, doc_id, nll) = −mean(lp) over a doc's bigram occurrences.
+
+    Kept as a direct occurrence→LM join: with runtime-size broadcast
+    planning the LM lands on the broadcast side whenever it fits, so the
+    occurrence stream never shuffles for the join and the per-doc
+    aggregate's map-side combine collapses it before its one exchange. A
+    pre-aggregation to per-doc bigram TYPES was measured here and
+    REJECTED: it inserts a full (source, doc_id, w1, w2) exchange that
+    costs more than the join probes it saves (guide §1: measure, don't
+    assume)."""
+    return (
         big.join(lm, ["w1", "w2"])
         .groupBy("source", "doc_id")
         .agg((-F.avg("lp")).alias("nll"))
     )
-    return per_doc
 
 
 def kneser_ney_ppl_per_source(
@@ -419,13 +438,14 @@ def kneser_ney_ppl_per_source(
         .select(
             "source",
             "doc_id",
+            # zip_with of the word array against its own shift — the same
+            # (w1, w2) pairs as the old per-index element_at transform at
+            # one linear pass (see dedup._word_shingles_expr)
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n") - 2),
-                    lambda i: F.struct(
-                        F.element_at("_w", i + 1).alias("w1"),
-                        F.element_at("_w", i + 2).alias("w2"),
-                    ),
+                F.zip_with(
+                    F.slice("_w", 1, F.col("_n") - 1),
+                    F.slice("_w", 2, F.col("_n") - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
                 )
             ).alias("b"),
         )
@@ -458,11 +478,7 @@ def kneser_ney_ppl_per_source(
             ).alias("lp"),
         )
     )
-    per_doc = (
-        big.join(lm, ["w1", "w2"])
-        .groupBy("source", "doc_id")
-        .agg((-F.avg("lp")).alias("nll"))
-    )
+    per_doc = _doc_mean_lp(big, lm)
     return per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg("nll").alias("mean_doc_nll"),
