@@ -34,7 +34,6 @@ training-data/analytics tier the brief asks for beyond the reference.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -325,7 +324,14 @@ def blocked_jw_pairs(
             "selective blocking key or raise max_block"
         )
 
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    # pandas stays a lazy dependency of this module (r6 ADVICE: pure-
+    # codegen consumers — soundex_key, fingerprint_key — must import
+    # without it), but pandas_udf resolves the 'pd.Series' annotations
+    # through MODULE globals, so the lazy import must register there
+    globals().setdefault("pd", pd)
 
     @pandas_udf("double")
     def _jw(xa: pd.Series, xb: pd.Series) -> pd.Series:

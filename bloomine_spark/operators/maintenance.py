@@ -93,6 +93,7 @@ def compact_parquet(
     in_path: str,
     out_path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite a fragmented parquet table at ``out_path`` with
     ``ceil(total_bytes / target_bytes)`` output files (parquet can't
@@ -101,12 +102,21 @@ def compact_parquet(
     the IO). Returns the plan stats plus ``n_out_files``. Writes to a
     NEW location: swapping it in atomically is the caller's rename
     (overwriting the input in place would lose the table on failure
-    mid-write)."""
+    mid-write).
+
+    A partitionBy-laid-out input loses its directory layout under the
+    default flat rewrite (rows survive via partition-column inference,
+    but partition pruning on the output does not) — pass
+    ``partition_by`` to re-establish the layout on the output.
+    """
     plan = compaction_plan(spark, in_path, target_bytes)
     if plan["n_files"] == 0:
         raise ValueError(f"no data files under {in_path!r}")
     n_out = max(1, math.ceil(plan["total_bytes"] / target_bytes))
     df = spark.read.parquet(in_path)
-    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
     plan["n_out_files"] = len(list_data_files(spark, out_path))
     return plan

@@ -96,6 +96,13 @@ def generalize_to_k(
     for lv in levels[1:]:
         if list(lv.keys()) != names:
             raise ValueError("every level must map the same output columns")
+    reserved = {f"_q_{c}" for c in names} | {"_csize"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with reserved helper "
+            "names (_q_<name>/_csize); rename them before generalizing"
+        )
     remainder = df
     published = []
     for li, lv in enumerate(levels):

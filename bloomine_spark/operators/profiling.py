@@ -68,7 +68,12 @@ def profile_table(
         ref = F.col(f"_c{pos[c]}")
         nn = F.count(ref)
         add(c, "n", nn.cast("double"))
-        add(c, "null_frac", ((total - nn) / total).cast("double"))
+        # ANSI guard (r6 ADVICE): an empty table profiles to NULL
+        # fractions instead of DIVIDE_BY_ZERO
+        add(
+            c, "null_frac",
+            F.when(total > 0, (total - nn) / total).cast("double"),
+        )
         if not exact_distinct:
             # HLL partials fold into the same single-pass aggregate
             add(c, "n_distinct", F.approx_count_distinct(ref).cast("double"))
