@@ -2086,14 +2086,21 @@ def screen_against_index(
     r = num_perm // bands
     base = path.rstrip("/")
     fps = spark.read.parquet(base + "/fingerprints")
+    # the NEW batch is the small side by this operator's posture (the
+    # index is the corpus-scale artifact): broadcast the batch
+    # fingerprints into the index probe, and the (≤ batch-sized) match
+    # relation into the left attach — explicit because session-level
+    # auto-broadcast decisions are runtime-size-only now (r7)
     exact = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.md5(F.col(text_col)).alias("fingerprint"))
+        F.broadcast(
+            df.select(F.col(id_col).alias("doc_id"),
+                      F.md5(F.col(text_col)).alias("fingerprint"))
+        )
         .join(fps, "fingerprint")
         .select("doc_id", F.col("canonical_id").alias("_ex_match"))
     )
     out = df.select(F.col(id_col).alias("doc_id")).join(
-        exact, "doc_id", "left"
+        F.broadcast(exact), "doc_id", "left"
     )
     if threshold is None:
         return out.select(

@@ -217,14 +217,20 @@ def scd2_apply_changes(
         F.col(ts_col).alias("ts"),
         F.col(value_col).alias("value"),
     )
-    affected = chg.select("key").distinct()
+    # the change batch — and therefore its key set and the affected
+    # open rows — is small by this operator's documented contract, so
+    # the semi/anti probes of the (100 TB-scale) current table carry
+    # explicit broadcast hints: with runtime-size-only auto-broadcast
+    # (session posture, r7) the planner would otherwise stage these as
+    # shuffle joins of the big side first
+    affected = F.broadcast(chg.select("key").distinct())
     open_rows = cur.filter(F.col("is_current")).join(
         affected, "key", "left_semi"
     )
     if validate:
         n_late = (
             chg.join(
-                open_rows.select("key", "valid_from"), "key"
+                F.broadcast(open_rows.select("key", "valid_from")), "key"
             )
             .filter(F.col("ts") <= F.col("valid_from"))
             .count()
@@ -237,7 +243,7 @@ def scd2_apply_changes(
             )
     untouched = cur.filter(~F.col("is_current")).unionByName(
         cur.filter(F.col("is_current")).join(affected, "key", "left_anti")
-    )
+    )  # affected carries the broadcast hint above
     stitched = scd2_intervals(
         open_rows.select(
             "key", F.col("valid_from").alias("ts"), "value"
