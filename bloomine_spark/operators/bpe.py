@@ -358,66 +358,61 @@ def wordpiece_segment(
     cap if they matter."""
     if max_len < 1:
         raise ValueError("max_len must be >= 1")
-    v = F.broadcast(vocab.select("piece").distinct())
-    words = words.filter(F.length("word") <= max_word_chars)
-    state = words.select(
-        "word",
-        F.length("word").cast("long").alias("_len"),
-        F.lit(0).cast("long").alias("_p"),
-        F.lit(0).cast("long").alias("n_pieces"),
-        F.lit("").alias("pieces"),
+    # One Arrow kernel over the word-TYPE relation with the vocab piece
+    # set broadcast (r7, same shape and rationale as
+    # unigram_viterbi_segment): the former one-round-per-consumed-piece
+    # relational loop paid fixed driver/stage overhead per round at any
+    # corpus size, plus an isEmpty() action per round. Greedy
+    # longest-match is a pure integer/string function of (word, vocab),
+    # so the kernel is trivially result-identical: longest vocab piece at
+    # each position, a no-match position consumes one char as-is, words
+    # longer than ``max_word_chars`` are excluded, and a zero-length word
+    # passes through as (0, ""). ``checkpoint_every`` retained for API
+    # compatibility (no loop remains).
+    import pandas as pd
+
+    pieces_set = frozenset(
+        r["piece"] for r in vocab.select("piece").distinct().collect()
     )
-    max_rounds = state.agg(F.max("_len")).first()[0] or 0
-    for r in range(int(max_rounds)):
-        active = state.filter(F.col("_p") < F.col("_len"))
-        done = state.filter(F.col("_p") >= F.col("_len"))
-        if active.isEmpty():
-            break
-        cand = active.select(
-            "*",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(
-                        F.lit(max_len), (F.col("_len") - F.col("_p"))
-                        .cast("int"),
-                    ),
-                )
-            ).alias("_l"),
-        ).withColumn(
-            "_pc",
-            F.col("word").substr(
-                (F.col("_p") + 1).cast("int"), F.col("_l").cast("int")
-            ),
+    bc = words.sparkSession.sparkContext.broadcast(pieces_set)
+    ml = int(max_len)
+    mwc = int(max_word_chars)
+
+    def seg_iter(pdfs):
+        vs = bc.value
+        for pdf in pdfs:
+            out = {"word": [], "n_pieces": [], "pieces": []}
+            for w in pdf["word"]:
+                n = len(w)
+                p = 0
+                np_ = 0
+                parts = []
+                while p < n:
+                    # longest vocab piece wins; lengths 2..min(ml, rest)
+                    # checked descending, and length 1 is the fallthrough
+                    # either way (a no-match position consumes one char
+                    # as-is, the relational coalesce-to-1 contract)
+                    bl = 1
+                    for l in range(min(ml, n - p), 1, -1):
+                        if w[p:p + l] in vs:
+                            bl = l
+                            break
+                    parts.append(w[p:p + bl])
+                    p += bl
+                    np_ += 1
+                out["word"].append(w)
+                out["n_pieces"].append(np_)
+                out["pieces"].append("|".join(parts))
+            if out["word"]:
+                yield pd.DataFrame(out)
+
+    return (
+        words.filter(F.length("word") <= mwc)
+        .select("word")
+        .mapInPandas(
+            seg_iter, "word string, n_pieces bigint, pieces string"
         )
-        best = (
-            cand.join(v, cand["_pc"] == v["piece"], "left")
-            .groupBy("word", "_len", "_p", "n_pieces", "pieces")
-            .agg(
-                F.coalesce(
-                    F.max(F.when(F.col("piece").isNotNull(), F.col("_l"))),
-                    F.lit(1),
-                ).cast("long").alias("_bl")
-            )
-        )
-        stepped = best.select(
-            "word", "_len",
-            (F.col("_p") + F.col("_bl")).alias("_p"),
-            (F.col("n_pieces") + 1).alias("n_pieces"),
-            F.concat(
-                F.col("pieces"),
-                F.when(F.col("n_pieces") == 0, F.lit("")).otherwise(
-                    F.lit("|")
-                ),
-                F.col("word").substr(
-                    (F.col("_p") + 1).cast("int"), F.col("_bl").cast("int")
-                ),
-            ).alias("pieces"),
-        )
-        state = done.unionByName(stepped)
-        if (r + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint()
-    return state.select("word", "n_pieces", "pieces")
+    )
 
 
 def wordpiece_fertility_per_source(

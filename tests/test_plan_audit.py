@@ -620,9 +620,16 @@ def test_normalize_sample_wordpiece_plans(spark):
     assert fs.n_exchanges <= 1, fs.text
     assert_columns_pruned(s, {"lang", "text"})
 
+    # WordPiece segmentation runs as exactly one Python kernel over word
+    # TYPES (r7, same shape as unigram Viterbi); the corpus-side
+    # aggregation stays Python-free and joins are never cartesian
     w = em.queries()["wordpiece_fertility_per_source"](spark, SF)
     fw = plan_facts(w)
-    assert not fw.has_python_eval, fw.text
+    n_py = sum(
+        fw.text.count(node)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+    )
+    assert n_py == 1, fw.text
     assert "CartesianProduct" not in fw.join_strategies, fw.text
 
 
