@@ -139,7 +139,9 @@ def robots_allowed(
         # per-host 1-row specificity marker and the rules relation stay
         # on the broadcast side explicitly (static auto-broadcast is off
         # session-wide; these are host-bounded, orders smaller than the
-        # URL table)
+        # URL table). A window-max variant was measured and REJECTED
+        # (0.83 -> 1.31 s at sf0.1: the window's host sort under the
+        # broadcast build cost more than the duplicated parse).
         cand.join(F.broadcast(has_specific), "host")
         .filter(
             (F.col("agent") == a)
@@ -192,18 +194,40 @@ def robots_crawl_delays(
     grouped = _grouped_directives(df, host_col, txt_col).filter(
         F.col("directive").isin("user-agent", "crawl-delay")
     )
-    uas = grouped.filter(F.col("directive") == "user-agent").select(
-        "host", "gid", F.lower(F.col("value")).alias("agent")
+    # one conditional aggregation per (host, gid) instead of a UA×delay
+    # self-join of two filtered copies of the parse (each copy re-ran
+    # the whole directive parse + grouping windows): collect the group's
+    # agents and its max numeric delay in the same pass, then explode.
+    # Identical semantics — the join required a UA row AND a delay row
+    # in the group (inner), mirrored by the non-empty-agents explode and
+    # the _d null filter; max-of-group then max-over-groups = the same
+    # max the joined groupBy took.
+    per_group = (
+        grouped.groupBy("host", "gid")
+        .agg(
+            F.collect_list(
+                F.when(
+                    F.col("directive") == "user-agent",
+                    F.lower(F.col("value")),
+                )
+            ).alias("_agents"),
+            F.max(
+                F.when(
+                    (F.col("directive") == "crawl-delay")
+                    & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$"),
+                    F.col("value").cast("double"),
+                )
+            ).alias("_d"),
+        )
+        .filter(F.col("_d").isNotNull())
     )
-    delays = grouped.filter(
-        (F.col("directive") == "crawl-delay")
-        & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
-    ).select("host", "gid", F.col("value").cast("double").alias("delay"))
     per_agent = (
-        uas.join(delays, ["host", "gid"])
+        per_group.select(
+            "host", F.explode("_agents").alias("agent"), F.col("_d")
+        )
         .filter(F.col("agent").isin(agent.lower(), "*"))
         .groupBy("host", "agent")
-        .agg(F.max("delay").alias("delay"))
+        .agg(F.max("_d").alias("delay"))
     )
     pick = Window.partitionBy("host").orderBy(
         F.when(F.col("agent") == agent.lower(), 0).otherwise(1)
