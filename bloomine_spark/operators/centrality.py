@@ -134,6 +134,11 @@ def harmonic_centrality_exact(
         )
         if nxt.isEmpty():
             break
+        # measured and kept: re-checkpointing the union each round COPIES
+        # the accumulated pair relation, but the alternative (a lazy
+        # union tree of per-round checkpoint legs) multiplies the
+        # anti-join's input partitions by the round count — task overhead
+        # cost more than the copy saved (sf0.1: 5.6 → 6.6 s)
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     out = nodes.join(
@@ -167,6 +172,13 @@ def hyperball_harmonic(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # changed-node count rides the checkpoint job as an accumulator
+    # instead of a second per-round aggregate job. Loop-stop via an
+    # accumulator is result-safe: overcount (task retry) only runs an
+    # extra round, and at a fixpoint an extra round is the identity
+    # (register max is idempotent); undercount cannot happen for
+    # completed tasks.
+    changed_acc = edges.sparkSession.sparkContext.accumulator(0)
     m = 1 << b
     rec = _HDR + m
     header = HyperLogLog.empty(b, hashed_input=True).to_bytes()[:_HDR]
@@ -181,30 +193,44 @@ def hyperball_harmonic(
         )
         return pd.Series([header + r.tobytes() for r in regs])
 
-    fold_schema = T.StructType(
+    seed_schema = T.StructType(
         [
             T.StructField("node", T.StringType()),
             T.StructField(STATE_COL, T.BinaryType()),
             T.StructField("est", T.DoubleType()),
         ]
     )
+    fold_schema = T.StructType(
+        [
+            T.StructField("node", T.StringType()),
+            T.StructField(STATE_COL, T.BinaryType()),
+            T.StructField("est", T.DoubleType()),
+            T.StructField("_prev_est", T.DoubleType()),
+            T.StructField("_prev_harm", T.DoubleType()),
+        ]
+    )
 
-    def fold(pdfs) -> "pd.DataFrame":
+    def _concat_sorted(pdfs):
         # all copies of a node are co-located (repartition("node")
         # upstream) but may SPLIT ACROSS ARROW BATCHES — concat the
         # partition first (a partial fold would emit duplicate node
-        # rows whose join fan-out compounds per round). Then: sort,
-        # stack the register matrix, register-max per node run via
-        # reduceat, estimate the whole partition at once — zero
-        # per-group Python
+        # rows whose join fan-out compounds per round)
         parts = [pdf for pdf in pdfs if len(pdf)]
         if not parts:
-            return
+            return None
         pdf = pd.concat(parts, ignore_index=True)
-        pdf = pdf.sort_values("node", kind="stable")
-        mat = np.frombuffer(
+        return pdf.sort_values("node", kind="stable")
+
+    def _registers(pdf) -> np.ndarray:
+        return np.frombuffer(
             b"".join(bytes(s) for s in pdf[STATE_COL]), np.uint8
         ).reshape(len(pdf), rec)[:, _HDR:]
+
+    def seed_fold(pdfs) -> "pd.DataFrame":
+        pdf = _concat_sorted(pdfs)
+        if pdf is None:
+            return
+        mat = _registers(pdf)
         names = pdf["node"].to_numpy()
         starts = np.flatnonzero(np.r_[True, names[1:] != names[:-1]])
         folded = np.maximum.reduceat(mat, starts, axis=0)
@@ -216,12 +242,46 @@ def hyperball_harmonic(
             }
         )
 
+    def merge_fold(pdfs) -> "pd.DataFrame":
+        # the previous round's (state, est, harmonic) rows ride the SAME
+        # union as the in-neighbor states (flagged _is_prev) instead of
+        # a per-round join of the folded result back onto `cur`: exactly
+        # one prev row per node, so prev values are picked out
+        # positionally after the sort — the join variant shuffled every
+        # node's m-byte registers a second time each round (its
+        # _prev_state comparison side) plus both join exchanges, pure
+        # overhead at any graph size. Register math is unchanged: max is
+        # order-insensitive, and _changed compares the same bytes the
+        # Spark-side binary <> did (headers are constant).
+        pdf = _concat_sorted(pdfs)
+        if pdf is None:
+            return
+        mat = _registers(pdf)
+        names = pdf["node"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, names[1:] != names[:-1]])
+        folded = np.maximum.reduceat(mat, starts, axis=0)
+        prev_pos = np.flatnonzero(pdf["_is_prev"].to_numpy())
+        # every node here is in the previous round's dense state
+        # (nodes = src ∪ dst), exactly once — fail loudly, not wrongly
+        assert len(prev_pos) == len(starts)
+        changed = (folded != mat[prev_pos]).any(axis=1)
+        changed_acc.add(int(changed.sum()))
+        yield pd.DataFrame(
+            {
+                "node": names[starts],
+                STATE_COL: [header + row.tobytes() for row in folded],
+                "est": _estimate_matrix(folded, m),
+                "_prev_est": pdf["est"].to_numpy()[prev_pos],
+                "_prev_harm": pdf["harmonic_est"].to_numpy()[prev_pos],
+            }
+        )
+
     state = nodes.select(
         "node", init_state(F.xxhash64("node")).alias(STATE_COL)
     )
     cur = (
         state.repartition("node")
-        .mapInPandas(fold, schema=fold_schema)  # est of the seed state
+        .mapInPandas(seed_fold, schema=seed_schema)  # est of the seed state
         .withColumn("harmonic_est", F.lit(0.0))
         .localCheckpoint(eager=True)
     )
@@ -231,43 +291,38 @@ def hyperball_harmonic(
         incoming = (
             cur.select(F.col("node").alias("src"), STATE_COL)
             .join(e, "src")
-            .select(F.col("dst").alias("node"), STATE_COL)
-        )
-        merged = (
-            incoming.union(cur.select("node", STATE_COL))
-            .repartition("node")
-            .mapInPandas(fold, schema=fold_schema)
-        )
-        new = (
-            merged.join(
-                cur.select(
-                    "node",
-                    F.col(STATE_COL).alias("_prev_state"),
-                    F.col("est").alias("_prev_est"),
-                    "harmonic_est",
-                ),
-                "node",
+            .select(
+                F.col("dst").alias("node"),
+                STATE_COL,
+                F.lit(None).cast("double").alias("est"),
+                F.lit(None).cast("double").alias("harmonic_est"),
+                F.lit(False).alias("_is_prev"),
             )
+        )
+        prev = cur.select(
+            "node", STATE_COL, "est", "harmonic_est",
+            F.lit(True).alias("_is_prev"),
+        )
+        before = changed_acc.value
+        cur = (
+            incoming.unionByName(prev)
+            .repartition("node")
+            .mapInPandas(merge_fold, schema=fold_schema)
             .select(
                 "node",
                 STATE_COL,
                 "est",
                 (
-                    F.col("harmonic_est")
+                    F.col("_prev_harm")
                     + F.greatest(
                         F.col("est") - F.col("_prev_est"), F.lit(0.0)
                     )
                     / F.lit(float(r))
                 ).alias("harmonic_est"),
-                (F.col(STATE_COL) != F.col("_prev_state")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = new.agg(
-            F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))
-        ).head()[0]
-        cur = new.drop("_changed")
-        if changed == 0:
+        if changed_acc.value - before == 0:
             break
     e.unpersist()
     if stats is not None:

@@ -121,6 +121,7 @@ def pagerank(
     tol: float | None = None,
     reset: DataFrame | None = None,
     stats: dict | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over a directed edge list → (node, pr), ranks summing
     to 1 over the node set (sources ∪ destinations).
@@ -226,8 +227,21 @@ def pagerank(
             ranks = new_ranks.localCheckpoint(eager=True)
             if delta < tol:
                 break
-        else:
+        elif rounds % max(int(checkpoint_every), 1) == 0 or rounds == iterations:
+            # round fusion (checkpoint_every=2) was measured and
+            # REJECTED as the default: the unfused round's plan is
+            # referenced by the next round's dangling branch AND its
+            # contribution join, AQE does not reuse exchanges across
+            # those references, and the recompute costs more than the
+            # saved job barrier (interleaved same-session A/B at sf0.1:
+            # ce=1 4.05-4.9s vs ce=2 4.8-6.7s per query across
+            # pagerank/trustrank/textrank; ce=4/8 blow up exponentially,
+            # 10s/115s). The knob stays for clusters where the barrier
+            # is pricier than local-mode recompute. Values never change:
+            # the same expressions run either side of a truncation.
             ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            ranks = new_ranks
     e.unpersist()
     nodes.unpersist()
     outdeg.unpersist()
@@ -243,6 +257,7 @@ def hits(
     dst_col: str = "dst",
     iterations: int = 8,
     stats: dict | None = None,
+    checkpoint_half_steps: bool = True,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list → (node, hub, auth), each vector L2-normalized per round — the
@@ -290,7 +305,7 @@ def hits(
     hubs = nodes.select("node", F.lit(1.0 / n ** 0.5).alias("s"))
     auths = None
 
-    def _normalized(raw: DataFrame) -> DataFrame:
+    def _normalized(raw: DataFrame, checkpoint: bool = True) -> DataFrame:
         # the L2 norm rides the SAME plan as a broadcast 1-row relation
         # instead of a per-half-step driver collect: one barrier per
         # half-step (the checkpoint), not two — on the shared raw
@@ -306,26 +321,37 @@ def hits(
         nrm = raw.agg(
             F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
         )
-        return (
+        out = (
             raw.crossJoin(F.broadcast(nrm))
             .select("node", (F.col("raw") / F.col("nrm")).alias("s"))
-            .localCheckpoint(eager=True)
         )
+        return out.localCheckpoint(eager=True) if checkpoint else out
 
     for _ in range(iterations):
-        # auth half-step: score mass flows src -> dst
+        # auth half-step: score mass flows src -> dst. Skipping this
+        # checkpoint (half-step fusion into the hub job) was measured
+        # and REJECTED as the default, same verdict as pagerank's round
+        # fusion: the hub half-step's norm branch and main branch both
+        # re-derive the unfused auth subtree, AQE does not reuse those
+        # exchanges, and the recompute costs more than the barrier
+        # (interleaved same-session A/B at sf0.1: checkpointed 5.9-6.8s
+        # vs fused 6.9-7.6s). The knob stays for barrier-pricey
+        # clusters; values are identical either way.
         auths = _normalized(
             hubs.withColumnRenamed("node", "src")
             .join(e, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("s").alias("raw"))
+            .agg(F.sum("s").alias("raw")),
+            checkpoint=checkpoint_half_steps,
         )
-        # hub half-step: authority flows back dst -> src
+        # hub half-step: authority flows back dst -> src — checkpointed,
+        # truncating the round's lineage in one job
         hubs = _normalized(
             auths.withColumnRenamed("node", "dst")
             .join(e, "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("s").alias("raw"))
+            .agg(F.sum("s").alias("raw")),
+            checkpoint=True,
         )
     out = (
         nodes.join(hubs.withColumnRenamed("s", "hub"), "node", "left")
