@@ -2116,18 +2116,17 @@ def _q_nb_langid_confusion(spark, sf_dir):
     features, smoothed likelihoods, rounded-rank argmax), not accuracy;
     separable-language accuracy is pytest-gated."""
     _ship_pkg(spark)
-    from bloomine_spark.operators.classify import nb_fit_classify
+    from bloomine_spark.operators.classify import nb_classify, nb_train
     from bloomine_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    # fused fit+classify (result-identical to nb_classify(docs,
-    # nb_train(docs)) — proof in nb_fit_classify's docstring, pinned in
-    # tests): the composed form exploded the corpus into bigrams up to
-    # four times because its branches prune differently and exchange
-    # reuse never fires; the fused cell relation is built once
-    pred = nb_fit_classify(docs, label_col="source", n_buckets=256).select(
+    model = nb_train(
+        docs.select(F.col("source").alias("label"), "text"),
+        n_buckets=256,
+    )
+    pred = nb_classify(docs, model, n_buckets=256).select(
         "doc_id", F.col("label").alias("predicted")
     )
     return (

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["nb_train", "nb_classify", "nb_fit_classify"]
+__all__ = ["nb_train", "nb_classify"]
 
 
 def _bucket_expr(g, n_buckets: int):
@@ -31,24 +31,6 @@ def _bucket_expr(g, n_buckets: int):
     return (
         F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % n_buckets
     )
-
-
-def _char_bigrams_expr(text_col: str):
-    # char bigrams via one split + a zip_with of the char array against
-    # its own shift — NOT per-position substr: UTF8 substr(i, 2) must walk
-    # the variable-width bytes to char i, so the old transform was
-    # O(len²) per document (measured: the explode alone cost ~19s at
-    # sf1.0; this form is linear). Values are byte-identical.
-    ch = F.split(F.col(text_col), "")
-    g2 = F.zip_with(
-        ch,
-        F.slice(ch, 2, F.greatest(F.size(ch) - 1, F.lit(0))),
-        lambda x, y: F.concat(x, y),
-    )
-    return F.when(
-        F.length(text_col) >= 2,
-        F.slice(g2, 1, F.length(text_col) - 1),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def _bucket_counts(df: DataFrame, keys: list[str], text_col: str,
@@ -65,8 +47,23 @@ def _bucket_counts(df: DataFrame, keys: list[str], text_col: str,
     per-occurrence form spent the whole operator inside md5+conv
     (~2 corpus-scans' worth at sf1.0, guide §1.2 step 2 / §4 choose-
     cheaper-expressions)."""
+    # char bigrams via one split + a zip_with of the char array against
+    # its own shift — NOT per-position substr: UTF8 substr(i, 2) must walk
+    # the variable-width bytes to char i, so the old transform was
+    # O(len²) per document (measured: the explode alone cost ~19s at
+    # sf1.0; this form is linear). Values are byte-identical.
+    ch = F.split(F.col(text_col), "")
+    g2 = F.zip_with(
+        ch,
+        F.slice(ch, 2, F.greatest(F.size(ch) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, y),
+    )
+    grams = F.when(
+        F.length(text_col) >= 2,
+        F.slice(g2, 1, F.length(text_col) - 1),
+    ).otherwise(F.array().cast("array<string>"))
     occ = (
-        df.select(*keys, F.explode(_char_bigrams_expr(text_col)).alias("_g"))
+        df.select(*keys, F.explode(grams).alias("_g"))
         .groupBy(*keys, "_g")
         .agg(F.count("*").cast("long").alias("_c"))
     )
@@ -201,156 +198,6 @@ def nb_classify(
                     - F.coalesce(F.col("covered"), F.lit(0).cast("long"))
                 ) * F.col("ln_unseen")
             ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.round(F.col("score"), 6)), F.asc("label")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "label", F.round("score", 6).alias("score"))
-    )
-
-
-def nb_fit_classify(
-    docs: DataFrame,
-    label_col: str = "label",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = 1024,
-    alpha: float = 1.0,
-) -> DataFrame:
-    """Fused fit-then-classify over the SAME labeled corpus —
-    result-identical to ``nb_classify(docs, nb_train(docs, …), …)`` (the
-    confusion-matrix / resubstitution construction) but with the
-    corpus-scale gram relation built ONCE (guide §1.2/§2.1): the
-    composed pipeline re-derived the explode→(key, gram) aggregate
-    independently for training, for each side's gram→bucket map, for
-    the per-doc tf, AND for the per-doc feature total — the branches
-    prune differently, so exchange reuse never fires and the corpus is
-    exploded up to five times. Here it is exploded exactly twice (the
-    per-(label, bucket) model counts and the per-(doc, bucket) tf are
-    genuinely different reductions), each collapsed map-side at the
-    coarsest key its consumer allows, and the per-doc feature total is
-    gone entirely (see the equivalence argument).
-
-    Returns (doc_id, label, score) exactly like :func:`nb_classify`.
-
-    Equivalence argument, step by step:
-    - model count c(label, b) = Σ_docs tf(doc, b) over that label's docs
-      — integer arithmetic, associative, equal to nb_train's direct
-      (label, bucket) occurrence count.
-    - the model grid here spans ALL ``n_buckets`` buckets (a superset of
-      nb_train's observed-bucket completion); grid rows for unobserved
-      buckets can never match a tf row of the same corpus, so the
-      matched set is unchanged. Conversely every tf bucket IS in the
-      grid: covered ≡ n_feat, and the unseen-feature term
-      (n_feat − covered)·ln_unseen = 0·ln_unseen = ±0.0 (ln_unseen is
-      finite for α > 0); adding ±0.0 to a nonzero double is the
-      identity, and score = 0 exactly cannot arise here (ln_prior < 0
-      for ≥2 labels; with one label every score is ln_prior = 0 + m ≤ 0
-      with m = 0 only for featureless docs, where +0.0 + 0·neg = +0.0
-      still rounds to 0.0).
-    - every other float expression is verbatim from
-      nb_train/nb_classify. Pinned against the composed pipeline in
-      tests (exact score equality, short/empty docs included).
-    """
-    if n_buckets < 1:
-        raise ValueError("n_buckets must be >= 1")
-    if alpha <= 0:
-        raise ValueError("alpha must be positive")
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(label_col).alias("label"),
-        F.col(text_col).alias("_t"),
-    )
-    # TWO corpus explodes total, one per consumer, each collapsed
-    # map-side at the coarsest key its consumer allows: the model-count
-    # branch never needs per-doc resolution (per-partition partial
-    # aggregation collapses straight to (label, gram) — old nb_train's
-    # shape), and the tf branch never needs the label. The bucket hash
-    # runs inline AFTER each collapse — once per (doc, distinct gram)
-    # resp. (label, distinct gram) row, ~30× below per-occurrence
-    # hashing — which drops the broadcast gram→bucket map and the extra
-    # corpus explode that built it.
-    occ_lab = (
-        base.select("label", F.explode(_char_bigrams_expr("_t")).alias("_g"))
-        .groupBy("label", "_g")
-        .agg(F.count("*").cast("long").alias("_c"))
-    )
-    counts = (
-        occ_lab.select(
-            "label", _bucket_expr(F.col("_g"), n_buckets).alias("b"), "_c"
-        )
-        .groupBy("label", "b")
-        .agg(F.sum("_c").cast("long").alias("c"))
-    )
-    occ_doc = (
-        base.select("doc_id", F.explode(_char_bigrams_expr("_t")).alias("_g"))
-        .groupBy("doc_id", "_g")
-        .agg(F.count("*").cast("long").alias("_c"))
-    )
-    cell = (
-        occ_doc.select(
-            "doc_id", _bucket_expr(F.col("_g"), n_buckets).alias("b"), "_c"
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("_c").cast("long").alias("tf"))
-    )
-    totals = counts.groupBy("label").agg(
-        F.sum("c").cast("long").alias("t_label")
-    )
-    docs_per = base.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_docs_label")
-    )
-    n_docs = base.agg(F.count("*").cast("long").alias("n_docs"))
-    labels = (
-        docs_per.join(totals, "label", "left")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "label",
-            F.coalesce(F.col("t_label"), F.lit(0).cast("long"))
-            .alias("t_label"),
-            F.log(F.col("n_docs_label") / F.col("n_docs"))
-            .alias("ln_prior"),
-        )
-    )
-    # the FULL bucket range instead of the observed-bucket distinct (one
-    # corpus pass fewer): model rows for never-observed buckets carry the
-    # pure-alpha likelihood but can never match a tf row of the same
-    # corpus, so the scoring join's matched set — and every score — is
-    # unchanged; n_buckets is a model constant (hundreds), so the grid
-    # stays broadcast-sized by construction
-    buckets = docs.sparkSession.range(n_buckets).select(
-        F.col("id").cast("long").alias("b")
-    )
-    denom = F.log(F.col("t_label") + float(alpha) * n_buckets)
-    model = (
-        labels.crossJoin(F.broadcast(buckets))
-        .join(counts, ["label", "b"], "left")
-        .select(
-            "label",
-            "b",
-            (F.log(F.coalesce(F.col("c"), F.lit(0).cast("long"))
-                   + float(alpha)) - denom).alias("log_p"),
-            "ln_prior",
-        )
-    )
-    matched = (
-        cell.join(F.broadcast(model.select("label", "b", "log_p")), "b")
-        .groupBy("doc_id", "label")
-        .agg(F.sum(F.col("tf") * F.col("log_p")).alias("m"))
-    )
-    scored = (
-        base.select("doc_id")
-        .crossJoin(F.broadcast(labels.select("label", "ln_prior")))
-        .join(matched, ["doc_id", "label"], "left")
-        .select(
-            "doc_id",
-            "label",
-            (F.col("ln_prior") + F.coalesce(F.col("m"), F.lit(0.0)))
-            .alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(

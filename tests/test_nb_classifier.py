@@ -150,39 +150,3 @@ def test_featureless_label_keeps_prior(spark):
     r = nb_classify(te, model, n_buckets=32).collect()[0]
     assert r["label"] == "xx"
     assert r["score"] == pytest.approx(math.log(3 / 5), abs=1e-6)
-
-
-def test_fit_classify_fused_exactly_equals_composed(spark):
-    # the fused self-classify (one cell relation, no per-doc feature
-    # total, full-range bucket grid) must be row-for-row IDENTICAL to
-    # nb_classify(docs, nb_train(docs)) — including short/empty texts
-    # (prior-only path), a featureless label, and rounded-score ties
-    from bloomine_spark.operators.classify import nb_fit_classify
-
-    rng = random.Random(7)
-    rows = [
-        (i, rng.choice(["en", "de", "xx"]),
-         " ".join(rng.choice(["hello", "welt", "der", "the", "zz"])
-                  for _ in range(rng.randint(0, 12))))
-        for i in range(200)
-    ]
-    rows += [(900, "xx", ""), (901, "en", "a"), (902, "de", "ab")]
-    docs = spark.createDataFrame(rows, "doc_id long, label string, text string")
-    model = nb_train(docs.select("label", "text"), n_buckets=64, alpha=0.5)
-    composed = nb_classify(docs, model, n_buckets=64).collect()
-    fused = nb_fit_classify(docs, n_buckets=64, alpha=0.5).collect()
-    o = {r["doc_id"]: (r["label"], r["score"]) for r in composed}
-    n = {r["doc_id"]: (r["label"], r["score"]) for r in fused}
-    assert o == n
-
-
-def test_fit_classify_validation(spark):
-    from bloomine_spark.operators.classify import nb_fit_classify
-
-    docs = spark.createDataFrame(
-        [(0, "a", "xx")], "doc_id long, label string, text string"
-    )
-    with pytest.raises(ValueError):
-        nb_fit_classify(docs, n_buckets=0)
-    with pytest.raises(ValueError):
-        nb_fit_classify(docs, alpha=0)
