@@ -940,15 +940,41 @@ def ngram_novelty_per_source(
         range(1, max_n + 1), "_t", carry_cols=("source",),
     )
     # a gram's unique first occurrence: min (doc_id, start) — source
-    # rides along because (doc_id, start) identifies one occurrence
-    firsts = g.groupBy("n", "gh").agg(
+    # rides along because (doc_id, start) identifies one occurrence.
+    # Grouping key = unhex(gh): the 16-byte binary is bijective with the
+    # 32-char hex digest, and the corpus-wide aggregate's cost tracks
+    # key bytes (same lesson as the candidate-pair aggregate).
+    firsts = g.groupBy("n", F.unhex("gh").alias("gb")).agg(
         F.min(F.struct("doc_id", "start", "source")).alias("f")
     )
     novel = firsts.groupBy(F.col("f.source").alias("source"), "n").agg(
         F.count("*").cast("long").alias("n_novel")
     )
-    totals = g.groupBy("source", "n").agg(
-        F.count("*").cast("long").alias("n_occurrences")
+    # occurrence totals are CLOSED-FORM in the per-doc split width (a
+    # size-n window exists at position p iff p + n <= width, so a doc
+    # contributes max(width − n + 1, 0) occurrences — word_gram_digests
+    # guards exactly this via its lead-nullity filter): one narrow scan
+    # replaces the second corpus-scale window+md5 pass the old
+    # g.groupBy(source, n) count re-derived. The >0 filter mirrors the
+    # old shape, where a (source, n) with no occurrences produced no
+    # totals row at all (never a 0/0 division downstream).
+    wc = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(F.split(F.col(text_col), " ")).alias("_c"),
+    )
+    totals = (
+        wc.select(
+            "source",
+            F.explode(F.expr(f"sequence(1, {int(max_n)})")).alias("n"),
+            "_c",
+        )
+        .groupBy("source", "n")
+        .agg(
+            F.sum(
+                F.greatest(F.col("_c") - F.col("n") + 1, F.lit(0))
+            ).cast("long").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
     )
     return (
         totals.join(novel, ["source", "n"], "left")
