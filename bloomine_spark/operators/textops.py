@@ -931,6 +931,14 @@ def ngram_novelty_per_source(
         raise ValueError("max_n must be >= 1")
     from bloomine_spark.functions.grams import word_gram_digests
 
+    # the window builder, deliberately: a shuffle-free zip_with-ladder
+    # digest builder (array-side joins of per-word digests, no
+    # Exchange+Sort) was implemented, measured, and REJECTED — nested
+    # higher-order chains leave whole-stage codegen and the per-n
+    # entries re-derive the ladder (no common-subexpression sharing
+    # across array expressions): 10.3 → 173 s at 10× sf0.1 multi-n, and
+    # 3.1 → 37 s even for a single n=13. The one corpus Exchange+Sort
+    # is far cheaper than interpreted ladder evaluation.
     g = word_gram_digests(
         docs.select(
             F.col(source_col).alias("source"),
