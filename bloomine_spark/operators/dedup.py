@@ -1090,6 +1090,14 @@ def gpt3_window_decontaminate(
         .withColumn("_isl", F.sum("_ni").over(wisl))
         .groupBy("doc_id", "_isl")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        # materialized ONCE: three consumers (piece starts, the tail
+        # piece, the untouched anti-join) prune this aggregate
+        # differently, so neither plan- nor AQE-level exchange reuse
+        # fires and each re-derived the ENTIRE gram-digest window pass
+        # upstream (plan audit: 3× the Window chain, ~3× the corpus
+        # scan). The island relation is collision-scale (contaminated
+        # docs only), so the checkpoint itself is tiny.
+        .localCheckpoint(eager=True)
     )
 
     # complement: piece before each island + the tail piece after the last
