@@ -1013,6 +1013,7 @@ def gpt3_window_decontaminate(
     min_piece_chars: int = 200,
     max_pieces: int = 10,
     fp: float = 1e-4,
+    materialize_islands: bool = True,
 ) -> DataFrame:
     """Surgical decontamination, GPT-3 style (Brown et al. 2020,
     Appendix C): instead of dropping a whole training document that
@@ -1090,15 +1091,18 @@ def gpt3_window_decontaminate(
         .withColumn("_isl", F.sum("_ni").over(wisl))
         .groupBy("doc_id", "_isl")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    if materialize_islands:
         # materialized ONCE: three consumers (piece starts, the tail
         # piece, the untouched anti-join) prune this aggregate
         # differently, so neither plan- nor AQE-level exchange reuse
         # fires and each re-derived the ENTIRE gram-digest window pass
         # upstream (plan audit: 3× the Window chain, ~3× the corpus
         # scan). The island relation is collision-scale (contaminated
-        # docs only), so the checkpoint itself is tiny.
-        .localCheckpoint(eager=True)
-    )
+        # docs only), so the checkpoint itself is tiny. The flag exists
+        # so plan audits can still see the full un-truncated shape
+        # (Bloom probe → exact semi-join) in one lazy plan.
+        islands = islands.localCheckpoint(eager=True)
 
     # complement: piece before each island + the tail piece after the last
     word = Window.partitionBy("doc_id").orderBy("s")

@@ -565,14 +565,39 @@ def test_gpt3_window_decontaminate_plan(spark):
     prunes train grams before the exact semi-join's exchange (same
     posture as contamination_screen); gram text never rides the plan —
     grams are md5 digests; no cartesian; the text join back is
-    doc_id-keyed."""
+    doc_id-keyed. The declared query materializes the island relation
+    once (r7: its three differently-pruned consumers re-derived the
+    whole gram window pass), so the probe shape is audited on the
+    un-truncated variant and the declared query is pinned to the
+    truncated one (islands scanned as an RDD, exactly one Window
+    chain)."""
     import __spark_entry__ as em
+    from bloomine_spark.operators.dedup import gpt3_window_decontaminate
+    from bloomine_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 23 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 4, 13), " ")
+        .alias("text"),
+    )
+    full = gpt3_window_decontaminate(
+        docs, ev, n=13, window=60, min_piece_chars=40, max_pieces=10,
+        materialize_islands=False,
+    )
+    assert_no_cartesian(full)
+    f = plan_facts(full)
+    assert "MapInArrow" in f.text
+    assert "LeftSemi" in f.text or "left_semi" in f.text.lower()
 
     q = em.queries()["gpt3_window_decontaminate"](spark, SF)
     assert_no_cartesian(q)
-    f = plan_facts(q)
-    assert "MapInArrow" in f.text
-    assert "LeftSemi" in f.text or "left_semi" in f.text.lower()
+    fq = plan_facts(q)
+    assert "ExistingRDD" in fq.text, fq.text      # islands materialized
+    # exactly one gram window chain survives in the returned plan (the
+    # pieces/untouched tail) — the 3x re-derivation is gone
+    assert fq.text.count("Window") <= 4, fq.text
 
 
 @needs_data
