@@ -93,3 +93,37 @@ def test_validation(spark):
     )
     with pytest.raises(ValueError):
         ngram_novelty_per_source(df, max_n=0)
+
+
+def test_short_doc_and_all_short_source_edges(spark):
+    # the closed-form totals (r7: max(width - n + 1, 0) summed per doc)
+    # must mirror the window builder's shape exactly at the edges: a doc
+    # shorter than n contributes 0 occurrences, and a (source, n) whose
+    # docs are ALL shorter than n emits NO row at all (the old window
+    # form could not produce a zero-occurrence totals row — a 0/0
+    # division must never appear)
+    docs = [
+        ("a", 0, "x y z"),
+        ("b", 1, "q"),          # 1 word: no bigrams/trigrams
+        ("b", 2, "r"),
+    ]
+    got = _run(spark, docs, 3)
+    exp = _replay(docs, 3)
+    assert got == exp
+    assert ("b", 2) not in got and ("b", 3) not in got
+    assert got[("b", 1)] == (2, 2, 1.0)
+    assert got[("a", 3)] == (1, 1, 1.0)
+
+
+def test_null_text_contributes_nothing(spark):
+    df = spark.createDataFrame(
+        [("a", 0, "x y"), ("a", 1, None), ("b", 2, None)],
+        "source string, doc_id long, text string",
+    )
+    got = {
+        (r["source"], r["n"]): (r["n_occurrences"], r["n_novel"])
+        for r in ngram_novelty_per_source(df, max_n=2).collect()
+    }
+    # null-text docs vanish from both the totals and the firsts; a
+    # source with ONLY null docs has no rows
+    assert got == {("a", 1): (2, 2), ("a", 2): (1, 1)}
