@@ -139,3 +139,25 @@ def test_hyperball_random_graph_error_bound(spark):
     top_exact = set(sorted(exact, key=exact.get, reverse=True)[:10])
     top_est = set(sorted(est, key=est.get, reverse=True)[:10])
     assert len(top_exact & top_est) >= 8
+
+
+def test_hyperball_partitioning_invariant(spark):
+    """r7 internals: the previous round's rows ride the merge union
+    (flagged, extracted positionally after the kernel sort) and the
+    loop stops on an accumulator — the result must be bit-identical
+    across input partitionings and repeated invocations (register max
+    and the estimate are order-insensitive; exactly one prev row per
+    node exists in every layout)."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    runs = []
+    for parts in (1, 3, 16):
+        runs.append(
+            sorted(
+                (r["node"], r["harmonic_est"])
+                for r in hyperball_harmonic(
+                    df.repartition(parts), b=8
+                ).collect()
+            )
+        )
+    assert runs[0] == runs[1] == runs[2]
